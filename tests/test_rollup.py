@@ -1,0 +1,76 @@
+"""Tier cascade: finest tier vs pandas oracle; tier-consistency invariant
+(1h computed from 1m == 1h computed from raw — SURVEY §5 item 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from tsengine import features, rollup
+
+
+def _tiers(transcripts):
+    long = features.to_long(features.derive_features(transcripts))
+    return long, rollup.build_tiers(long)
+
+
+def _norm(pdf):
+    return pdf.sort_values(["conv_id", "bucket_ts", "metric"]).reset_index(drop=True)
+
+
+def test_1m_tier_matches_pandas_oracle(spark, transcripts):
+    long, tiers = _tiers(transcripts)
+    got = _norm(tiers["1m"].toPandas())
+
+    raw = long.toPandas()
+    raw["bucket_ts"] = raw["ts"].dt.floor("min")
+    g = raw.groupby(["conv_id", "bucket_ts", "metric"])["value"]
+    exp = g.agg(
+        cnt="count", sum="sum", min="min", max="max",
+        sumsq=lambda s: float((s.to_numpy() ** 2).sum()),
+    ).reset_index()
+    exp = _norm(exp)
+
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "bucket_ts", "metric"]],
+        exp[["conv_id", "bucket_ts", "metric"]],
+    )
+    assert (got["cnt"].to_numpy() == exp["cnt"].to_numpy()).all()
+    np.testing.assert_allclose(got["sum"], exp["sum"], rtol=1e-9)
+    np.testing.assert_allclose(got["min"], exp["min"], rtol=0)
+    np.testing.assert_allclose(got["max"], exp["max"], rtol=0)
+    np.testing.assert_allclose(got["sumsq"], exp["sumsq"], rtol=1e-9)
+
+
+def test_cascade_consistency(spark, transcripts):
+    long, tiers = _tiers(transcripts)
+    # 1h from 1m must equal 1h computed directly from raw
+    direct_1h = _norm(rollup.rollup_from_raw(long, "1h").toPandas())
+    cascaded_1h = _norm(tiers["1h"].toPandas())
+    assert len(direct_1h) == len(cascaded_1h)
+    assert (direct_1h["cnt"].to_numpy() == cascaded_1h["cnt"].to_numpy()).all()
+    np.testing.assert_allclose(direct_1h["sum"], cascaded_1h["sum"], rtol=1e-9)
+    np.testing.assert_allclose(direct_1h["min"], cascaded_1h["min"])
+    np.testing.assert_allclose(direct_1h["max"], cascaded_1h["max"])
+
+    # row-count monotonicity 1m ≥ 1h ≥ 1d; total cnt preserved at every tier
+    cnts = {t: tiers[t].toPandas() for t in rollup.TIER_ORDER}
+    assert len(cnts["1m"]) >= len(cnts["1h"]) >= len(cnts["1d"])
+    assert cnts["1m"]["cnt"].sum() == cnts["1h"]["cnt"].sum() == cnts["1d"]["cnt"].sum()
+
+
+def test_finalize_std(spark, transcripts):
+    long, tiers = _tiers(transcripts)
+    fin = rollup.finalize(tiers["1d"]).toPandas()
+    raw = long.toPandas()
+    raw["bucket_ts"] = raw["ts"].dt.floor("D")
+    exp = (
+        raw.groupby(["conv_id", "bucket_ts", "metric"])["value"]
+        .agg(mean="mean", std_pop=lambda s: float(np.std(s.to_numpy())))
+        .reset_index()
+    )
+    m = fin.merge(exp, on=["conv_id", "bucket_ts", "metric"], suffixes=("", "_exp"))
+    assert len(m) == len(fin)
+    np.testing.assert_allclose(m["mean"], m["mean_exp"], rtol=1e-9)
+    np.testing.assert_allclose(m["std_pop"], m["std_pop_exp"], rtol=1e-6, atol=1e-9)

@@ -1,0 +1,118 @@
+"""Chunk blob encode/decode — the compressed storage layer (SURVEY §2.8).
+
+Series are packed into per-(conv_id, metric, time-chunk) blobs: timestamps
+via delta-of-delta, values via Gorilla-XOR (codec.py). The grouped-map UDF
+is the engine's analog of rewemo's per-series CSV sink
+(`ncep/timeseries_tools.py:392-404`) — one output unit per series — but
+compressed, columnar-addressable, and parallel.
+
+Skew design (SURVEY §7 hard-part (e)): chunking is TIME-BASED, not
+row-count-based. ``chunk_start = floor(ts, chunk_span)`` is a pure column
+expression — no window/row_number sort pass over raw data — and it bounds
+group size: a mega-conversation with 10⁸ turns lands in many independent
+(conv, metric, day) groups instead of one giant applyInPandas group, so no
+single task OOMs. This IS the salting: the chunk key is a deterministic,
+semantically meaningful salt, and AQE handles any residual imbalance.
+Chunks are independently decodable → time-range pruning at read
+(min/max chunk_start predicate pushdown on the chunk table's parquet
+stats) and embarrassingly parallel decode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsengine import codec
+from tsengine.schema import CHUNKS
+
+CHUNK_SPANS = {"1h": "hour", "1d": "day"}
+
+
+def encode_chunks(
+    series: DataFrame,
+    ts_col: str = "bucket_ts",
+    chunk_span: str = "1d",
+    value_codec: str = "xorblk",
+    ts_codec: str = "dodblk",
+) -> DataFrame:
+    """(conv_id, metric, ts, value) rows → chunk blobs (schema.CHUNKS).
+
+    Timestamps are stored as epoch nanoseconds (lossless for any Spark
+    TimestampType value); on a gap-filled regular grid the delta-of-deltas
+    are all zero → ~2 bytes per 128 points."""
+    venc = codec.CODECS[value_codec][0]
+    tenc = codec.TS_CODECS[ts_codec][0]
+    unit = CHUNK_SPANS[chunk_span]
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        ts_ns = pdf[ts_col].astype("int64").to_numpy()
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        finite = vals[np.isfinite(vals)]
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "metric": [pdf["metric"].iloc[0]],
+                "chunk_start": [pdf["chunk_start"].iloc[0]],
+                "n": [len(vals)],
+                "ts_codec": [ts_codec],
+                "val_codec": [value_codec],
+                "ts_blob": [tenc(ts_ns)],
+                "val_blob": [venc(vals)],
+                "v_min": [float(finite.min()) if len(finite) else None],
+                "v_max": [float(finite.max()) if len(finite) else None],
+            }
+        )
+
+    keyed = series.withColumn("chunk_start", F.date_trunc(unit, F.col(ts_col)))
+    return keyed.groupBy("conv_id", "metric", "chunk_start").applyInPandas(
+        enc, schema=CHUNKS
+    )
+
+
+DECODED_SCHEMA = "conv_id string, metric string, bucket_ts timestamp, value double"
+
+
+def decode_chunks(chunks_df: DataFrame) -> DataFrame:
+    """Inverse: chunk blobs → point rows. mapInPandas (not grouped) — each
+    blob row is self-contained, so decode needs NO shuffle at all; Spark
+    streams Arrow batches of blobs through the workers."""
+
+    def dec(batches):
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                tdec = codec.TS_CODECS[row.ts_codec][1]
+                vdec = codec.CODECS[row.val_codec][1]
+                ts = pd.to_datetime(tdec(bytes(row.ts_blob)))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": row.conv_id,
+                            "metric": row.metric,
+                            "bucket_ts": ts,
+                            "value": vdec(bytes(row.val_blob)),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return chunks_df.mapInPandas(dec, schema=DECODED_SCHEMA)
+
+
+def chunk_stats(chunks_df: DataFrame) -> DataFrame:
+    """Compression accounting per metric: raw vs stored bytes."""
+    return chunks_df.groupBy("metric").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n").alias("n_points"),
+        F.sum(F.length("ts_blob") + F.length("val_blob")).alias("stored_bytes"),
+        (F.sum(F.lit(16) * F.col("n"))).alias("raw_bytes"),
+        (
+            F.sum(F.lit(16) * F.col("n"))
+            / F.sum(F.length("ts_blob") + F.length("val_blob"))
+        ).alias("compression_ratio"),
+    )

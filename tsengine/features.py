@@ -1,0 +1,143 @@
+"""Per-turn signal derivation — the engine's "signal pack" stage.
+
+This is the slot where rewemo runs its vectorized physics transforms
+(`src/rewemo/windpower.py:4-20`, `src/rewemo/solarpower.py:123-198`): a
+stateless-per-series, order-dependent, whole-column transform over each
+key's time series. Our formulas are transcript signals (BASELINE.json):
+turn latency deltas, char/token rates, tool-call intensity, role masks.
+
+Spark-first design note: rewemo does this in pandas because pandas is all
+it has. On Spark, every one of these signals is expressible as built-in
+Column/window expressions — JVM-side, whole-stage-codegen, no Python in the
+hot path. The pandas-UDF route (``apply_signal_pack_pandas``) exists as the
+pluggable escape hatch for formulas Catalyst can't express (e.g. the
+np.interp curve lookup in curves.py) and as the oracle-parity twin for
+tests; both produce identical frames.
+
+Ordering: all window specs order by ``turn_idx`` (the authoritative order
+key per BASELINE.json "stable (conv_id, turn_idx) ordering") — never by
+incidental row order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# Wide-frame metric columns produced by the default pack.
+DEFAULT_METRICS = [
+    "latency_s",
+    "n_chars",
+    "char_rate",
+    "tool_call",
+    "is_user",
+    "is_assistant",
+    "tool_intensity",
+]
+
+
+def derive_features(df: DataFrame) -> DataFrame:
+    """transcripts → wide per-turn feature frame (pure Column exprs).
+
+    Columns added (all DoubleType):
+      latency_s      — seconds since previous turn in the conversation
+                       (null for turn 0), ≙ rewemo's time-delta handling
+      n_chars        — length of text
+      char_rate      — n_chars / max(latency_s, 1)
+      tool_call      — 1.0 if a tool was invoked
+      is_user / is_assistant — role masks (≙ bool masks SURVEY §1.2)
+      tool_intensity — rolling count of tool calls over the trailing 5 turns
+    """
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    w5 = w.rowsBetween(-4, 0)
+    lat = (
+        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    )
+    tool_call = F.when(F.col("tool").isNotNull(), 1.0).otherwise(0.0)
+    return (
+        df.withColumn("latency_s", lat)
+        .withColumn("n_chars", F.length("text").cast("double"))
+        .withColumn(
+            "char_rate",
+            # null (not n_chars/1) on turn 0: rate is undefined without a
+            # predecessor — F.greatest would silently swallow the null
+            F.when(
+                F.col("latency_s").isNotNull(),
+                F.col("n_chars") / F.greatest(F.col("latency_s"), F.lit(1.0)),
+            ),
+        )
+        .withColumn("tool_call", tool_call)
+        .withColumn("is_user", F.when(F.col("role") == "user", 1.0).otherwise(0.0))
+        .withColumn(
+            "is_assistant", F.when(F.col("role") == "assistant", 1.0).otherwise(0.0)
+        )
+        .withColumn("tool_intensity", F.sum(tool_call).over(w5))
+    )
+
+
+def to_long(wide: DataFrame, metrics: list[str] | None = None) -> DataFrame:
+    """Wide feature frame → long (conv_id, ts, metric, value).
+
+    Long format lets every downstream tier/codec stage treat all signals
+    uniformly (one shuffle key set), at the cost of a row-multiplication
+    that stays JVM-side (``stack`` is codegen'd, no Python)."""
+    metrics = metrics or DEFAULT_METRICS
+    pairs = ", ".join(f"'{m}', {m}" for m in metrics)
+    return wide.select(
+        "conv_id",
+        "ts",
+        F.expr(f"stack({len(metrics)}, {pairs}) as (metric, value)"),
+    ).where(F.col("value").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# pandas-UDF twin: the pluggable "signal pack" API for non-Catalyst formulas.
+# Shape mirrors rewemo's per-location loop body (`ncep/wind.py:164-179`) but
+# runs one Arrow batch per conversation group, in parallel.
+# ---------------------------------------------------------------------------
+
+SignalFn = Callable[[pd.DataFrame], pd.DataFrame]
+
+
+def default_pack(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized pandas implementation of DEFAULT_METRICS (oracle twin)."""
+    pdf = pdf.sort_values("turn_idx", kind="mergesort")
+    t = pdf["ts"].astype("int64") / 1e9
+    lat = t.diff()
+    n_chars = pdf["text"].str.len().astype("float64")
+    tool_call = pdf["tool"].notna().astype("float64")
+    out = pdf.copy()
+    out["latency_s"] = lat
+    out["n_chars"] = n_chars
+    out["char_rate"] = n_chars / np.maximum(lat, 1.0)
+    out["tool_call"] = tool_call
+    out["is_user"] = (pdf["role"] == "user").astype("float64")
+    out["is_assistant"] = (pdf["role"] == "assistant").astype("float64")
+    out["tool_intensity"] = tool_call.rolling(5, min_periods=1).sum()
+    return out
+
+
+def apply_signal_pack_pandas(
+    df: DataFrame, pack: SignalFn = default_pack, metrics: list[str] | None = None
+) -> DataFrame:
+    """Run a pandas signal pack per conversation via applyInPandas.
+
+    The group frame handed to ``pack`` IS rewemo's per-cell frame
+    (SURVEY §1.1). Sorting inside the pack is mandatory — Spark does not
+    guarantee intra-group order."""
+    metrics = metrics or DEFAULT_METRICS
+    out_schema = ", ".join(
+        ["conv_id string", "turn_idx int", "role string", "text string",
+         "tool string", "ts timestamp"]
+        + [f"{m} double" for m in metrics]
+    )
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"] + metrics
+
+    def runner(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pack(pdf)[cols]
+
+    return df.groupBy("conv_id").applyInPandas(runner, schema=out_schema)

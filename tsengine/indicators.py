@@ -1,0 +1,74 @@
+"""Per-series indicator battery (SURVEY §2.4 A1/A2/A7).
+
+Mirrors `examples/helper_functions.py:20-85` (capacity factor, full-load
+hours, mean/median/max/min, min-excluding-zeros, population std, and
+time-fraction indicators) re-expressed as built-in Spark aggregates — no
+UDAF needed, every indicator decomposes into sum/count/min/max/conditional
+counts (SURVEY §2.8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HOURS_PER_YEAR = 8760  # `examples/helper_functions.py:14`
+
+
+def indicator_battery(
+    df: DataFrame,
+    key: str = "conv_id",
+    value: str = "value",
+    low_thresh: float = 0.1,
+    high_thresh: float = 0.9,
+) -> DataFrame:
+    """Per-key battery ≙ `calculate_indicators_windp`
+    (`examples/helper_functions.py:20-85`):
+
+    - capacity_factor = mean·100, full_load_hours = mean·8760
+    - mean / median (exact) / max / min / min excluding zeros
+    - std_pop (population, matching np.std at `helper_functions.py:66`)
+    - time fractions: zero, below-low, above-high, at-max
+    """
+    v = F.col(value)
+    n = F.count(v)
+    return df.groupBy(key).agg(
+        F.avg(v).alias("mean"),
+        (F.avg(v) * 100).alias("capacity_factor"),
+        (F.avg(v) * HOURS_PER_YEAR).alias("full_load_hours"),
+        F.expr(f"percentile({value}, 0.5)").alias("median"),
+        F.max(v).alias("max"),
+        F.min(v).alias("min"),
+        F.min(F.when(v > 0, v)).alias("min_excl_zero"),
+        F.stddev_pop(v).alias("std_pop"),
+        (F.sum(F.when(v == 0, 1).otherwise(0)) / n).alias("frac_zero"),
+        (F.sum(F.when(v < low_thresh, 1).otherwise(0)) / n).alias("frac_low"),
+        (F.sum(F.when(v > high_thresh, 1).otherwise(0)) / n).alias("frac_high"),
+        n.alias("n_points"),
+    )
+
+
+def hour_profile(df: DataFrame, ts: str = "ts", value: str = "value") -> DataFrame:
+    """Hour-of-day profile ±σ (≙ `ncep/example_solar.py:246-253`)."""
+    return (
+        df.groupBy(F.hour(F.col(ts)).alias("hour"))
+        .agg(
+            F.avg(value).alias("mean"),
+            F.stddev_pop(value).alias("std_pop"),
+            F.count(value).alias("cnt"),
+        )
+        .orderBy("hour")
+    )
+
+
+def duration_curve(
+    df: DataFrame, key: str = "conv_id", value: str = "value", ts: str = "ts"
+) -> DataFrame:
+    """Duration-curve sort (W5, `examples/helper_functions.py:88-129`):
+    values ranked descending per key, original timestamps carried as
+    payload. Ties broken by ts for determinism (the reference relies on
+    argsort stability; an explicit tiebreak is the distributed-safe
+    equivalent)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(F.col(value).desc(), F.col(ts))
+    return df.select(key, ts, value).withColumn("rank", F.row_number().over(w))

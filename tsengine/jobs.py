@@ -1,0 +1,109 @@
+"""End-to-end pipeline entry points (spark-submit friendly).
+
+The flagship job reproduces the reference's E1/E3 lifecycle shape
+(SURVEY.md §3) Spark-first:
+
+    scan transcripts
+      → per-turn signal pack (features.py, pure Column exprs)
+      → long format
+      → 1m tier  (one shuffle over raw, map-side partial agg)
+      → 1h tier  (from 1m)   → 1d tier (from 1h)      # cascade, never raw
+      → gap-filled 1m grid (gapfill.py, Catalyst path)
+      → chunk blobs (chunks.py: delta-of-delta + Gorilla-XOR)
+    with per-unit lineage rows → resumable (lineage.py)
+
+Work units are conv_id hash buckets (≙ Iceberg ``bucket(B, conv_id)``
+partitions). Each unit is an independent sub-job: at cluster scale units
+run as separate applications over disjoint partition predicates; here they
+run sequentially to exercise the checkpoint/resume path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsengine import chunks as chunks_mod
+from tsengine import features, gapfill, lineage, rollup
+
+GAPFILL_METRICS = ["latency_s", "char_rate", "tool_intensity"]
+
+
+class PipelineFailure(RuntimeError):
+    """Injected failure for resume tests."""
+
+
+def bucket_expr(n_buckets: int):
+    return F.crc32(F.col("conv_id")) % n_buckets
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_root: str,
+    *,
+    n_buckets: int = 4,
+    job_id: str = "pipeline",
+    fingerprint: str = "na",
+    gapfill_freq: str = "1m",
+    chunk_span: str = "1d",
+    resume: bool = True,
+    fail_after_units: int | None = None,
+) -> dict[str, str]:
+    """Run (or resume) the full pipeline; returns output table paths."""
+    log = lineage.LineageLog(spark, out_root)
+    paths = {
+        t: os.path.join(out_root, f"tier_{t}") for t in rollup.TIER_ORDER
+    } | {"chunks": os.path.join(out_root, "chunks"), "filled": os.path.join(out_root, "filled_1m")}
+
+    done = {
+        stage: (log.completed_units(job_id, stage, fingerprint) if resume else set())
+        for stage in ("tier_cascade", "chunks")
+    }
+
+    executed = 0
+    for k in range(n_buckets):
+        unit = f"bucket={k}"
+        part = transcripts.where(bucket_expr(n_buckets) == k)
+
+        if unit not in done["tier_cascade"]:
+            if fail_after_units is not None and executed >= fail_after_units:
+                raise PipelineFailure(f"injected failure before {unit}")
+
+            def tier_work(part=part, k=k):
+                wide = features.derive_features(part)
+                long = features.to_long(wide)
+                t1m = rollup.rollup_from_raw(long, "1m")
+                t1m.write.mode("overwrite").parquet(f"{paths['1m']}/unit={k}")
+                t1m_r = spark.read.parquet(f"{paths['1m']}/unit={k}")
+                t1h = rollup.cascade(t1m_r, "1h")
+                t1h.write.mode("overwrite").parquet(f"{paths['1h']}/unit={k}")
+                t1d = rollup.cascade(spark.read.parquet(f"{paths['1h']}/unit={k}"), "1d")
+                t1d.write.mode("overwrite").parquet(f"{paths['1d']}/unit={k}")
+                n_out = spark.read.parquet(f"{paths['1m']}/unit={k}").count()
+                return None, n_out
+
+            lineage.run_unit(log, job_id, "tier_cascade", unit, fingerprint, tier_work)
+            executed += 1
+
+        if unit not in done["chunks"]:
+            if fail_after_units is not None and executed >= fail_after_units:
+                raise PipelineFailure(f"injected failure before chunks {unit}")
+
+            def chunk_work(part=part, k=k):
+                wide = features.derive_features(part)
+                long = features.to_long(wide, GAPFILL_METRICS)
+                filled = gapfill.gapfill_sql(long, freq=gapfill_freq, method="linear")
+                filled.write.mode("overwrite").parquet(f"{paths['filled']}/unit={k}")
+                filled_r = spark.read.parquet(f"{paths['filled']}/unit={k}")
+                ch = chunks_mod.encode_chunks(filled_r, chunk_span=chunk_span)
+                ch.write.mode("overwrite").parquet(f"{paths['chunks']}/unit={k}")
+                n_out = spark.read.parquet(f"{paths['chunks']}/unit={k}").count()
+                return None, n_out
+
+            lineage.run_unit(log, job_id, "chunks", unit, fingerprint, chunk_work)
+            executed += 1
+
+    return paths
