@@ -1,0 +1,128 @@
+"""textops unit tests against hand-computed / pure-pandas oracles."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsengine import textops
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "a"),
+    (1, "the quick brown fox jumps over the lazy dog", "a"),   # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog", "a"),   # near dup
+    (3, "spark rolls series up into tiers quickly today", "b"),
+    (4, "el la los de que hola mundo", "b"),
+    (5, "one", "b"),                                            # < 3 tokens
+    (6, "  spaced   out   tokens  ", "b"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_exact_dedup(docs, spark):
+    g = textops.exact_dedup_groups(docs).toPandas().set_index("text_hash")
+    h = hashlib.md5(DOCS[0][1].encode()).hexdigest()
+    assert g.loc[h, "dup_count"] == 2
+    assert g.loc[h, "keep_id"] == 0
+    kept = textops.drop_exact_dups(docs).toPandas()
+    assert len(kept) == len(DOCS) - 1
+    assert 1 not in set(kept["doc_id"])
+
+
+def test_tokens_handles_whitespace(docs):
+    t = textops.token_stats(docs).toPandas().set_index("doc_id")
+    assert t.loc[6, "n_tokens"] == 3
+    assert t.loc[5, "n_tokens"] == 1
+    assert t.loc[0, "n_tokens"] == 9
+    assert t.loc[0, "n_uniq_tokens"] == 8  # 'the' twice
+
+
+def test_minhash_identical_docs_equal_sigs(docs):
+    s = textops.minhash_signature(docs, k=4).toPandas().set_index("doc_id")
+    for i in range(4):
+        assert s.loc[0, f"sig_{i}"] == s.loc[1, f"sig_{i}"]
+    # oracle: sig_0 of doc 0 = min md5-60bit of 'tok:0' over distinct tokens
+    toks = set(DOCS[0][1].split())
+    assert s.loc[0, "sig_0"] == min(_h60(t + ":0") for t in toks)
+
+
+def test_minhash_shingles(docs):
+    s = textops.minhash_signature(docs, k=2, shingle_n=3).toPandas().set_index("doc_id")
+    toks = DOCS[0][1].split()
+    shs = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    assert s.loc[0, "sig_0"] == min(_h60(sh + ":0") for sh in shs)
+    import pandas as pd
+
+    assert pd.isna(s.loc[5, "sig_0"])  # doc with <3 tokens has no shingles
+
+
+def test_lsh_finds_exact_and_near_dups(docs):
+    sigs = textops.minhash_signature(docs, k=8)
+    pairs = textops.lsh_candidate_pairs(sigs, k=8, band_size=2).toPandas()
+    pairset = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 1) in pairset  # exact dup always collides in every band
+    row = pairs[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)]
+    assert float(row["est_jaccard"].iloc[0]) == 1.0
+
+
+def test_simhash_properties(docs):
+    s = textops.simhash(docs, bits=16).toPandas().set_index("doc_id")
+    assert s.loc[0, "simhash"] == s.loc[1, "simhash"]
+    assert 0 <= s.loc[0, "simhash"] < 2**16
+    # near-dup docs should be close in hamming
+    h0, h2 = int(s.loc[0, "simhash"]), int(s.loc[2, "simhash"])
+    assert bin(h0 ^ h2).count("1") <= 8
+
+
+def test_hamming_neighbors(docs):
+    sim = textops.simhash(docs, bits=16)
+    n = textops.hamming_neighbors(sim, max_dist=0).toPandas()
+    assert {(0, 1)} <= {(a, b) for a, b in zip(n["doc_a"], n["doc_b"])}
+
+
+def test_ngram_jaccard(docs):
+    p = textops.ngram_jaccard_pairs(docs, n=3, block_col="source").toPandas()
+    d = {(a, b): j for a, b, j in zip(p["doc_a"], p["doc_b"], p["jaccard"])}
+    assert d[(0, 1)] == 1.0
+    # doc 0 vs 2: 7 shingles each, oracle intersection
+    t0, t2 = DOCS[0][1].split(), DOCS[2][1].split()
+    s0 = {" ".join(t0[i : i + 3]) for i in range(len(t0) - 2)}
+    s2 = {" ".join(t2[i : i + 3]) for i in range(len(t2) - 2)}
+    expect = len(s0 & s2) / len(s0 | s2)
+    assert abs(d[(0, 2)] - expect) < 1e-12
+    # cross-block pairs must not appear
+    assert all(not (a in (0, 1, 2) and b == 3) for a, b in d)
+
+
+def test_lang_id(docs):
+    li = textops.lang_id(docs).toPandas().set_index("doc_id")
+    assert li.loc[0, "pred_lang"] == "en"
+    assert li.loc[4, "pred_lang"] == "es"
+    assert li.loc[3, "pred_lang"] == "und"
+
+
+def test_quality_score_bounds(docs):
+    qd = textops.quality_score(docs).toPandas()
+    assert ((qd["quality"] >= 0) & (qd["quality"] <= 1)).all()
+    # doc 0: 9 tokens, 8 uniq, 2 'the' stopwords
+    r = qd.set_index("doc_id").loc[0]
+    assert abs(r["uniq_ratio"] - 8 / 9) < 1e-12
+    assert abs(r["stop_ratio"] - 2 / 9) < 1e-12
+
+
+def test_fingerprint_stable_under_identity(docs):
+    fp = textops.fingerprint(docs, window=4).toPandas().set_index("doc_id")
+    assert fp.loc[0, "fingerprint"] == fp.loc[1, "fingerprint"]
+    toks = DOCS[0][1].split()
+    shs = {" ".join(toks[i : i + 4]) for i in range(len(toks) - 3)}
+    assert fp.loc[0, "fingerprint"] == min(_h60(s) for s in shs)

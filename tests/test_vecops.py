@@ -1,0 +1,78 @@
+"""vecops tests against numpy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tsengine import vecops
+
+RNG = np.random.default_rng(7)
+N, D = 40, 64
+VECS = RNG.normal(size=(N, D)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [(i, [float(x) for x in VECS[i]], int(i % 3)) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label long")
+
+
+def _cos(a, b):
+    a, b = a.astype(np.float64), b.astype(np.float64)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_cosine_topk_matches_numpy(emb):
+    q = [float(x) for x in VECS[0]]
+    top = vecops.cosine_topk(emb.where(F.col("vec_id") != 0), q, k=5).toPandas()
+    sims = sorted(
+        ((_cos(VECS[i], VECS[0]), i) for i in range(1, N)), key=lambda t: (-t[0], t[1])
+    )[:5]
+    assert list(top["vec_id"]) == [i for _, i in sims]
+    np.testing.assert_allclose(top["cosine_sim"], [s for s, _ in sims], atol=1e-9)
+
+
+def test_self_similarity_is_one(emb):
+    q = [float(x) for x in VECS[3]]
+    top = vecops.cosine_topk(emb, q, k=1).toPandas()
+    assert top["vec_id"].iloc[0] == 3
+    assert abs(top["cosine_sim"].iloc[0] - 1.0) < 1e-9
+
+
+def _bucket(v, n_bits=8, stride=13):
+    b = 0
+    for j in range(n_bits):
+        if float(v[j]) > float(v[(j + stride) % 64]):
+            b |= 1 << j
+    return b
+
+
+def test_lsh_topk_bucket_pruning(emb):
+    q = [float(x) for x in VECS[0]]
+    top = vecops.lsh_topk(emb, q, k=10).toPandas()
+    qb = _bucket(VECS[0])
+    # every candidate is in the query's bucket; query itself always qualifies
+    assert (top["bucket"] == qb).all()
+    assert 0 in set(top["vec_id"])
+    expected = [i for i in range(N) if _bucket(VECS[i]) == qb]
+    assert set(top["vec_id"]) <= set(expected)
+
+
+def test_pairwise_topk_join(emb):
+    out = vecops.pairwise_topk_join(emb, emb, k=3).toPandas()
+    assert (out["left_id"] != out["right_id"]).all()
+    assert out.groupby("left_id")["rank"].max().max() <= 3
+    # ranks are dense from 1 per left_id
+    for _, g in out.groupby("left_id"):
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_label_stats(emb):
+    s = vecops.label_centroid_stats(emb).toPandas().set_index("label")
+    for lbl in range(3):
+        ids = [i for i in range(N) if i % 3 == lbl]
+        assert s.loc[lbl, "cnt"] == len(ids)
+        expect = np.mean([np.linalg.norm(VECS[i].astype(np.float64)) for i in ids])
+        assert abs(s.loc[lbl, "avg_norm"] - expect) < 1e-9

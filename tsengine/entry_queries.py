@@ -1,0 +1,889 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 exposed as a (Spark callable, ANSI-SQL oracle) pair.
+
+The Spark side runs THROUGH the engine modules (rollup/gapfill/indicators/
+curves/chunks/textops/vecops/multimodal) — these are integration probes of
+the real code paths, not reimplementations. The oracle side is plain SQL
+DuckDB can run on the same parquet views.
+
+Parity rules (hard-won, keep them):
+- every float output column is round()-ed, same decimals both sides, so
+  summation-order ulps can't flip the driver's value hash;
+- every derived integer is cast to BIGINT/long on both sides;
+- hashing is md5-only; the 60-bit int carve is
+  Spark  conv(substr(md5(x),1,15),16,10)::long
+  DuckDB ('0x'||substr(md5(x),1,15))::BIGINT            (verified equal);
+- decimal literals in DuckDB are DECIMAL, not DOUBLE — always ::DOUBLE
+  them before float math;
+- the transcript-engine queries map the driver's `events` table onto the
+  transcripts shape: conv_id := user_id::string, metric := event_type.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsengine import (
+    chunks,
+    curves,
+    features,
+    gapfill,
+    indicators,
+    multimodal,
+    rollup,
+    textops,
+    vecops,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _events_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → the engine's long feature stream (conv_id, ts, metric, value)."""
+    return _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts"),
+        F.col("event_type").alias("metric"),
+        F.col("value"),
+        F.col("event_id"),
+    )
+
+
+_EV = (
+    "SELECT user_id::VARCHAR AS conv_id, ts, event_type AS metric, value, event_id "
+    "FROM events"
+)
+
+# ===========================================================================
+# Rollup tiers (SURVEY §2.4 A6, rollup.py)
+# ===========================================================================
+
+_TIER_SQL = """
+WITH ev AS ({ev})
+SELECT conv_id, date_trunc('{unit}', ts) AS bucket_ts, metric,
+       count(value)::BIGINT AS cnt,
+       round(sum(value), 4) AS sum_v,
+       min(value) AS min_v,
+       max(value) AS max_v,
+       round(sum(value * value), 4) AS sumsq_v
+FROM ev GROUP BY 1, 2, 3
+"""
+
+
+def _tier_out(t: DataFrame) -> DataFrame:
+    return t.select(
+        "conv_id",
+        "bucket_ts",
+        "metric",
+        "cnt",
+        F.round("sum", 4).alias("sum_v"),
+        F.col("min").alias("min_v"),
+        F.col("max").alias("max_v"),
+        F.round("sumsq", 4).alias("sumsq_v"),
+    )
+
+
+@q("ts_tier_1m", _TIER_SQL.format(ev=_EV, unit="minute"))
+def ts_tier_1m(spark, sf_dir):
+    return _tier_out(rollup.rollup_from_raw(_events_long(spark, sf_dir), "1m"))
+
+
+@q("ts_tier_1h_cascade", _TIER_SQL.format(ev=_EV, unit="hour"))
+def ts_tier_1h_cascade(spark, sf_dir):
+    """1h tier computed FROM the 1m tier (cascade, never raw) — the oracle
+    aggregates raw directly, so a match proves tier-cascade consistency."""
+    t1m = rollup.rollup_from_raw(_events_long(spark, sf_dir), "1m")
+    return _tier_out(rollup.cascade(t1m, "1h"))
+
+
+@q("ts_tier_1d_cascade", _TIER_SQL.format(ev=_EV, unit="day"))
+def ts_tier_1d_cascade(spark, sf_dir):
+    t1m = rollup.rollup_from_raw(_events_long(spark, sf_dir), "1m")
+    return _tier_out(rollup.cascade(rollup.cascade(t1m, "1h"), "1d"))
+
+
+@q(
+    "ts_tier_1h_stats",
+    f"""
+WITH ev AS ({_EV})
+SELECT conv_id, date_trunc('hour', ts) AS bucket_ts, metric,
+       count(value)::BIGINT AS cnt,
+       round(avg(value), 6) AS mean,
+       round(stddev_pop(value), 6) AS std_pop
+FROM ev GROUP BY 1, 2, 3
+""",
+)
+def ts_tier_1h_stats(spark, sf_dir):
+    """finalize(): mean/std derived from reaggregable components only."""
+    t1m = rollup.rollup_from_raw(_events_long(spark, sf_dir), "1m")
+    fin = rollup.finalize(rollup.cascade(t1m, "1h"))
+    return fin.select(
+        "conv_id",
+        "bucket_ts",
+        "metric",
+        "cnt",
+        F.round("mean", 6).alias("mean"),
+        F.round("std_pop", 6).alias("std_pop"),
+    )
+
+
+# ===========================================================================
+# Indicator battery / profiles / duration curve (SURVEY §2.4 A1/A2/A7, W5)
+# ===========================================================================
+
+@q(
+    "ts_indicators",
+    f"""
+WITH ev AS ({_EV})
+SELECT conv_id,
+       round(avg(value), 6) AS mean,
+       round(avg(value) * 100, 4) AS capacity_factor,
+       round(avg(value) * 8760, 2) AS full_load_hours,
+       round(quantile_cont(value, 0.5), 6) AS median,
+       max(value) AS max_v,
+       min(value) AS min_v,
+       min(CASE WHEN value > 0 THEN value END) AS min_excl_zero,
+       round(stddev_pop(value), 6) AS std_pop,
+       round(sum(CASE WHEN value = 0 THEN 1 ELSE 0 END) / count(value), 6) AS frac_zero,
+       round(sum(CASE WHEN value < 10 THEN 1 ELSE 0 END) / count(value), 6) AS frac_low,
+       round(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) / count(value), 6) AS frac_high,
+       count(value)::BIGINT AS n_points
+FROM ev GROUP BY 1
+""",
+)
+def ts_indicators(spark, sf_dir):
+    ind = indicators.indicator_battery(
+        _events_long(spark, sf_dir), key="conv_id", low_thresh=10.0, high_thresh=100.0
+    )
+    return ind.select(
+        "conv_id",
+        F.round("mean", 6).alias("mean"),
+        F.round("capacity_factor", 4).alias("capacity_factor"),
+        F.round("full_load_hours", 2).alias("full_load_hours"),
+        F.round("median", 6).alias("median"),
+        F.col("max").alias("max_v"),
+        F.col("min").alias("min_v"),
+        "min_excl_zero",
+        F.round("std_pop", 6).alias("std_pop"),
+        F.round("frac_zero", 6).alias("frac_zero"),
+        F.round("frac_low", 6).alias("frac_low"),
+        F.round("frac_high", 6).alias("frac_high"),
+        "n_points",
+    )
+
+
+@q(
+    "ts_hour_profile",
+    f"""
+WITH ev AS ({_EV})
+SELECT hour(ts)::BIGINT AS hour, round(avg(value), 6) AS mean,
+       round(stddev_pop(value), 6) AS std_pop, count(value)::BIGINT AS cnt
+FROM ev GROUP BY 1
+""",
+)
+def ts_hour_profile(spark, sf_dir):
+    prof = indicators.hour_profile(_events_long(spark, sf_dir))
+    return prof.select(
+        F.col("hour").cast("long").alias("hour"),
+        F.round("mean", 6).alias("mean"),
+        F.round("std_pop", 6).alias("std_pop"),
+        "cnt",
+    )
+
+
+@q(
+    "ts_duration_curve",
+    f"""
+WITH ev AS ({_EV}),
+r AS (SELECT conv_id, ts, value,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY value DESC, ts, event_id) AS rank
+      FROM ev)
+SELECT conv_id, ts, value, rank::BIGINT AS rank FROM r WHERE rank <= 5
+""",
+)
+def ts_duration_curve(spark, sf_dir):
+    """W5 duration-curve sort, top-5 per series (event_id tiebreak added to
+    the engine's (value desc, ts) order for full determinism)."""
+    from pyspark.sql import Window as W
+
+    ev = _events_long(spark, sf_dir)
+    w = W.partitionBy("conv_id").orderBy(F.col("value").desc(), "ts", "event_id")
+    return (
+        ev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("conv_id", "ts", "value", "rank")
+    )
+
+
+@q(
+    "ts_area_rollup",
+    f"""
+WITH ev AS ({_EV})
+SELECT metric, date_trunc('hour', ts) AS bucket_ts,
+       round(avg(value), 6) AS mean, count(*)::BIGINT AS cnt
+FROM ev GROUP BY 1, 2
+""",
+)
+def ts_area_rollup(spark, sf_dir):
+    """A4 cross-key rollup: average across all conversations per metric+hour
+    (rewemo's area aggregation, `examples/helper_functions.py:203-213`)."""
+    return (
+        _events_long(spark, sf_dir)
+        .groupBy("metric", F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(F.round(F.avg("value"), 6).alias("mean"), F.count("*").alias("cnt"))
+    )
+
+
+@q(
+    "ts_weighted_rollup",
+    """
+SELECT (user_id % 7)::BIGINT AS target_id,
+       date_trunc('hour', ts) AS bucket_ts,
+       round(sum(value * (((user_id % 5) + 1)::DOUBLE / 10.0::DOUBLE)), 4) AS wsum,
+       count(*)::BIGINT AS cnt
+FROM events GROUP BY 1, 2
+""",
+)
+def ts_weighted_rollup(spark, sf_dir):
+    """J2 weighted re-aggregation join: rewemo's inverse-distance matrix
+    product (`ncep/wind.py:302-310`) as weight-join + groupBy-sum. Weights
+    are a deterministic function of the key (stand-in for the broadcast
+    weight table)."""
+    ev = _read(spark, sf_dir, "events")
+    w = (F.col("user_id") % 5 + 1).cast("double") / F.lit(10.0)
+    return (
+        ev.select(
+            (F.col("user_id") % 7).cast("long").alias("target_id"),
+            F.date_trunc("hour", "ts").alias("bucket_ts"),
+            (F.col("value") * w).alias("wv"),
+        )
+        .groupBy("target_id", "bucket_ts")
+        .agg(F.round(F.sum("wv"), 4).alias("wsum"), F.count("*").alias("cnt"))
+    )
+
+
+# ===========================================================================
+# Curve interpolation (SURVEY §2.3 J3/J5, curves.py — the np.interp path)
+# ===========================================================================
+
+_CURVE_X = np.arange(50.0, 401.0, 50.0)  # 50..400
+_CURVE_Y = np.array([0.0, 0.1, 0.3, 0.6, 1.0, 0.8, 0.5, 0.2])
+_Y_SQL = "[" + ", ".join(f"{v}::DOUBLE" for v in _CURVE_Y) + "]"
+
+@q(
+    "ts_curve_interp",
+    f"""
+WITH s AS (
+  SELECT event_id, user_id::VARCHAR AS conv_id,
+         value * (((user_id % 3) + 1)::DOUBLE * 0.5::DOUBLE) AS v
+  FROM events
+)
+SELECT event_id, conv_id,
+       round(CASE WHEN v < 50 OR v > 400 THEN 0.0::DOUBLE
+             ELSE {_Y_SQL}[LEAST(floor((v - 50) / 50), 6)::BIGINT + 1]
+                  + ({_Y_SQL}[LEAST(floor((v - 50) / 50), 6)::BIGINT + 2]
+                     - {_Y_SQL}[LEAST(floor((v - 50) / 50), 6)::BIGINT + 1])
+                    / 50.0::DOUBLE
+                    * (v - (50 + LEAST(floor((v - 50) / 50), 6)::BIGINT * 50))
+             END, 6) AS curve_y
+FROM s
+""",
+)
+def ts_curve_interp(spark, sf_dir):
+    """J3 piecewise-linear curve lookup with out-of-range→0 (np.interp
+    left/right=0 semantics, `src/rewemo/windpower.py:19`), after J5 per-key
+    scaling — runs through curves.make_interp_udf (Arrow pandas UDF)."""
+    interp = curves.make_interp_udf(_CURVE_X, {"c": _CURVE_Y})
+    ev = _read(spark, sf_dir, "events")
+    scale = (F.col("user_id") % 3 + 1).cast("double") * F.lit(0.5)
+    return ev.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.round(interp(F.col("value") * scale, F.lit("c")), 6).alias("curve_y"),
+    )
+
+
+# ===========================================================================
+# Gap fill (SURVEY §2.5 W1/W2, gapfill.py)
+# ===========================================================================
+
+_GAPFILL_BASE = f"""
+WITH ev AS ({_EV}),
+b AS (SELECT conv_id, metric, date_trunc('hour', ts) AS bucket_ts,
+             avg(value) AS value
+      FROM ev WHERE metric = 'view' GROUP BY 1, 2, 3),
+bounds AS (SELECT conv_id, metric, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+           FROM b GROUP BY 1, 2),
+grid AS (SELECT conv_id, metric,
+                unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket_ts
+         FROM bounds),
+j AS (SELECT g.conv_id, g.metric, g.bucket_ts, b.value
+      FROM grid g LEFT JOIN b
+        ON b.conv_id = g.conv_id AND b.metric = g.metric
+       AND b.bucket_ts = g.bucket_ts),
+w AS (SELECT conv_id, metric, bucket_ts, value, epoch(bucket_ts) AS t,
+  last_value(value IGNORE NULLS) OVER
+    (PARTITION BY conv_id, metric ORDER BY bucket_ts
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+  last_value(CASE WHEN value IS NOT NULL THEN epoch(bucket_ts) END IGNORE NULLS) OVER
+    (PARTITION BY conv_id, metric ORDER BY bucket_ts
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+  first_value(value IGNORE NULLS) OVER
+    (PARTITION BY conv_id, metric ORDER BY bucket_ts
+     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+  first_value(CASE WHEN value IS NOT NULL THEN epoch(bucket_ts) END IGNORE NULLS) OVER
+    (PARTITION BY conv_id, metric ORDER BY bucket_ts
+     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+FROM j)
+"""
+
+_GAPFILL_FFILL_SQL = (
+    _GAPFILL_BASE
+    + """
+SELECT conv_id, metric, bucket_ts, round(prev_v, 6) AS value,
+       (w.value IS NULL) AS filled
+FROM w
+"""
+)
+
+# the +5e-10 nudge: linear-blend values are small-denominator rationals that
+# can land EXACTLY on a .5e-6 rounding boundary while the two engines'
+# summation orders differ by ulps — nudging both sides off the knife edge
+# makes round() direction-stable (a value exactly at boundary-5e-10 would
+# need a ~1e9 denominator, unreachable from hourly grids of 2-decimal data).
+_GAPFILL_LINEAR_SQL = (
+    _GAPFILL_BASE
+    + """
+SELECT conv_id, metric, bucket_ts,
+       round(CASE WHEN w.value IS NOT NULL THEN w.value
+             ELSE coalesce(prev_v + (next_v - prev_v) * (t - prev_t)
+                                    / (next_t - prev_t), prev_v)
+             END + 5e-10, 6) AS value,
+       (w.value IS NULL) AS filled
+FROM w
+"""
+)
+
+
+def _gapfill_q(spark, sf_dir, method):
+    long = _events_long(spark, sf_dir).where(F.col("metric") == "view")
+    filled = gapfill.gapfill_sql(long, freq="1h", method=method)
+    nudge = F.lit(5e-10) if method == "linear" else F.lit(0.0)
+    return filled.select(
+        "conv_id",
+        "metric",
+        "bucket_ts",
+        F.round(F.col("value") + nudge, 6).alias("value"),
+        "filled",
+    )
+
+
+@q("ts_gapfill_ffill", _GAPFILL_FFILL_SQL)
+def ts_gapfill_ffill(spark, sf_dir):
+    return _gapfill_q(spark, sf_dir, "ffill")
+
+
+@q("ts_gapfill_linear", _GAPFILL_LINEAR_SQL)
+def ts_gapfill_linear(spark, sf_dir):
+    return _gapfill_q(spark, sf_dir, "linear")
+
+
+@q(
+    "ts_chunk_roundtrip",
+    _GAPFILL_BASE
+    + """
+SELECT conv_id, metric, bucket_ts, round(prev_v, 6) AS value FROM w
+""",
+)
+def ts_chunk_roundtrip(spark, sf_dir):
+    """Gorilla/delta-of-delta codec round-trip THROUGH the driver oracle:
+    gap-filled series → encode_chunks → decode_chunks must reproduce the
+    gap-fill oracle bit-for-bit (codec lossless ⇒ same SQL oracle)."""
+    long = _events_long(spark, sf_dir).where(F.col("metric") == "view")
+    filled = gapfill.gapfill_sql(long, freq="1h", method="ffill")
+    enc = chunks.encode_chunks(filled, ts_col="bucket_ts", chunk_span="1d")
+    dec = chunks.decode_chunks(enc)
+    return dec.select(
+        "conv_id", "metric", "bucket_ts", F.round("value", 6).alias("value")
+    )
+
+
+# ===========================================================================
+# Pivot + calendar filters (SURVEY §2.5 W6, §2.2 P5/P6)
+# ===========================================================================
+
+_HOURS = [f"h{h:02d}" for h in range(24)]
+_PIVOT_COLS = ",\n       ".join(
+    f"round(avg(value) FILTER (WHERE hour(ts) = {h}), 4) AS h{h:02d}"
+    for h in range(24)
+)
+
+@q(
+    "ts_pivot_day_hour",
+    f"""
+SELECT ts::DATE AS day, {_PIVOT_COLS}
+FROM events GROUP BY 1
+""",
+)
+def ts_pivot_day_hour(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.format_string("h%02d", F.hour("ts")).alias("hr"),
+            "value",
+        )
+        .groupBy("day")
+        .pivot("hr", _HOURS)
+        .agg(F.round(F.avg("value"), 4))
+    )
+
+
+@q(
+    "ts_calendar_filter",
+    """
+SELECT year(o_orderdate)::BIGINT AS yr, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE NOT (month(o_orderdate) = 2 AND day(o_orderdate) = 29)
+  AND NOT (month(o_orderdate) = 12 AND day(o_orderdate) = 31)
+GROUP BY 1
+""",
+)
+def ts_calendar_filter(spark, sf_dir):
+    """P5/P6 calendar filters (drop Feb-29 / Dec-31, the EMPS 364-day year,
+    `ncep/timeseries_tools.py:425-433`)."""
+    o = _read(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.where(~((F.month(d) == 2) & (F.dayofmonth(d) == 29)))
+        .where(~((F.month(d) == 12) & (F.dayofmonth(d) == 31)))
+        .groupBy(F.year(d).cast("long").alias("yr"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# ===========================================================================
+# Text / dedup operators (textops.py) over `documents`
+# ===========================================================================
+
+# doubled corpus: every doc duplicated with offset ids so dedup/LSH queries
+# have real duplicate structure to find (same SQL view both sides).
+_DOCS2 = (
+    "SELECT doc_id, text, source FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text, source FROM documents"
+)
+
+
+def _docs2(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "source")
+    )
+
+
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
+
+
+@q(
+    "text_dedup_exact",
+    f"""
+WITH d AS ({_DOCS2})
+SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS keep_id,
+       count(*)::BIGINT AS dup_count
+FROM d GROUP BY 1
+""",
+)
+def text_dedup_exact(spark, sf_dir):
+    g = textops.exact_dedup_groups(_docs2(spark, sf_dir))
+    return g.select(
+        "text_hash", F.col("keep_id").cast("long").alias("keep_id"), "dup_count"
+    )
+
+
+@q(
+    "text_token_stats",
+    f"""
+SELECT doc_id, length(text)::BIGINT AS n_chars,
+       len({_TOKS})::BIGINT AS n_tokens,
+       len(list_distinct({_TOKS}))::BIGINT AS n_uniq_tokens
+FROM documents
+""",
+)
+def text_token_stats(spark, sf_dir):
+    t = textops.token_stats(_read(spark, sf_dir, "documents"))
+    return t.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_uniq_tokens").cast("long").alias("n_uniq_tokens"),
+    )
+
+
+_STOP_EN = "['the', 'and', 'of', 'to', 'a']"
+
+@q(
+    "text_quality",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  round(LEAST(length(text)::DOUBLE / 500.0::DOUBLE, 1.0::DOUBLE), 6) AS len_score,
+  round(CASE WHEN len(toks) > 0
+        THEN len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE
+        ELSE 0.0::DOUBLE END, 6) AS uniq_ratio,
+  round(CASE WHEN len(toks) > 0
+        THEN len(list_filter(toks, x -> list_contains({_STOP_EN}, x)))::DOUBLE
+             / len(toks)::DOUBLE
+        ELSE 0.0::DOUBLE END, 6) AS stop_ratio,
+  round(0.4::DOUBLE * LEAST(length(text)::DOUBLE / 500.0::DOUBLE, 1.0::DOUBLE)
+      + 0.4::DOUBLE * (CASE WHEN len(toks) > 0
+            THEN len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE
+            ELSE 0.0::DOUBLE END)
+      + 0.2::DOUBLE * LEAST((CASE WHEN len(toks) > 0
+            THEN len(list_filter(toks, x -> list_contains({_STOP_EN}, x)))::DOUBLE
+                 / len(toks)::DOUBLE
+            ELSE 0.0::DOUBLE END) * 5, 1.0::DOUBLE), 6) AS quality
+FROM t
+""",
+)
+def text_quality(spark, sf_dir):
+    qd = textops.quality_score(_read(spark, sf_dir, "documents"))
+    return qd.select(
+        "doc_id",
+        F.round("len_score", 6).alias("len_score"),
+        F.round("uniq_ratio", 6).alias("uniq_ratio"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def _lang_sql() -> str:
+    langs = sorted(textops.STOPWORDS)
+    hits = ",\n  ".join(
+        "len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in textops.STOPWORDS[lg])
+        + f"], x)))::BIGINT AS hits_{lg}"
+        for lg in langs
+    )
+    best = "GREATEST(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN hits_{lg} = {best} AND {best} > 0 THEN '{lg}'" for lg in langs
+        )
+        + " ELSE 'und' END"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, {hits} FROM t)
+SELECT doc_id, {', '.join(f'hits_{lg}' for lg in langs)}, {case} AS pred_lang
+FROM h
+"""
+
+
+@q("text_lang_id", _lang_sql())
+def text_lang_id(spark, sf_dir):
+    li = textops.lang_id(_read(spark, sf_dir, "documents"))
+    langs = sorted(textops.STOPWORDS)
+    return li.select(
+        "doc_id",
+        *[F.col(f"hits_{lg}").cast("long").alias(f"hits_{lg}") for lg in langs],
+        "pred_lang",
+    )
+
+
+def _minhash_sql(k: int = 4) -> str:
+    """Shingle(3)-based MinHash oracle — single-token minhash degenerates on
+    a small-vocabulary corpus (every doc contains the global-min token)."""
+    sigs = ",\n  ".join(
+        "list_min(list_transform(shs, "
+        f"t -> ('0x' || substr(md5(t || ':{i}'), 1, 15))::BIGINT)) AS sig_{i}"
+        for i in range(k)
+    )
+    return f"""
+WITH d AS ({_DOCS2}),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM d),
+s AS (SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                  ELSE [] END AS shs
+      FROM t)
+SELECT doc_id::BIGINT AS doc_id, {sigs} FROM s
+"""
+
+
+@q("text_minhash", _minhash_sql(4))
+def text_minhash(spark, sf_dir):
+    s = textops.minhash_signature(_docs2(spark, sf_dir), k=4, shingle_n=3)
+    return s.select(F.col("doc_id").cast("long").alias("doc_id"), *[f"sig_{i}" for i in range(4)])
+
+
+def _lsh_pairs_sql(k: int = 4, band_size: int = 2) -> str:
+    n_bands = k // band_size
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5("
+        + " || '_' || ".join(
+            f"sig_{b * band_size + j}::VARCHAR" for j in range(band_size)
+        )
+        + f") AS bucket, {', '.join(f'sig_{i}' for i in range(k))} FROM s"
+        for b in range(n_bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+WITH s AS ({_minhash_sql(k)}),
+bands AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ({eq})::DOUBLE / {k}.0::DOUBLE AS est_jaccard
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE ({eq})::DOUBLE / {k}.0::DOUBLE >= 0.5
+"""
+
+
+@q("text_lsh_pairs", _lsh_pairs_sql())
+def text_lsh_pairs(spark, sf_dir):
+    sigs = textops.minhash_signature(_docs2(spark, sf_dir), k=4, shingle_n=3)
+    p = textops.lsh_candidate_pairs(sigs, k=4, band_size=2)
+    return p.where(F.col("est_jaccard") >= 0.5).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        "est_jaccard",
+    )
+
+
+@q(
+    "text_ngram_jaccard",
+    f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+sl AS (SELECT doc_id, source,
+              CASE WHEN len(toks) >= 3
+                   THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+                   ELSE [] END AS shs
+       FROM t),
+sh AS (SELECT doc_id, source, unnest(shs) AS sh FROM sl),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
+          FROM sh a JOIN sh b
+            ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter::DOUBLE / (sa.n_sh + sb.n_sh - i.n_inter)::DOUBLE, 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_inter::DOUBLE / (sa.n_sh + sb.n_sh - i.n_inter)::DOUBLE > 0
+""",
+)
+def text_ngram_jaccard(spark, sf_dir):
+    p = textops.ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), n=3, block_col="source"
+    )
+    return p.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN coalesce(list_sum(list_transform(h, x -> ((x >> {j}) & 1) * 2 - 1)), 0) >= 0 "
+        f"THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, list_transform(list_distinct({_TOKS}),
+                  t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h
+           FROM documents)
+SELECT doc_id, ({terms})::BIGINT AS simhash,
+       len(h)::BIGINT AS n_tokens
+FROM t
+"""
+
+
+@q("text_simhash", _simhash_sql(16))
+def text_simhash(spark, sf_dir):
+    s = textops.simhash(_read(spark, sf_dir, "documents"), bits=16)
+    return s.select(
+        "doc_id", F.col("simhash").cast("long").alias("simhash"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+@q(
+    "text_fingerprint",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sl AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 4
+                   THEN list_distinct(list_transform(range(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                   ELSE [] END AS shs
+       FROM t)
+SELECT doc_id,
+       list_min(list_transform(shs, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS fingerprint
+FROM sl
+""",
+)
+def text_fingerprint(spark, sf_dir):
+    fp = textops.fingerprint(_read(spark, sf_dir, "documents"), window=4)
+    return fp.select("doc_id", "fingerprint")
+
+
+# ===========================================================================
+# Vector similarity (vecops.py) over `embeddings`
+# ===========================================================================
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        _read(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+_QVEC_SQL = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+
+
+@q(
+    "vec_knn_brute",
+    f"""
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], {_QVEC_SQL}), 5) AS cosine_sim
+FROM embeddings WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], {_QVEC_SQL}) DESC, vec_id
+LIMIT 10
+""",
+)
+def vec_knn_brute(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    top = vecops.cosine_topk(emb, qv, k=10)
+    return top.select("vec_id", F.round("cosine_sim", 5).alias("cosine_sim"))
+
+
+def _bucket_sql(col: str, n_bits: int = 8, stride: int = 13) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{j + 1}] > {col}[{(j + stride) % 64 + 1}] "
+        f"THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(n_bits)
+    )
+
+
+@q(
+    "vec_lsh_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv, ({_bucket_sql('v')}) AS qb FROM e WHERE vec_id = 0),
+cand AS (SELECT e.vec_id, ({_bucket_sql('e.v')})::BIGINT AS bucket,
+                list_cosine_similarity(e.v, q.qv) AS sim
+         FROM e, q WHERE ({_bucket_sql('e.v')}) = q.qb)
+SELECT vec_id, bucket, round(sim, 5) AS cosine_sim
+FROM cand ORDER BY sim DESC, vec_id LIMIT 5
+""",
+)
+def vec_lsh_topk(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    top = vecops.lsh_topk(emb, qv, k=5, n_bits=8)
+    return top.select(
+        "vec_id", F.col("bucket").cast("long").alias("bucket"),
+        F.round("cosine_sim", 5).alias("cosine_sim"),
+    )
+
+
+@q(
+    "vec_label_stats",
+    """
+SELECT label, count(*)::BIGINT AS cnt,
+       round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 5) AS avg_norm
+FROM embeddings GROUP BY 1
+""",
+)
+def vec_label_stats(spark, sf_dir):
+    s = vecops.label_centroid_stats(_read(spark, sf_dir, "embeddings"))
+    return s.select("label", "cnt", F.round("avg_norm", 5).alias("avg_norm"))
+
+
+# ===========================================================================
+# Multimodal plumbing (multimodal.py) — stub decode over binary payloads
+# ===========================================================================
+
+@q(
+    "mm_metadata",
+    """
+SELECT doc_id::BIGINT AS media_id, octet_length(text::BLOB)::BIGINT AS byte_len,
+       (16 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64)::BIGINT AS width,
+       (16 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64)::BIGINT AS height,
+       (1 + ('0x' || substr(md5(text), 5, 2))::BIGINT % 8)::BIGINT AS n_frames,
+       md5(text) AS fingerprint
+FROM documents
+""",
+)
+def mm_metadata(spark, sf_dir):
+    """Binary-payload metadata extraction through the real mapInPandas
+    decode stage (decoder stubbed — deterministic md5-derived dims)."""
+    media = multimodal.to_media_table(_read(spark, sf_dir, "documents"))
+    meta = multimodal.extract_metadata(media)
+    return meta.select(
+        "media_id",
+        F.col("byte_len").cast("long").alias("byte_len"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "fingerprint",
+    )
+
+
+@q(
+    "mm_frames",
+    """
+WITH m AS (SELECT doc_id::BIGINT AS media_id, text,
+                  (1 + ('0x' || substr(md5(text), 5, 2))::BIGINT % 8) AS nf
+           FROM documents)
+SELECT media_id, unnest(range(0, nf::BIGINT, 2))::BIGINT AS frame_idx,
+       md5(text || unnest(range(0, nf::BIGINT, 2))::VARCHAR) AS frame_hash
+FROM m
+""",
+)
+def mm_frames(spark, sf_dir):
+    media = multimodal.to_media_table(_read(spark, sf_dir, "documents"))
+    fr = multimodal.sample_frames(media, every_n=2)
+    return fr.select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_hash"
+    )
+
+
+# ===========================================================================
+# Flagship entry
+# ===========================================================================
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The E1-shaped flagship: scan → tier cascade → finalized 1h stats."""
+    return ts_tier_1h_stats(spark, sf_dir)

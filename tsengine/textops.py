@@ -1,0 +1,352 @@
+"""Text-corpus operators for large-scale training-data pipelines.
+
+No reference-repo analog (rewemo is numeric-only); these are the
+document-side siblings of the signal packs: stateless, whole-column,
+Catalyst-native wherever possible so the 100 TB path never leaves the JVM.
+
+Design rules:
+- Hashing is md5-based (`F.md5`) so every operator has a bit-identical
+  ANSI-SQL oracle (DuckDB ``md5``) — xxhash64/murmur are faster but
+  engine-specific, and dedup correctness auditing needs replayability.
+  A 60-bit integer is carved from the first 15 hex chars (fits int64).
+- Everything shuffles on the smallest viable key: dedup shuffles on the
+  digest (uniform by construction — no skew), LSH shuffles on (band,
+  bucket) which salts mega-clusters across bands.
+- MinHash/LSH/SimHash are pure Column expressions (transform/aggregate
+  over token arrays) — no Python in the hot path at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+
+# 60-bit hash of a string column via md5 (oracle: ('0x'||substr(md5(x),1,15))::bigint)
+def _h60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty strings dropped (a text of only
+    whitespace yields an empty array, matching the SQL oracle's
+    list_filter)."""
+    return F.filter(F.split(F.trim(text), TOKEN_RE), lambda t: t != "")
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    canonical (min id) representative and the duplicate count.
+
+    Scale note: the only shuffle is keyed by the digest — uniformly
+    distributed, so no skew regardless of corpus duplication structure;
+    map-side partial agg compacts before the exchange."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def drop_exact_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep only the canonical representative per distinct text."""
+    keep = exact_dedup_groups(docs, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# --------------------------------------------------------------------------
+
+def minhash_signature(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 0,
+) -> DataFrame:
+    """k-permutation MinHash over distinct whitespace tokens, or over word
+    n-gram shingles when ``shingle_n`` ≥ 2 (the right feature set for
+    near-dup detection on small-vocabulary corpora — single tokens are too
+    common and every document collides).
+
+    Permutation i = md5(feature || ':' || i); the signature column
+    ``sig_i`` is the min 60-bit value. Pure Column exprs (transform +
+    array_min): JVM-side, codegen'd, zero Python."""
+    if shingle_n >= 2:
+        toks = shingles(F.col(text_col), shingle_n)
+    else:
+        toks = F.array_distinct(tokens(F.col(text_col)))
+    out = docs.select(id_col, toks.alias("_toks"))
+
+    # factory keeps the lambda single-arg: a 2-param lambda would be treated
+    # by Spark as the (element, index) higher-order-function form
+    def perm(i: int):
+        return lambda t: _h60(F.concat(t, F.lit(f":{i}")))
+
+    for i in range(k):
+        out = out.withColumn(
+            f"sig_{i}", F.array_min(F.transform(F.col("_toks"), perm(i)))
+        )
+    return out.drop("_toks")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, k: int = 8, band_size: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature (k/band_size bands of band_size rows), bucket-join
+    within bands, emit candidate pairs (a<b) with the signature-estimated
+    Jaccard (fraction of equal signature slots).
+
+    Shuffle key = (band_idx, bucket): near-duplicate mega-clusters split
+    across bands instead of one hot key. At 100 TB add a per-bucket count
+    cap (skip buckets > threshold) — here buckets are tiny."""
+    n_bands = k // band_size
+    bands = sigs.select(
+        id_col,
+        *[F.col(f"sig_{i}") for i in range(k)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col(f"sig_{b * band_size + j}").cast("string")
+                                    for j in range(band_size)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, *[f"sig_{i}" for i in range(k)], "band.band_idx", "band.bucket")
+
+    left = bands.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"a_sig_{i}") for i in range(k)],
+        "band_idx",
+        "bucket",
+    )
+    right = bands.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"b_sig_{i}") for i in range(k)],
+        "band_idx",
+        "bucket",
+    )
+    eq_slots = sum(
+        F.when(F.col(f"a_sig_{i}") == F.col(f"b_sig_{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    return (
+        left.join(right, ["band_idx", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (eq_slots / F.lit(float(k))).alias("est_jaccard"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(
+    docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """bits-wide SimHash over distinct tokens: bit j is 1 iff the majority
+    of token hashes have bit j set (ties → 1, since vote uses >= 0).
+
+    Expressed as one aggregate over the token array per bit — all Column
+    exprs. 16 bits keeps the expression tree small; raise for production."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    h = F.transform(toks, _h60)
+    n = F.size(h)
+    out = docs.select(id_col, h.alias("_h"), n.alias("_n"))
+
+    def vote(j: int):
+        # factory keeps the merge lambda 2-arg (acc, x) — see perm() above
+        return lambda a, x: a + (
+            F.shiftright(x, j).bitwiseAND(F.lit(1).cast("long")) * 2 - 1
+        )
+
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        votes = F.aggregate(F.col("_h"), F.lit(0).cast("long"), vote(j))
+        bit = F.when(votes >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        acc = acc + F.shiftleft(bit, j)
+    return out.select(id_col, acc.alias("simhash"), F.col("_n").alias("n_tokens"))
+
+
+def hamming_neighbors(sim: DataFrame, max_dist: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Pairs within Hamming distance ≤ max_dist of each other's simhash.
+
+    Scale path: block on the high byte (docs differing only in low bits
+    collide) — a standard multi-index trick; brute pair-join here is fine
+    at test scale and the blocked variant reuses lsh_candidate_pairs'
+    shape."""
+    a = sim.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("h_a"))
+    b = sim.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("h_b"))
+    x = F.col("h_a").bitwiseXOR(F.col("h_b"))
+    dist = sum(
+        F.shiftright(x, j).bitwiseAND(F.lit(1).cast("long")) for j in range(16)
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", dist.alias("hamming"))
+        .where(F.col("hamming") <= max_dist)
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard
+# --------------------------------------------------------------------------
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct). Documents shorter than n
+    tokens yield an empty array."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1)))
+    return F.array_distinct(
+        F.when(
+            F.size(t) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)])),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    block_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard within a blocking key.
+
+    Plan shape: explode shingles → self-join on (block, shingle) →
+    count(distinct shingle) per pair = |∩|; |∪| = |A|+|B|−|∩|. The join is
+    keyed by the shingle digest: uniform, and blocking bounds the
+    candidate set (at 100 TB block on LSH buckets instead of a metadata
+    column — same plan)."""
+    sh = docs.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    ).select(id_col, "_blk", F.md5("shingle").alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("doc_a"), "_blk", "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "_blk", "sh")
+    inter = (
+        a.join(b, ["_blk", "sh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") > min_jaccard)
+    )
+
+
+# --------------------------------------------------------------------------
+# language ID / quality / token stats / fingerprint
+# --------------------------------------------------------------------------
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "fr": ["le", "la", "et", "les", "de"],
+    "es": ["el", "la", "los", "de", "que"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+
+def _stop_hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram-free marker-word language heuristic: argmax of stopword hit
+    counts per language, ties broken by language code order, 'und'
+    (undetermined) when no marker hits."""
+    toks = tokens(F.col(text_col))
+    out = docs.select(id_col, toks.alias("_t"))
+    langs = sorted(STOPWORDS)
+    for lg in langs:
+        out = out.withColumn(f"hits_{lg}", _stop_hits(F.col("_t"), STOPWORDS[lg]))
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier lang wins ties → apply last wins reversed
+        pred = F.when((F.col(f"hits_{lg}") == best) & (best > 0), F.lit(lg)).otherwise(pred)
+    return out.select(
+        id_col, *[f"hits_{lg}" for lg in langs], pred.alias("pred_lang")
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics (whitespace tokenizer)."""
+    toks = tokens(F.col(text_col))
+    return docs.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score ∈ [0,1]:
+    - len_score: saturating length ratio  min(n_chars/500, 1)
+    - uniq_ratio: distinct/total tokens (repetition penalty)
+    - stop_ratio: english stopword fraction (fluency proxy)
+    score = 0.4·len + 0.4·uniq + 0.2·min(stop·5, 1)"""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    stop = _stop_hits(toks, STOPWORDS["en"])
+    len_score = F.least(F.length(text_col) / F.lit(500.0), F.lit(1.0))
+    uniq_ratio = F.when(n_tok > 0, uniq / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.4) * uniq_ratio
+        + F.lit(0.2) * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    return docs.select(
+        id_col,
+        len_score.alias("len_score"),
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, window: int = 4, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Winnowing-style document fingerprint: min token-window hash per
+    sliding window, document fingerprint = min over windows (robust to
+    local edits; the full winnowing set is the same expression without
+    the outer min)."""
+    sh = shingles(F.col(text_col), window)
+    fp = F.array_min(F.transform(sh, _h60))
+    return docs.select(id_col, fp.alias("fingerprint"))

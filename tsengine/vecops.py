@@ -1,0 +1,155 @@
+"""Embedding similarity search over `array<float>` columns.
+
+No reference analog (rewemo has no vectors); the nearest relative is its
+k-NN inverse-distance spatial join (`ncep/timeseries_tools.py:40-76`) —
+same find-nearest-under-a-metric shape, generalized to cosine over
+embeddings.
+
+Two paths:
+- ``cosine_topk`` — brute-force baseline: one pass, pure Column exprs
+  (zip_with dot product), broadcast query vector. O(N·d) scan, the
+  correctness oracle.
+- ``lsh_topk`` — scale path: deterministic rank-comparison LSH buckets
+  (bit j = e[p_j] > e[q_j]) prune candidates to one bucket before scoring.
+  The bucket expression is plain SQL → oracle-checkable, unlike
+  random-hyperplane LSH whose planes live outside the query. At 100 TB,
+  bucket the table ON WRITE (partition by bucket) so a query touches one
+  partition; multi-probe = visit Hamming-adjacent buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+
+    The query vector is a constant-folded array literal (broadcast by the
+    plan, no join); scoring is whole-stage-codegen'd. Deterministic ties
+    broken by id."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        id_col,
+        cosine(_as_double(F.col(vec_col)), q).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def rank_lsh_bucket(vec: Column, n_bits: int = 8, stride: int = 13) -> Column:
+    """Deterministic rank-comparison LSH: bit j = vec[j] > vec[(j+stride) % d].
+
+    A comparison-based hash family (order-statistics LSH): cheap, scale- and
+    shift-invariant per pair, and expressible in ANSI SQL. d must exceed
+    n_bits + stride for distinct index pairs."""
+    acc = F.lit(0)
+    for j in range(n_bits):
+        bit = F.when(
+            F.element_at(vec, j + 1) > F.element_at(vec, ((j + stride) % 64) + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        acc = acc + F.shiftleft(bit, j)
+    return acc
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-pruned cosine top-k: score only vectors in the query's bucket.
+
+    Approximate — recall depends on bucket granularity (2^n_bits buckets).
+    The bucket predicate is a pushable column filter: with the table
+    written partitioned-by-bucket this becomes partition pruning and the
+    scan touches 1/2^n_bits of the data."""
+    dv = _as_double(F.col(vec_col))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qbucket = 0
+    for j in range(n_bits):
+        if query_vec[j] > query_vec[(j + 13) % 64]:
+            qbucket |= 1 << j
+    return (
+        embeddings.select(id_col, dv.alias("_v"), rank_lsh_bucket(dv, n_bits).alias("bucket"))
+        .where(F.col("bucket") == F.lit(qbucket))
+        .select(id_col, "bucket", cosine(F.col("_v"), q).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_topk_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs ANN join: bucket both sides, join on bucket, top-k
+    neighbors per left row by cosine. The scalable batch form of lsh_topk
+    (query set = a whole table). Shuffle key = bucket (2^n_bits salted
+    groups)."""
+    from pyspark.sql import Window as W
+
+    lb = left.select(
+        F.col(id_col).alias("left_id"),
+        _as_double(F.col(vec_col)).alias("lv"),
+    ).withColumn("bucket", rank_lsh_bucket(F.col("lv"), n_bits))
+    rb = right.select(
+        F.col(id_col).alias("right_id"),
+        _as_double(F.col(vec_col)).alias("rv"),
+    ).withColumn("bucket", rank_lsh_bucket(F.col("rv"), n_bits))
+    scored = (
+        lb.join(rb, "bucket")
+        .where(F.col("left_id") != F.col("right_id"))
+        .select("left_id", "right_id", cosine(F.col("lv"), F.col("rv")).alias("cosine_sim"))
+    )
+    w = W.partitionBy("left_id").orderBy(F.col("cosine_sim").desc(), F.col("right_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def label_centroid_stats(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label count + mean L2 norm — the cheap per-cluster health stats
+    (agg over array exprs, JVM-side)."""
+    dv = _as_double(F.col(vec_col))
+    return (
+        embeddings.select(label_col, norm(dv).alias("_n"))
+        .groupBy(label_col)
+        .agg(F.count("*").alias("cnt"), F.avg("_n").alias("avg_norm"))
+    )
