@@ -21,6 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from tsengine.env_tuning import setdefault_simd  # noqa: E402
+
+# virtualized-AVX numpy workaround; effective for the Spark workers even if
+# the importing process already loaded numpy (env_tuning.py)
+setdefault_simd()
+
 from tsengine import entry_queries  # noqa: E402
 
 

@@ -1,8 +1,13 @@
 from __future__ import annotations
 
-import pytest
+from tsengine.env_tuning import setdefault_simd
 
-from tsengine.session import get_spark
+# before ANY numpy import: virtualized-AVX workaround (see env_tuning.py)
+setdefault_simd()
+
+import pytest  # noqa: E402
+
+from tsengine.session import get_spark  # noqa: E402
 
 
 @pytest.fixture(scope="session")

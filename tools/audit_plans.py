@@ -1,0 +1,97 @@
+"""Physical-plan audit: print .explain(formatted) for the engine's key
+operators and grep for the properties the 100 TB path depends on:
+
+- parquet scans show PushedFilters / pruned ReadSchema (no full-row reads)
+- dimension joins are BroadcastHashJoin (no sort-merge on small dims)
+- aggregations show partial_ (map-side combine before the exchange)
+- Column-expr stages sit inside WholeStageCodegen spans
+- exactly ONE exchange touches raw data in the tier pipeline
+
+Usage: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tsengine.env_tuning import setdefault_simd  # noqa: E402
+
+setdefault_simd()
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tsengine import entry_queries as eq  # noqa: E402
+from tsengine import features, gapfill, rollup, textops, vecops  # noqa: E402
+from tsengine.session import get_spark  # noqa: E402
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+CHECKS = {
+    "partial_agg": lambda p: "partial_" in p,
+    "codegen": lambda p: "WholeStageCodegen" in p,
+    "broadcast_join": lambda p: "BroadcastHashJoin" in p,
+    "pushed_filters": lambda p: "PushedFilters: [" in p and "PushedFilters: []" not in p,
+    "single_exchange": lambda p: p.count("Exchange") <= 1,
+}
+
+
+def audit(name: str, df, expect: list[str]) -> None:
+    p = plan_of(df)
+    results = {c: CHECKS[c](p) for c in expect}
+    flag = "OK " if all(results.values()) else "WARN"
+    print(f"{flag} {name}: " + ", ".join(f"{k}={v}" for k, v in results.items()))
+    if flag == "WARN":
+        print(p[:4000])
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(master="local[4]")
+    ev = eq._events_long(spark, sf)
+
+    audit("tier_1m (rollup)", rollup.rollup_from_raw(ev, "1m"),
+          ["partial_agg", "codegen"])
+    audit("tier cascade 1h", rollup.cascade(rollup.rollup_from_raw(ev, "1m"), "1h"),
+          ["partial_agg", "codegen"])
+    audit("filter pushdown (metric=view)",
+          ev.where(F.col("metric") == "view").select("conv_id", "value"),
+          ["pushed_filters", "codegen"])
+    audit("gapfill_sql", gapfill.gapfill_sql(ev.where(F.col("metric") == "view"), "1h"),
+          ["partial_agg", "codegen"])
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    audit("minhash sigs", textops.minhash_signature(docs, k=4, shingle_n=3),
+          ["codegen"])
+    audit("dedup exact", textops.exact_dedup_groups(docs), ["partial_agg", "codegen"])
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    audit("knn brute", vecops.cosine_topk(emb, qv, 10), ["codegen"])
+
+    # broadcast check: config-dim join in the curve transform
+    from tsengine import synth
+
+    t = synth.generate_transcripts(spark, n_convs=20, mega_turns=0)
+    cfg = synth.generate_conv_config(spark, 20)
+    curve = synth.generate_signal_curve(spark)
+    from tsengine import curves
+
+    wide = features.derive_features_chunked(t)
+    audit("curve transform (broadcast dim join)",
+          curves.apply_curve_transform(wide, cfg, curve),
+          ["broadcast_join"])
+
+
+if __name__ == "__main__":
+    main()

@@ -14,10 +14,14 @@ import os
 import sys
 import time
 
-import duckdb
-import pandas as pd
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tsengine.env_tuning import setdefault_simd  # noqa: E402
+
+setdefault_simd()  # before numpy/pandas import (see env_tuning.py)
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",

@@ -31,44 +31,71 @@ from tsengine.schema import CHUNKS
 CHUNK_SPANS = {"1h": "hour", "1d": "day"}
 
 
+CHUNK_SPAN_SECONDS = {"1h": 3600, "1d": 86400}
+
+
 def encode_chunks(
     series: DataFrame,
     ts_col: str = "bucket_ts",
     chunk_span: str = "1d",
     value_codec: str = "xorblk",
     ts_codec: str = "dodblk",
+    salt_chunks: int = 256,
 ) -> DataFrame:
     """(conv_id, metric, ts, value) rows → chunk blobs (schema.CHUNKS).
 
     Timestamps are stored as epoch nanoseconds (lossless for any Spark
     TimestampType value); on a gap-filled regular grid the delta-of-deltas
-    are all zero → ~2 bytes per 128 points."""
+    are all zero → ~2 bytes per 128 points.
+
+    Grouping granularity: the SHUFFLE key is (conv_id, metric, salt) where
+    salt spans ``salt_chunks`` consecutive chunks; the chunk split happens
+    INSIDE the UDF via pandas groupby. One Arrow group per chunk would pay
+    ~1 ms of Arrow/pandas overhead per chunk (measured ~10× slower at 40 K
+    chunks); one group per salt amortizes it over up to ``salt_chunks``
+    chunks while still bounding group size (salt_chunks × span/grid-step
+    rows) so mega-series can't OOM a task."""
     venc = codec.CODECS[value_codec][0]
     tenc = codec.TS_CODECS[ts_codec][0]
     unit = CHUNK_SPANS[chunk_span]
+    span_s = CHUNK_SPAN_SECONDS[chunk_span]
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col, kind="mergesort")
-        ts_ns = pdf[ts_col].astype("int64").to_numpy()
-        vals = pdf["value"].to_numpy(dtype=np.float64)
-        finite = vals[np.isfinite(vals)]
+        rows = []
+        for cs, g in pdf.groupby("chunk_start", sort=False):
+            ts_ns = g[ts_col].astype("int64").to_numpy()
+            vals = g["value"].to_numpy(dtype=np.float64)
+            finite = vals[np.isfinite(vals)]
+            rows.append(
+                (
+                    g["conv_id"].iloc[0],
+                    g["metric"].iloc[0],
+                    cs,
+                    len(vals),
+                    ts_codec,
+                    value_codec,
+                    tenc(ts_ns),
+                    venc(vals),
+                    float(finite.min()) if len(finite) else None,
+                    float(finite.max()) if len(finite) else None,
+                )
+            )
         return pd.DataFrame(
-            {
-                "conv_id": [pdf["conv_id"].iloc[0]],
-                "metric": [pdf["metric"].iloc[0]],
-                "chunk_start": [pdf["chunk_start"].iloc[0]],
-                "n": [len(vals)],
-                "ts_codec": [ts_codec],
-                "val_codec": [value_codec],
-                "ts_blob": [tenc(ts_ns)],
-                "val_blob": [venc(vals)],
-                "v_min": [float(finite.min()) if len(finite) else None],
-                "v_max": [float(finite.max()) if len(finite) else None],
-            }
+            rows,
+            columns=[
+                "conv_id", "metric", "chunk_start", "n", "ts_codec",
+                "val_codec", "ts_blob", "val_blob", "v_min", "v_max",
+            ],
         )
 
-    keyed = series.withColumn("chunk_start", F.date_trunc(unit, F.col(ts_col)))
-    return keyed.groupBy("conv_id", "metric", "chunk_start").applyInPandas(
+    keyed = series.withColumn(
+        "chunk_start", F.date_trunc(unit, F.col(ts_col))
+    ).withColumn(
+        "_salt",
+        (F.col("chunk_start").cast("long") / (span_s * salt_chunks)).cast("long"),
+    )
+    return keyed.groupBy("conv_id", "metric", "_salt").applyInPandas(
         enc, schema=CHUNKS
     )
 

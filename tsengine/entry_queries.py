@@ -428,6 +428,28 @@ def ts_chunk_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "ts_gap_metrics",
+    _GAPFILL_BASE
+    + """
+SELECT conv_id, metric, count(*)::BIGINT AS n_points,
+       sum(CASE WHEN w.value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_filled,
+       round(sum(CASE WHEN w.value IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS fill_frac
+FROM w GROUP BY 1, 2
+""",
+)
+def ts_gap_metrics(spark, sf_dir):
+    """V2 generalized: per-series gap statistics from the fill stage."""
+    long = _events_long(spark, sf_dir).where(F.col("metric") == "view")
+    filled = gapfill.gapfill_sql(long, freq="1h", method="ffill")
+    m = gapfill.gap_metrics(filled)
+    return m.select(
+        "conv_id", "metric", "n_points", "n_filled",
+        F.round("fill_frac", 6).alias("fill_frac"),
+    )
+
+
 # ===========================================================================
 # Pivot + calendar filters (SURVEY §2.5 W6, §2.2 P5/P6)
 # ===========================================================================
@@ -757,6 +779,28 @@ def text_fingerprint(spark, sf_dir):
     return fp.select("doc_id", "fingerprint")
 
 
+def _simhash_pairs_sql(bits: int = 16, max_dist: int = 3) -> str:
+    pop = " + ".join(f"((x >> {j}) & 1)" for j in range(bits))
+    return f"""
+WITH s AS ({_simhash_sql(bits)}),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             xor(a.simhash, b.simhash) AS x
+      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, ({pop})::BIGINT AS hamming
+FROM p WHERE ({pop}) <= {max_dist}
+"""
+
+
+@q("text_simhash_pairs", _simhash_pairs_sql())
+def text_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming distance 3."""
+    s = textops.simhash(_read(spark, sf_dir, "documents"), bits=16)
+    p = textops.hamming_neighbors(s, max_dist=3)
+    return p.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 # ===========================================================================
 # Vector similarity (vecops.py) over `embeddings`
 # ===========================================================================
@@ -815,6 +859,34 @@ def vec_lsh_topk(spark, sf_dir):
     return top.select(
         "vec_id", F.col("bucket").cast("long").alias("bucket"),
         F.round("cosine_sim", 5).alias("cosine_sim"),
+    )
+
+
+@q(
+    "vec_ann_join",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({_bucket_sql('v')})::BIGINT AS bucket FROM e),
+p AS (SELECT a.vec_id AS left_id, c.vec_id AS right_id,
+             list_cosine_similarity(a.v, c.v) AS sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+r AS (SELECT left_id, right_id, sim,
+             row_number() OVER (PARTITION BY left_id
+                                ORDER BY sim DESC, right_id) AS rank
+      FROM p)
+SELECT left_id, right_id, round(sim, 5) AS cosine_sim, rank::BIGINT AS rank
+FROM r WHERE rank <= 3
+""",
+)
+def vec_ann_join(spark, sf_dir):
+    """Batch ANN join: every vector's top-3 neighbors within its LSH
+    bucket — the table-vs-table form of vec_lsh_topk."""
+    emb = _read(spark, sf_dir, "embeddings")
+    p = vecops.pairwise_topk_join(emb, emb, k=3, n_bits=8)
+    return p.select(
+        "left_id", "right_id",
+        F.round("cosine_sim", 5).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

@@ -40,23 +40,13 @@ DEFAULT_METRICS = [
 ]
 
 
-def derive_features(df: DataFrame) -> DataFrame:
-    """transcripts → wide per-turn feature frame (pure Column exprs).
-
-    Columns added (all DoubleType):
-      latency_s      — seconds since previous turn in the conversation
-                       (null for turn 0), ≙ rewemo's time-delta handling
-      n_chars        — length of text
-      char_rate      — n_chars / max(latency_s, 1)
-      tool_call      — 1.0 if a tool was invoked
-      is_user / is_assistant — role masks (≙ bool masks SURVEY §1.2)
-      tool_intensity — rolling count of tool calls over the trailing 5 turns
-    """
-    w = W.partitionBy("conv_id").orderBy("turn_idx")
+def _with_signals(df: DataFrame, w: W) -> DataFrame:
+    """Apply the default signal expressions over a window spec ordered by
+    turn_idx (the partition keys of ``w`` decide the parallelism contract:
+    whole-conversation for exact semantics, (conv, chunk) for the skew-safe
+    variant — identical results when chunk boundaries carry prefix rows)."""
     w5 = w.rowsBetween(-4, 0)
-    lat = (
-        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
-    )
+    lat = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     tool_call = F.when(F.col("tool").isNotNull(), 1.0).otherwise(0.0)
     return (
         df.withColumn("latency_s", lat)
@@ -77,6 +67,72 @@ def derive_features(df: DataFrame) -> DataFrame:
         )
         .withColumn("tool_intensity", F.sum(tool_call).over(w5))
     )
+
+
+def derive_features(df: DataFrame) -> DataFrame:
+    """transcripts → wide per-turn feature frame (pure Column exprs).
+
+    Columns added (all DoubleType):
+      latency_s      — seconds since previous turn in the conversation
+                       (null for turn 0), ≙ rewemo's time-delta handling
+      n_chars        — length of text
+      char_rate      — n_chars / max(latency_s, 1)
+      tool_call      — 1.0 if a tool was invoked
+      is_user / is_assistant — role masks (≙ bool masks SURVEY §1.2)
+      tool_intensity — rolling count of tool calls over the trailing 5 turns
+
+    The window partitions by conv_id alone, which puts an ENTIRE
+    conversation in one task — exact and simple, but a mega-conversation
+    serializes into a single straggler (and at 10⁸ turns, an OOM). Use
+    ``derive_features_chunked`` for production skew safety; this variant is
+    the semantics oracle."""
+    return _with_signals(df, W.partitionBy("conv_id").orderBy("turn_idx"))
+
+
+# trailing context rows a chunk needs from its predecessor: 1 for lag
+# (latency) + 4 for the rolling-5 tool_intensity window
+_CARRY = 5
+
+
+def derive_features_chunked(df: DataFrame, chunk_size: int = 8192) -> DataFrame:
+    """Skew-safe twin of ``derive_features``: identical output, bounded
+    task size (SURVEY §7 hard-parts (c)/(e)).
+
+    Mechanism — the carry-row trick (a parallel-prefix split):
+    1. every turn gets chunk = turn_idx // chunk_size; windows partition by
+       (conv_id, chunk) so no task ever holds more than chunk_size(+carry)
+       rows, and a 10⁸-turn conversation becomes ~12K independent tasks;
+    2. the last ``_CARRY`` rows of each chunk are ALSO emitted into the
+       next chunk (flagged), so lag/rolling windows at a chunk's head see
+       exactly the same trailing context as the global window would;
+    3. carried rows are dropped after signal computation.
+
+    Requires dense turn_idx per conversation (0,1,2,…) — the transcripts
+    contract (BASELINE input_hint: stable (conv_id, turn_idx) ordering).
+    Cost: ~carry/chunk_size (≈0.06%) duplicated rows and one extra shuffle
+    key column; everything stays JVM-side WholeStageCodegen."""
+    if chunk_size < _CARRY:
+        # a chunk can only pull context from its IMMEDIATE predecessor;
+        # smaller chunks would need context from 2+ chunks back
+        raise ValueError(f"chunk_size must be >= {_CARRY}")
+    c = F.lit(chunk_size)
+    chunk = (F.col("turn_idx") / c).cast("long")
+    own = F.struct(chunk.alias("_chunk"), F.lit(False).alias("_carry"))
+    dup = F.struct((chunk + 1).alias("_chunk"), F.lit(True).alias("_carry"))
+    # single-scan row duplication: explode a 1- or 2-element marker array
+    # instead of union-of-two-scans (halves the raw read)
+    marker = F.when(
+        (F.col("turn_idx") % c) >= chunk_size - _CARRY, F.array(own, dup)
+    ).otherwise(F.array(own))
+    tagged = (
+        df.withColumn("_m", F.explode(marker))
+        .withColumn("_chunk", F.col("_m._chunk"))
+        .withColumn("_carry", F.col("_m._carry"))
+        .drop("_m")
+    )
+    w = W.partitionBy("conv_id", "_chunk").orderBy("turn_idx")
+    out = _with_signals(tagged, w)
+    return out.where(~F.col("_carry")).drop("_chunk", "_carry")
 
 
 def to_long(wide: DataFrame, metrics: list[str] | None = None) -> DataFrame:

@@ -73,9 +73,12 @@ def run_pipeline(
                 raise PipelineFailure(f"injected failure before {unit}")
 
             def tier_work(part=part, k=k):
-                wide = features.derive_features(part)
-                long = features.to_long(wide)
-                t1m = rollup.rollup_from_raw(long, "1m")
+                wide = features.derive_features_chunked(part)
+                # wide-path rollup: the only raw-volume shuffle carries one
+                # row per (conv, minute), not one per (conv, minute, metric)
+                t1m = rollup.rollup_from_raw_wide(
+                    wide, features.DEFAULT_METRICS, "1m"
+                )
                 t1m.write.mode("overwrite").parquet(f"{paths['1m']}/unit={k}")
                 t1m_r = spark.read.parquet(f"{paths['1m']}/unit={k}")
                 t1h = rollup.cascade(t1m_r, "1h")
@@ -93,7 +96,7 @@ def run_pipeline(
                 raise PipelineFailure(f"injected failure before chunks {unit}")
 
             def chunk_work(part=part, k=k):
-                wide = features.derive_features(part)
+                wide = features.derive_features_chunked(part)
                 long = features.to_long(wide, GAPFILL_METRICS)
                 filled = gapfill.gapfill_sql(long, freq=gapfill_freq, method="linear")
                 filled.write.mode("overwrite").parquet(f"{paths['filled']}/unit={k}")

@@ -53,6 +53,45 @@ def rollup_from_raw(features_long: DataFrame, tier: str = "1m") -> DataFrame:
     )
 
 
+def rollup_from_raw_wide(
+    wide_features: DataFrame, metrics: list[str], tier: str = "1m"
+) -> DataFrame:
+    """Same output as ``to_long() → rollup_from_raw()`` but aggregates the
+    WIDE frame first and unpivots the (already tiny) tier afterwards.
+
+    Why it matters at 100 TB: the long path multiplies raw rows by
+    |metrics| BEFORE the shuffle (7 metrics → 7× exchange volume); this
+    path shuffles one row per (conv, bucket) carrying all metrics' partial
+    stats — the exchange is the pipeline's only raw-volume shuffle, so this
+    is a ~|metrics|× cut of total shuffle bytes. Bucket-level stack() runs
+    on post-aggregation data (≥60× smaller), JVM-side."""
+    unit = TIER_SPECS[tier]
+    aggs = []
+    for m in metrics:
+        v = F.col(m)
+        aggs += [
+            F.count(v).alias(f"{m}__cnt"),
+            F.sum(v).alias(f"{m}__sum"),
+            F.min(v).alias(f"{m}__min"),
+            F.max(v).alias(f"{m}__max"),
+            F.sum(v * v).alias(f"{m}__sumsq"),
+        ]
+    g = wide_features.groupBy(
+        "conv_id", F.date_trunc(unit, F.col("ts")).alias("bucket_ts")
+    ).agg(*aggs)
+    pairs = ", ".join(
+        f"'{m}', {m}__cnt, {m}__sum, {m}__min, {m}__max, {m}__sumsq"
+        for m in metrics
+    )
+    return g.select(
+        "conv_id",
+        "bucket_ts",
+        F.expr(
+            f"stack({len(metrics)}, {pairs}) as (metric, cnt, sum, min, max, sumsq)"
+        ),
+    ).where(F.col("cnt") > 0)  # all-null metric buckets don't exist in long form
+
+
 def cascade(tier_df: DataFrame, to_tier: str) -> DataFrame:
     """Re-aggregate a finer tier into a coarser one (1m→1h, 1h→1d).
 

@@ -12,6 +12,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from tsengine.env_tuning import setdefault_simd
+
 
 def get_spark(
     app_name: str = "tsengine",
@@ -26,6 +28,10 @@ def get_spark(
     so small-scale shuffles don't fan out into 200 empty tasks; on a real
     cluster, set it to ~2-3× total executor cores (AQE coalesces the rest).
     """
+    # must run before the JVM launches: python workers inherit the env, and
+    # numpy's SIMD dispatch is fixed at first import (see env_tuning.py)
+    simd_workaround = setdefault_simd()
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
@@ -47,7 +53,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("TSENGINE_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # committer v2: task outputs move to the final location at task
+        # commit — avoids the driver-side sequential rename storm of v1
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
+    if simd_workaround:
+        b = b.config(
+            "spark.executorEnv.NPY_DISABLE_CPU_FEATURES",
+            os.environ["NPY_DISABLE_CPU_FEATURES"],
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

