@@ -48,13 +48,15 @@ def test_streaming_tier_matches_batch(spark, tmp_path):
     got = spark.read.parquet(out_dir).toPandas()
     assert len(got) > 0, "no windows emitted — watermark never advanced"
 
+    key = ["conv_id", "bucket_ts", "metric"]
+    assert not got.duplicated(subset=key).any(), "sink emitted duplicate tier rows"
+
     # batch oracle on the stateless metrics
     metrics = ["n_chars", "tool_call", "is_user", "is_assistant"]
     wide = features.derive_features(t)
     long = features.to_long(wide, metrics)
     batch = rollup.rollup_from_raw(long, "1m").toPandas()
 
-    key = ["conv_id", "bucket_ts", "metric"]
     merged = got.merge(batch, on=key, suffixes=("_s", "_b"), how="left")
     assert merged["cnt_b"].notna().all(), "streamed a window the batch doesn't have"
     for c in ["cnt", "sum", "min", "max", "sumsq"]:

@@ -90,6 +90,56 @@ def test_hamming_neighbors(docs):
     assert {(0, 1)} <= {(a, b) for a, b in zip(n["doc_a"], n["doc_b"])}
 
 
+def test_hamming_neighbors_banded_equals_bruteforce(spark):
+    """Pigeonhole banding must return EXACTLY the brute-force pair set."""
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu"]
+    rows = []
+    for i in range(48):
+        # overlapping word subsets → a realistic spread of hamming distances
+        txt = " ".join(words[j] for j in range(12) if (i >> (j % 6)) & 1 or j % 3 == i % 3)
+        rows.append((i, txt or "empty", "x"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sim = textops.simhash(docs, bits=16)
+    hashes = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    for md in (1, 3, 5):
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in textops.hamming_neighbors(sim, max_dist=md).collect()
+        }
+        want = set()
+        ids = sorted(hashes)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                d = bin(hashes[ids[ai]] ^ hashes[ids[bi]]).count("1")
+                if d <= md:
+                    want.add((ids[ai], ids[bi], d))
+        assert got == want, f"max_dist={md}: banded != brute force"
+
+
+def test_hamming_neighbors_bucket_cap(spark):
+    """max_bucket drops oversized band buckets instead of exploding them."""
+    rows = [(i, "same same same text", "x") for i in range(20)]
+    rows.append((99, "utterly different words entirely", "x"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sim = textops.simhash(docs, bits=16)
+    capped = textops.hamming_neighbors(sim, max_dist=3, max_bucket=5).toPandas()
+    # the 20-identical cluster (190 pairs) is dropped by the cap
+    assert len(capped) == 0
+    uncapped = textops.hamming_neighbors(sim, max_dist=3).toPandas()
+    assert len(uncapped) == 190
+
+
+def test_lsh_pairs_null_sig_docs_excluded(spark):
+    """Docs with no shingles (NULL sigs) must not form a degenerate bucket."""
+    rows = [(0, "one", "x"), (1, "two", "x"), (2, "thr", "x"),
+            (3, "a much longer doc with plenty of words inside it", "x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sigs = textops.minhash_signature(docs, k=4, shingle_n=3)
+    pairs = textops.lsh_candidate_pairs(sigs, k=4, band_size=2).toPandas()
+    assert len(pairs) == 0  # the three <3-token docs never pair up
+
+
 def test_ngram_jaccard(docs):
     p = textops.ngram_jaccard_pairs(docs, n=3, block_col="source").toPandas()
     d = {(a, b): j for a, b, j in zip(p["doc_a"], p["doc_b"], p["jaccard"])}

@@ -69,6 +69,46 @@ def test_pairwise_topk_join(emb):
         assert sorted(g["rank"]) == list(range(1, len(g) + 1))
 
 
+def test_lsh_dimension_not_hardcoded(spark):
+    """d != 64 must bucket correctly (regression: '% 64' was hardcoded and
+    silently emitted NULL-comparison 0-bits for shorter vectors)."""
+    d = 24
+    vecs = RNG.normal(size=(12, d)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label long")
+    for i in range(12):
+        q = [float(x) for x in vecs[i]]
+        top = vecops.lsh_topk(emb, q, k=1).toPandas()
+        # the query vector itself is always in its own bucket with sim 1
+        assert top["vec_id"].iloc[0] == i, f"self-lookup failed for vec {i} at d={d}"
+        assert top["bucket"].iloc[0] == vecops.query_bucket(q)
+
+
+def test_lsh_multiprobe_improves_recall(emb):
+    q = [float(x) for x in VECS[0]]
+    brute = set(vecops.cosine_topk(emb, q, k=10).toPandas()["vec_id"])
+    exact = set(vecops.lsh_topk(emb, q, k=10, probe_dist=0).toPandas()["vec_id"])
+    probed = set(vecops.lsh_topk(emb, q, k=10, probe_dist=1).toPandas()["vec_id"])
+    qb = vecops.query_bucket(q)
+    # probed candidates come only from buckets within hamming 1
+    allowed = {i for i in range(N) if bin(_bucket(VECS[i]) ^ qb).count("1") <= 1}
+    assert probed <= allowed
+    # multi-probe recall vs brute force is at least exact-bucket recall
+    assert len(probed & brute) >= len(exact & brute)
+
+
+def test_pairwise_topk_bucket_cap(emb):
+    capped = vecops.pairwise_topk_join(emb, emb, k=3, max_bucket=2).toPandas()
+    full = vecops.pairwise_topk_join(emb, emb, k=3).toPandas()
+    assert len(capped) <= len(full)
+    # pairs that survive come only from right-side buckets of size <= 2
+    from collections import Counter
+
+    sizes = Counter(_bucket(VECS[i]) for i in range(N))
+    ok_right = {i for i in range(N) if sizes[_bucket(VECS[i])] <= 2}
+    assert set(capped["right_id"]) <= ok_right
+
+
 def test_label_stats(emb):
     s = vecops.label_centroid_stats(emb).toPandas().set_index("label")
     for lbl in range(3):

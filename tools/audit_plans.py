@@ -55,6 +55,10 @@ CHECKS = {
     "broadcast_join": lambda p: "BroadcastHashJoin" in p,
     "pushed_filters": lambda p: "PushedFilters: [" in p and "PushedFilters: []" not in p,
     "single_exchange": lambda p: p.count("Exchange") <= 1,
+    # a plan that survives 100 TB never falls back to an all-pairs join
+    "no_cartesian": lambda p: (
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    ),
 }
 
 
@@ -86,6 +90,13 @@ def main() -> None:
     audit("minhash sigs", textops.minhash_signature(docs, k=4, shingle_n=3),
           ["codegen"])
     audit("dedup exact", textops.exact_dedup_groups(docs), ["partial_agg", "codegen"])
+    audit("simhash pairs (banded)",
+          textops.hamming_neighbors(textops.simhash(docs, bits=16), max_dist=3),
+          ["no_cartesian"])
+    audit("lsh candidate pairs",
+          textops.lsh_candidate_pairs(
+              textops.minhash_signature(docs, k=4, shingle_n=3), k=4, band_size=2),
+          ["no_cartesian"])
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]

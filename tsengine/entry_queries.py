@@ -863,6 +863,32 @@ def vec_lsh_topk(spark, sf_dir):
 
 
 @q(
+    "vec_lsh_multiprobe",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv, ({_bucket_sql('v')})::BIGINT AS qb FROM e WHERE vec_id = 0),
+cand AS (SELECT e.vec_id, ({_bucket_sql('e.v')})::BIGINT AS bucket,
+                list_cosine_similarity(e.v, q.qv) AS sim, q.qb
+         FROM e, q
+         WHERE bit_count(xor(({_bucket_sql('e.v')})::BIGINT, q.qb)) <= 1)
+SELECT vec_id, bucket, round(sim, 5) AS cosine_sim
+FROM cand ORDER BY sim DESC, vec_id LIMIT 8
+""",
+)
+def vec_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH top-k: candidates from the query bucket AND every
+    bucket within Hamming distance 1 — the recall fix for query vectors
+    near a comparison boundary, still a pushable bucket predicate."""
+    qv = _query_vec(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    top = vecops.lsh_topk(emb, qv, k=8, n_bits=8, probe_dist=1)
+    return top.select(
+        "vec_id", F.col("bucket").cast("long").alias("bucket"),
+        F.round("cosine_sim", 5).alias("cosine_sim"),
+    )
+
+
+@q(
     "vec_ann_join",
     f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -50,11 +50,19 @@ def write_fact(
     """Write a conv-keyed fact table with bucket+day partitioning."""
     spark = df.sparkSession
     if iceberg_available(spark) and "/" not in path_or_table:
-        (
-            df.writeTo(path_or_table)
-            .partitionedBy(F.bucket(n_buckets, F.col("conv_id")), F.days(F.col(ts_col)))
-            .createOrReplace()
+        writer = df.writeTo(path_or_table).partitionedBy(
+            F.bucket(n_buckets, F.col("conv_id")), F.days(F.col(ts_col))
         )
+        # both backends must share write semantics: append appends, anything
+        # else replaces — otherwise flipping Iceberg on silently turns
+        # incremental loads into full-table rewrites
+        if mode == "append":
+            try:
+                writer.append()
+            except Exception:  # table doesn't exist yet → first write creates
+                writer.create()
+        else:
+            writer.createOrReplace()
     else:
         (
             partition_cols(df, ts_col, n_buckets)

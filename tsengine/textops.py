@@ -101,16 +101,30 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, k: int = 8, band_size: int = 2, id_col: str = "doc_id"
+    sigs: DataFrame,
+    k: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature (k/band_size bands of band_size rows), bucket-join
     within bands, emit candidate pairs (a<b) with the signature-estimated
     Jaccard (fraction of equal signature slots).
 
     Shuffle key = (band_idx, bucket): near-duplicate mega-clusters split
-    across bands instead of one hot key. At 100 TB add a per-bucket count
-    cap (skip buckets > threshold) — here buckets are tiny."""
+    across bands instead of one hot key.
+
+    Documents with NULL signatures (no tokens/shingles) are dropped before
+    banding: a NULL slot never equi-joins in SQL, and without the filter
+    concat_ws would silently collapse every empty document into ONE bucket —
+    an all-pairs quadratic hot key at corpus scale.
+
+    ``max_bucket`` is the 100 TB safety valve: buckets holding more rows are
+    dropped entirely (a bucket of B rows costs B² comparisons; a near-dup
+    mega-cluster is still found via its other bands or is trivially exact-dup
+    material). None = no cap (the oracle-checkable default)."""
     n_bands = k // band_size
+    sigs = sigs.where(F.col("sig_0").isNotNull())
     bands = sigs.select(
         id_col,
         *[F.col(f"sig_{i}") for i in range(k)],
@@ -134,6 +148,12 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, *[f"sig_{i}" for i in range(k)], "band.band_idx", "band.bucket")
+
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        cnt = F.count("*").over(W.partitionBy("band_idx", "bucket"))
+        bands = bands.withColumn("_bc", cnt).where(F.col("_bc") <= max_bucket).drop("_bc")
 
     left = bands.select(
         F.col(id_col).alias("doc_a"),
@@ -190,23 +210,66 @@ def simhash(
     return out.select(id_col, acc.alias("simhash"), F.col("_n").alias("n_tokens"))
 
 
-def hamming_neighbors(sim: DataFrame, max_dist: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """Pairs within Hamming distance ≤ max_dist of each other's simhash.
+def hamming_neighbors(
+    sim: DataFrame,
+    max_dist: int = 3,
+    bits: int = 16,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_dist of each other's simhash —
+    EXACT result via pigeonhole banding, never an all-pairs join.
 
-    Scale path: block on the high byte (docs differing only in low bits
-    collide) — a standard multi-index trick; brute pair-join here is fine
-    at test scale and the blocked variant reuses lsh_candidate_pairs'
-    shape."""
-    a = sim.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("h_a"))
-    b = sim.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("h_b"))
+    Pigeonhole: split the ``bits``-wide hash into ``max_dist + 1`` disjoint
+    bands. Two hashes within Hamming distance ≤ max_dist differ in at most
+    max_dist bit positions, so at least one band is bit-identical — an
+    equi-join on (band_idx, band_bits) finds every qualifying pair, and the
+    exact-distance filter afterwards removes band-collision false positives.
+    The shuffle is keyed by (band_idx, band_bits): candidate volume is
+    Σ(bucket²) instead of n², and ``max_bucket`` (rows per band bucket)
+    bounds the worst bucket at corpus scale (dropped buckets trade recall on
+    mega-clusters, which exact dedup already catches). Identical output to
+    the brute-force pair join (multi-band matches dedup via distinct)."""
+    n_bands = max_dist + 1
+    edges = [round(i * bits / n_bands) for i in range(n_bands + 1)]
+    band_structs = []
+    for b in range(n_bands):
+        width = edges[b + 1] - edges[b]
+        mask = F.lit((1 << width) - 1).cast("long")
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash"), edges[b]).bitwiseAND(mask).alias("band_bits"),
+            )
+        )
+    bands = sim.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash").alias("_h"),
+        F.explode(F.array(*band_structs)).alias("bd"),
+    ).select("_id", "_h", "bd.band_idx", "bd.band_bits")
+
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        cnt = F.count("*").over(W.partitionBy("band_idx", "band_bits"))
+        bands = bands.withColumn("_bc", cnt).where(F.col("_bc") <= max_bucket).drop("_bc")
+
+    a = bands.select(
+        F.col("_id").alias("doc_a"), F.col("_h").alias("h_a"), "band_idx", "band_bits"
+    )
+    b = bands.select(
+        F.col("_id").alias("doc_b"), F.col("_h").alias("h_b"), "band_idx", "band_bits"
+    )
     x = F.col("h_a").bitwiseXOR(F.col("h_b"))
     dist = sum(
-        F.shiftright(x, j).bitwiseAND(F.lit(1).cast("long")) for j in range(16)
+        F.shiftright(x, j).bitwiseAND(F.lit(1).cast("long")) for j in range(bits)
     )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(b, ["band_idx", "band_bits"])
+        .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", dist.alias("hamming"))
         .where(F.col("hamming") <= max_dist)
+        .distinct()
     )
 
 

@@ -57,13 +57,16 @@ def transcript_violations(df: DataFrame) -> DataFrame:
 
 def check_transcripts(df: DataFrame, strict: bool = True, sample: int = 10) -> int:
     """Run the contract check; raise (like the reference's validators) when
-    strict and violations exist. Returns the violating-conversation count."""
+    strict and violations exist. Returns the TOTAL violating-conversation
+    count (``sample`` only bounds the collected error detail)."""
     v = transcript_violations(df)
     rows = v.limit(sample).collect()
-    if rows and strict:
+    if not rows:
+        return 0
+    if strict:
         detail = "; ".join(str(r.asDict()) for r in rows[:3])
         raise ValueError(f"transcript contract violated, e.g. {detail}")
-    return len(rows)
+    return v.count() if len(rows) == sample else len(rows)
 
 
 def tier_consistency_violations(

@@ -63,20 +63,37 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
-def rank_lsh_bucket(vec: Column, n_bits: int = 8, stride: int = 13) -> Column:
+def rank_lsh_bucket(
+    vec: Column, n_bits: int = 8, stride: int = 13, d: int = 64
+) -> Column:
     """Deterministic rank-comparison LSH: bit j = vec[j] > vec[(j+stride) % d].
 
     A comparison-based hash family (order-statistics LSH): cheap, scale- and
-    shift-invariant per pair, and expressible in ANSI SQL. d must exceed
-    n_bits + stride for distinct index pairs."""
+    shift-invariant per pair, and expressible in ANSI SQL. ``d`` MUST be the
+    actual vector length — an out-of-range element_at would yield NULL
+    comparisons and silent 0-bits (wrong buckets), so callers that know the
+    data pass the real dimension."""
     acc = F.lit(0)
     for j in range(n_bits):
         bit = F.when(
-            F.element_at(vec, j + 1) > F.element_at(vec, ((j + stride) % 64) + 1),
+            F.element_at(vec, j + 1) > F.element_at(vec, ((j + stride) % d) + 1),
             F.lit(1),
         ).otherwise(F.lit(0))
         acc = acc + F.shiftleft(bit, j)
     return acc
+
+
+def query_bucket(query_vec: list[float], n_bits: int = 8, stride: int = 13) -> int:
+    """Driver-side twin of rank_lsh_bucket for a literal query vector —
+    guaranteed to use the same (stride, d) as the column expression."""
+    d = len(query_vec)
+    if d <= n_bits:
+        raise ValueError(f"query dim {d} too small for {n_bits} LSH bits")
+    b = 0
+    for j in range(n_bits):
+        if query_vec[j] > query_vec[(j + stride) % d]:
+            b |= 1 << j
+    return b
 
 
 def lsh_topk(
@@ -84,24 +101,35 @@ def lsh_topk(
     query_vec: list[float],
     k: int = 5,
     n_bits: int = 8,
+    stride: int = 13,
+    probe_dist: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """LSH-pruned cosine top-k: score only vectors in the query's bucket.
+    """LSH-pruned cosine top-k: score only vectors in (or near) the query's
+    bucket. The dimension is derived from the query vector, and the Python
+    qbucket uses the SAME (stride, d) as the Spark column expression.
 
-    Approximate — recall depends on bucket granularity (2^n_bits buckets).
-    The bucket predicate is a pushable column filter: with the table
-    written partitioned-by-bucket this becomes partition pruning and the
-    scan touches 1/2^n_bits of the data."""
+    ``probe_dist`` enables multi-probe: candidates from every bucket within
+    Hamming distance ≤ probe_dist of the query bucket. probe_dist=0 scans
+    1/2^n_bits of the data; probe_dist=1 adds the n_bits adjacent buckets —
+    the standard recall fix for query vectors near a comparison boundary.
+    The bucket predicate stays a pushable column filter either way: with
+    the table written partitioned-by-bucket this is partition pruning."""
+    d = len(query_vec)
     dv = _as_double(F.col(vec_col))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    qbucket = 0
-    for j in range(n_bits):
-        if query_vec[j] > query_vec[(j + 13) % 64]:
-            qbucket |= 1 << j
+    qbucket = query_bucket(query_vec, n_bits, stride)
+    bucket = F.col("bucket")
+    if probe_dist == 0:
+        pred = bucket == F.lit(qbucket)
+    else:
+        pred = F.bit_count(bucket.bitwiseXOR(F.lit(qbucket))) <= probe_dist
     return (
-        embeddings.select(id_col, dv.alias("_v"), rank_lsh_bucket(dv, n_bits).alias("bucket"))
-        .where(F.col("bucket") == F.lit(qbucket))
+        embeddings.select(
+            id_col, dv.alias("_v"), rank_lsh_bucket(dv, n_bits, stride, d).alias("bucket")
+        )
+        .where(pred)
         .select(id_col, "bucket", cosine(F.col("_v"), q).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
@@ -113,23 +141,31 @@ def pairwise_topk_join(
     right: DataFrame,
     k: int = 5,
     n_bits: int = 8,
+    stride: int = 13,
+    d: int = 64,
+    max_bucket: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All-pairs ANN join: bucket both sides, join on bucket, top-k
     neighbors per left row by cosine. The scalable batch form of lsh_topk
     (query set = a whole table). Shuffle key = bucket (2^n_bits salted
-    groups)."""
+    groups). ``max_bucket`` caps the RIGHT side per bucket (a B-row bucket
+    costs B² scores); buckets beyond the cap are dropped — log the
+    right-side bucket histogram before relying on results at scale."""
     from pyspark.sql import Window as W
 
     lb = left.select(
         F.col(id_col).alias("left_id"),
         _as_double(F.col(vec_col)).alias("lv"),
-    ).withColumn("bucket", rank_lsh_bucket(F.col("lv"), n_bits))
+    ).withColumn("bucket", rank_lsh_bucket(F.col("lv"), n_bits, stride, d))
     rb = right.select(
         F.col(id_col).alias("right_id"),
         _as_double(F.col(vec_col)).alias("rv"),
-    ).withColumn("bucket", rank_lsh_bucket(F.col("rv"), n_bits))
+    ).withColumn("bucket", rank_lsh_bucket(F.col("rv"), n_bits, stride, d))
+    if max_bucket is not None:
+        cnt = F.count("*").over(W.partitionBy("bucket"))
+        rb = rb.withColumn("_bc", cnt).where(F.col("_bc") <= max_bucket).drop("_bc")
     scored = (
         lb.join(rb, "bucket")
         .where(F.col("left_id") != F.col("right_id"))
