@@ -110,23 +110,37 @@ def decode_chunks(chunks_df: DataFrame) -> DataFrame:
 
     def dec(batches):
         for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                tdec = codec.TS_CODECS[row.ts_codec][1]
-                vdec = codec.CODECS[row.val_codec][1]
-                ts = pd.to_datetime(tdec(bytes(row.ts_blob)))
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": row.conv_id,
-                            "metric": row.metric,
-                            "bucket_ts": ts,
-                            "value": vdec(bytes(row.val_blob)),
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            n_blobs = len(pdf)
+            if n_blobs == 0:
+                continue
+            # per-blob codec calls are irreducible (each blob is its own
+            # bitstream), but everything frame-shaped happens ONCE per Arrow
+            # batch: one repeat for the keys, one concatenate per column,
+            # one to_datetime over the whole int64-ns array, one DataFrame.
+            # (The old per-blob pd.DataFrame + pd.concat dominated decode
+            # cost ~2x at bench scale.)
+            ts_codecs = pdf["ts_codec"].to_numpy()
+            val_codecs = pdf["val_codec"].to_numpy()
+            ts_blobs = pdf["ts_blob"].to_numpy()
+            val_blobs = pdf["val_blob"].to_numpy()
+            ts_parts: list[np.ndarray] = []
+            val_parts: list[np.ndarray] = []
+            counts = np.empty(n_blobs, dtype=np.int64)
+            for i in range(n_blobs):
+                tdec = codec.TS_CODECS[ts_codecs[i]][1]
+                vdec = codec.CODECS[val_codecs[i]][1]
+                ts_parts.append(tdec(bytes(ts_blobs[i])))
+                vals = vdec(bytes(val_blobs[i]))
+                val_parts.append(vals)
+                counts[i] = len(vals)
+            yield pd.DataFrame(
+                {
+                    "conv_id": np.repeat(pdf["conv_id"].to_numpy(), counts),
+                    "metric": np.repeat(pdf["metric"].to_numpy(), counts),
+                    "bucket_ts": pd.to_datetime(np.concatenate(ts_parts)),
+                    "value": np.concatenate(val_parts),
+                }
+            )
 
     return chunks_df.mapInPandas(dec, schema=DECODED_SCHEMA)
 

@@ -45,6 +45,34 @@ def make_interp_udf(x: np.ndarray, curves: dict[str, np.ndarray]):
     return interp
 
 
+SMALL_NUMBER = 1e-9  # ≙ `examples/helper_functions.py:15`
+
+
+def curve_thresholds(x, y, small: float = SMALL_NUMBER) -> tuple[float, float]:
+    """A3 cut-in/cut-out extraction from a monotone-x response curve
+    (≙ `examples/helper_functions.py:51-59`):
+
+    - cut_in  = SMALL_NUMBER + x[i-1] where i is the FIRST index with
+      y > 0 — the knot before it, because interpolation makes the response
+      positive anywhere past x[i-1];
+    - cut_out = x[j+1] where j is the LAST index with y > 0 (the reference
+      reads the reversed index[i-1], which is exactly the knot after the
+      last positive).
+
+    Driver-side over the tiny curve table (the reference does the same on
+    the in-memory power curve). Indices are clamped at the array ends —
+    the reference would wrap via index[-1] if y[0] > 0; clamping is the
+    sane behavior for curves that start positive."""
+    xa = np.asarray(x, dtype=np.float64)
+    ya = np.asarray(y, dtype=np.float64)
+    pos = np.nonzero(ya > 0)[0]
+    if len(pos) == 0:
+        raise ValueError("curve has no positive response — no thresholds")
+    cut_in = small + xa[max(int(pos[0]) - 1, 0)]
+    cut_out = xa[min(int(pos[-1]) + 1, len(xa) - 1)]
+    return float(cut_in), float(cut_out)
+
+
 def curve_table_to_arrays(curve_df: DataFrame) -> tuple[np.ndarray, dict[str, np.ndarray]]:
     """Collect the (tiny) curve table to driver-side numpy arrays, sorted by x."""
     pdf = curve_df.toPandas().sort_values("x")

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from tsengine import (
     chunks,
     curves,
+    disagg,
     features,
     gapfill,
     indicators,
@@ -290,6 +291,15 @@ _CURVE_X = np.arange(50.0, 401.0, 50.0)  # 50..400
 _CURVE_Y = np.array([0.0, 0.1, 0.3, 0.6, 1.0, 0.8, 0.5, 0.2])
 _Y_SQL = "[" + ", ".join(f"{v}::DOUBLE" for v in _CURVE_Y) + "]"
 
+# piecewise-linear np.interp(left=0, right=0) over column `v`, in ANSI SQL
+_INTERP_CASE = f"""CASE WHEN v < 50 OR v > 400 THEN 0.0::DOUBLE
+             ELSE {_Y_SQL}[LEAST(floor((v - 50) / 50), 6)::BIGINT + 1]
+                  + ({_Y_SQL}[LEAST(floor((v - 50) / 50), 6)::BIGINT + 2]
+                     - {_Y_SQL}[LEAST(floor((v - 50) / 50), 6)::BIGINT + 1])
+                    / 50.0::DOUBLE
+                    * (v - (50 + LEAST(floor((v - 50) / 50), 6)::BIGINT * 50))
+             END"""
+
 @q(
     "ts_curve_interp",
     f"""
@@ -299,13 +309,7 @@ WITH s AS (
   FROM events
 )
 SELECT event_id, conv_id,
-       round(CASE WHEN v < 50 OR v > 400 THEN 0.0::DOUBLE
-             ELSE {_Y_SQL}[LEAST(floor((v - 50) / 50), 6)::BIGINT + 1]
-                  + ({_Y_SQL}[LEAST(floor((v - 50) / 50), 6)::BIGINT + 2]
-                     - {_Y_SQL}[LEAST(floor((v - 50) / 50), 6)::BIGINT + 1])
-                    / 50.0::DOUBLE
-                    * (v - (50 + LEAST(floor((v - 50) / 50), 6)::BIGINT * 50))
-             END, 6) AS curve_y
+       round({_INTERP_CASE}, 6) AS curve_y
 FROM s
 """,
 )
@@ -320,6 +324,54 @@ def ts_curve_interp(spark, sf_dir):
         "event_id",
         F.col("user_id").cast("string").alias("conv_id"),
         F.round(interp(F.col("value") * scale, F.lit("c")), 6).alias("curve_y"),
+    )
+
+
+_CUT_IN, _CUT_OUT = curves.curve_thresholds(_CURVE_X, _CURVE_Y)
+
+
+@q(
+    "ts_threshold_indicators",
+    f"""
+WITH s AS (
+  SELECT user_id::VARCHAR AS conv_id,
+         value * (((user_id % 3) + 1)::DOUBLE * 0.5::DOUBLE) AS v
+  FROM events
+),
+p AS (SELECT conv_id, v, round({_INTERP_CASE}, 6) AS p FROM s),
+m AS (SELECT conv_id, v, p, max(p) OVER (PARTITION BY conv_id) AS pmax FROM p)
+SELECT conv_id,
+       round(sum(CASE WHEN v < {_CUT_IN!r} THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS frac_zero_low,
+       round(sum(CASE WHEN v >= {_CUT_OUT!r} THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS frac_zero_high,
+       round(sum(CASE WHEN p = pmax THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS frac_at_max,
+       count(*)::BIGINT AS n_points
+FROM m GROUP BY 1
+""",
+)
+def ts_threshold_indicators(spark, sf_dir):
+    """A3 + threshold fractions: cut-in/cut-out extracted from the broadcast
+    curve (curves.curve_thresholds ≙ `examples/helper_functions.py:51-59`),
+    then the zero-low/zero-high/at-max time fractions
+    (≙ `helper_functions.py:62-81`) through indicators.threshold_indicators."""
+    interp = curves.make_interp_udf(_CURVE_X, {"c": _CURVE_Y})
+    ev = _read(spark, sf_dir, "events")
+    scale = (F.col("user_id") % 3 + 1).cast("double") * F.lit(0.5)
+    d = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("value") * scale).alias("v"),
+    ).withColumn("p", F.round(interp(F.col("v"), F.lit("c")), 6))
+    ind = indicators.threshold_indicators(
+        d, _CUT_IN, _CUT_OUT, key="conv_id", speed="v", power="p"
+    )
+    return ind.select(
+        "conv_id",
+        F.round("frac_zero_low", 6).alias("frac_zero_low"),
+        F.round("frac_zero_high", 6).alias("frac_zero_high"),
+        F.round("frac_at_max", 6).alias("frac_at_max"),
+        "n_points",
     )
 
 
@@ -447,6 +499,85 @@ def ts_gap_metrics(spark, sf_dir):
     return m.select(
         "conv_id", "metric", "n_points", "n_filled",
         F.round("fill_frac", 6).alias("fill_frac"),
+    )
+
+
+# ===========================================================================
+# Daily→hourly disaggregation + renormalization (SURVEY §2.5 W3, §2.4 A8)
+# ===========================================================================
+
+_WN = disagg.normalized_weights(disagg.DAY_TRIANGLE)
+_WN_SQL = "[" + ", ".join(f"{w!r}::DOUBLE" for w in _WN) + "]"
+
+
+@q(
+    "ts_disagg_day_hour",
+    f"""
+WITH ev AS ({_EV}),
+d AS (SELECT conv_id, date_trunc('day', ts) AS day_ts, round(sum(value), 4) AS daily_v
+      FROM ev GROUP BY 1, 2),
+h AS (SELECT conv_id, day_ts, daily_v, unnest(range(0, 24))::BIGINT AS hour FROM d)
+SELECT conv_id, day_ts + to_hours(hour) AS bucket_ts, hour,
+       round(daily_v * {_WN_SQL}[hour + 1] + 5e-10, 4) AS value_h
+FROM h
+""",
+)
+def ts_disagg_day_hour(spark, sf_dir):
+    """W3: daily totals exploded into 24 weighted hourly values through
+    disagg.disaggregate_daily (≙ the per-day r_t(h) decomposition loop,
+    `src/rewemo/ncep_reanalysis/solar.py:577-590`)."""
+    ev = _events_long(spark, sf_dir)
+    daily = ev.groupBy(
+        "conv_id", F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(F.round(F.sum("value"), 4).alias("daily_v"))
+    out = disagg.disaggregate_daily(
+        daily, keys=["conv_id"], day_col="day_ts", value_col="daily_v"
+    )
+    return out.select(
+        "conv_id", "bucket_ts", "hour",
+        F.round(F.col("value_h") + 5e-10, 4).alias("value_h"),
+    )
+
+
+@q(
+    "ts_renorm_daily",
+    f"""
+WITH ev AS ({_EV}),
+h AS (SELECT conv_id, date_trunc('hour', ts) AS bucket_ts, round(avg(value), 6) AS est
+      FROM ev GROUP BY 1, 2),
+d AS (SELECT conv_id, date_trunc('day', ts) AS day_ts, round(sum(value), 4) AS daily_target
+      FROM ev GROUP BY 1, 2),
+j AS (SELECT h.conv_id, h.bucket_ts, h.est, d.daily_target,
+             sum(h.est) OVER (PARTITION BY h.conv_id, d.day_ts) AS s
+      FROM h JOIN d ON d.conv_id = h.conv_id
+                   AND d.day_ts = date_trunc('day', h.bucket_ts))
+SELECT conv_id, bucket_ts,
+       round(est * (CASE WHEN s != 0 THEN daily_target / s ELSE 1.0::DOUBLE END)
+             + 5e-10, 4) AS value_renorm
+FROM j
+""",
+)
+def ts_renorm_daily(spark, sf_dir):
+    """A8: hourly estimates rescaled so each day's sum matches the daily
+    total, through disagg.renormalize_daily (≙ correctionFactor,
+    `src/rewemo/ncep_reanalysis/solar.py:594-597`)."""
+    ev = _events_long(spark, sf_dir)
+    hourly = ev.groupBy(
+        "conv_id", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.round(F.avg("value"), 6).alias("est"))
+    daily = ev.groupBy(
+        "conv_id", F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(F.round(F.sum("value"), 4).alias("daily_target"))
+    j = hourly.withColumn("day_ts", F.date_trunc("day", "bucket_ts")).join(
+        daily, ["conv_id", "day_ts"]
+    )
+    r = disagg.renormalize_daily(
+        j, keys=["conv_id"], ts_col="bucket_ts", value_col="est",
+        target_col="daily_target",
+    )
+    return r.select(
+        "conv_id", "bucket_ts",
+        F.round(F.col("value_renorm") + 5e-10, 4).alias("value_renorm"),
     )
 
 

@@ -47,6 +47,42 @@ def indicator_battery(
     )
 
 
+def threshold_indicators(
+    df: DataFrame,
+    cut_in: float,
+    cut_out: float,
+    key: str = "conv_id",
+    speed: str = "value",
+    power: str = "power",
+) -> DataFrame:
+    """Curve-threshold time fractions ≙ `examples/helper_functions.py:62-81`,
+    fed by the A3 thresholds from curves.curve_thresholds:
+
+    - frac_zero_low  — fraction of time the input signal is below cut-in
+      (zero output because the curve hasn't started);
+    - frac_zero_high — fraction at/above cut-out (zero output past the
+      curve's end, ≙ `wind_speed >= wind_speed_power_cut`);
+    - frac_at_max    — fraction of points at the series' maximum output
+      (≙ `power == np.max(power)`).
+
+    The at-max test needs the group max per row, so it runs as one window
+    over ``key`` (co-partitioned with the groupBy that follows — a single
+    shuffle for both)."""
+    from pyspark.sql import Window as W
+
+    d = df.withColumn("_pmax", F.max(power).over(W.partitionBy(key)))
+    n = F.count("*")
+    v = F.col(speed)
+    return d.groupBy(key).agg(
+        (F.sum(F.when(v < cut_in, 1).otherwise(0)) / n).alias("frac_zero_low"),
+        (F.sum(F.when(v >= cut_out, 1).otherwise(0)) / n).alias("frac_zero_high"),
+        (F.sum(F.when(F.col(power) == F.col("_pmax"), 1).otherwise(0)) / n).alias(
+            "frac_at_max"
+        ),
+        n.alias("n_points"),
+    )
+
+
 def hour_profile(df: DataFrame, ts: str = "ts", value: str = "value") -> DataFrame:
     """Hour-of-day profile ±σ (≙ `ncep/example_solar.py:246-253`)."""
     return (
