@@ -57,3 +57,29 @@ def test_long_format(spark, transcripts):
     cnt = long.groupBy("metric").count().toPandas().set_index("metric")["count"]
     n_convs = wide.select("conv_id").distinct().count()
     assert cnt["n_chars"] - cnt["latency_s"] == n_convs
+
+
+def test_composite_pack_column_vs_pandas_parity(spark):
+    rows = [
+        (0, "click", 10.0), (1, "purchase", 80.0), (2, "view", -5.0),
+        (3, "click", 100.0), (4, "error", 49.999999), (5, "signup", 0.0),
+        (6, "click", 41.0),   # raw = 50.2 -> clipped, residual > 0
+    ]
+    df = spark.createDataFrame(rows, "event_id long, disp string, value double")
+    got = (
+        features.apply_composite_pack(df, "disp", "value", cap=50.0)
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    want = features.composite_pack_pandas(
+        pd.DataFrame(rows, columns=["event_id", "disp", "value"]), "disp", "value", 50.0
+    ).sort_values("event_id").reset_index(drop=True)
+    for c in features.COMPOSITE_METRICS:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+    # decomposition invariant: components sum exactly to the clipped total
+    np.testing.assert_allclose(got["direct"] + got["diffuse"], got["total"], rtol=1e-15)
+    # dispatch + clip behave piecewise: negative input -> total 0, residual < 0
+    assert got.loc[2, "total"] == 0.0 and got.loc[2, "residual"] == -5.0
+    # clipped branch keeps the positive residual
+    assert got.loc[6, "total"] == 50.0 and got.loc[6, "residual"] > 0

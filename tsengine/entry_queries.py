@@ -38,6 +38,7 @@ from tsengine import (
     rollup,
     textops,
     vecops,
+    weights,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -255,31 +256,71 @@ def ts_area_rollup(spark, sf_dir):
     )
 
 
+_RAD_L = repr(weights.RAD)
+_R_L = repr(weights.EARTH_R)
+
 @q(
     "ts_weighted_rollup",
-    """
-SELECT (user_id % 7)::BIGINT AS target_id,
-       date_trunc('hour', ts) AS bucket_ts,
-       round(sum(value * (((user_id % 5) + 1)::DOUBLE / 10.0::DOUBLE)), 4) AS wsum,
-       count(*)::BIGINT AS cnt
-FROM events GROUP BY 1, 2
+    f"""
+WITH pts AS (SELECT DISTINCT user_id AS grid_id,
+                    ((user_id % 13) * 5.0::DOUBLE - 30.0::DOUBLE) AS lat,
+                    ((user_id % 7) * 7.0::DOUBLE) AS lon
+             FROM events),
+tgc AS (SELECT t AS target_id, (t * 9.0::DOUBLE - 18.0::DOUBLE) AS lat,
+               (t * 11.0::DOUBLE + 3.0::DOUBLE) AS lon
+        FROM (SELECT unnest(range(0, 5))::BIGINT AS t)),
+d AS (SELECT p.grid_id, t.target_id,
+             round({_R_L}::DOUBLE * acos(LEAST(
+                 cos(p.lat * {_RAD_L} - t.lat * {_RAD_L})
+                 - cos(p.lat * {_RAD_L}) * cos(t.lat * {_RAD_L})
+                   * (1.0::DOUBLE - cos(p.lon * {_RAD_L} - t.lon * {_RAD_L})),
+                 1.0::DOUBLE)), 4) AS dist
+      FROM pts p CROSS JOIN tgc t),
+m AS (SELECT grid_id, target_id, dist,
+             min(dist) OVER (PARTITION BY target_id) AS mind FROM d),
+wz AS (SELECT grid_id, target_id, 1.0::DOUBLE AS weight
+       FROM m WHERE mind = 0 AND dist = 0),
+r AS (SELECT grid_id, target_id, dist,
+             row_number() OVER (PARTITION BY target_id ORDER BY dist, grid_id) AS rk
+      FROM m WHERE mind > 0),
+wk AS (SELECT grid_id, target_id,
+              round((1.0::DOUBLE / dist) / sum(1.0::DOUBLE / dist)
+                    OVER (PARTITION BY target_id), 6) AS weight
+       FROM r WHERE rk <= 3),
+w AS (SELECT * FROM wz UNION ALL SELECT * FROM wk)
+SELECT w.target_id, date_trunc('hour', e.ts) AS bucket_ts,
+       round(sum(e.value * w.weight), 4) AS wsum, count(*)::BIGINT AS cnt
+FROM events e JOIN w ON w.grid_id = e.user_id
+GROUP BY 1, 2
 """,
 )
 def ts_weighted_rollup(spark, sf_dir):
-    """J2 weighted re-aggregation join: rewemo's inverse-distance matrix
-    product (`ncep/wind.py:302-310`) as weight-join + groupBy-sum. Weights
-    are a deterministic function of the key (stand-in for the broadcast
-    weight table)."""
+    """J2 + F15: a REAL weight table — spherical distances from synthetic
+    grid coordinates, nsmallest-3 inverse-distance weights with the
+    exact-hit branch (`ncep_reanalysis/timeseries_tools.py:16-76`) —
+    broadcast-joined onto the event stream and re-aggregated per target
+    (≙ the matrix-product reaggregation, `ncep_reanalysis/wind.py:302-310`).
+    Coordinates derive deterministically from the key so the DuckDB oracle
+    builds the identical table."""
     ev = _read(spark, sf_dir, "events")
-    w = (F.col("user_id") % 5 + 1).cast("double") / F.lit(10.0)
-    return (
-        ev.select(
-            (F.col("user_id") % 7).cast("long").alias("target_id"),
-            F.date_trunc("hour", "ts").alias("bucket_ts"),
-            (F.col("value") * w).alias("wv"),
-        )
-        .groupBy("target_id", "bucket_ts")
-        .agg(F.round(F.sum("wv"), 4).alias("wsum"), F.count("*").alias("cnt"))
+    pts = ev.select(F.col("user_id").alias("grid_id")).distinct().select(
+        "grid_id",
+        ((F.col("grid_id") % 13) * 5.0 - 30.0).alias("lat"),
+        ((F.col("grid_id") % 7) * 7.0).alias("lon"),
+    )
+    tg = spark.range(5).select(
+        F.col("id").alias("target_id"),
+        (F.col("id") * 9.0 - 18.0).alias("lat"),
+        (F.col("id") * 11.0 + 3.0).alias("lon"),
+    )
+    wt = weights.build_knn_weight_table(pts, tg, k=3)
+    fact = ev.select(F.col("user_id").alias("grid_id"), "ts", "value")
+    out = weights.weighted_rollup(fact, wt)
+    return out.select(
+        F.col("target_id").cast("long").alias("target_id"),
+        "bucket_ts",
+        F.round("wsum", 4).alias("wsum"),
+        "cnt",
     )
 
 
@@ -324,6 +365,48 @@ def ts_curve_interp(spark, sf_dir):
         "event_id",
         F.col("user_id").cast("string").alias("conv_id"),
         F.round(interp(F.col("value") * scale, F.lit("c")), 6).alias("curve_y"),
+    )
+
+
+@q(
+    "ts_signal_composite",
+    """
+WITH s AS (SELECT event_id, user_id::VARCHAR AS conv_id, event_type AS disp, value
+           FROM events),
+c AS (SELECT event_id, conv_id,
+             CASE WHEN disp = 'click' THEN value * 1.2::DOUBLE + 1.0::DOUBLE
+                  WHEN disp = 'purchase' THEN value * 0.8::DOUBLE
+                  ELSE value END AS raw
+      FROM s),
+p AS (SELECT event_id, conv_id, raw,
+             LEAST(GREATEST(raw, 0.0::DOUBLE), 50.0::DOUBLE) AS total,
+             LEAST(GREATEST(raw / 100.0::DOUBLE, 0.0::DOUBLE), 1.0::DOUBLE) AS frac
+      FROM c)
+SELECT event_id, conv_id,
+       round(total, 6) AS total,
+       round(total * frac, 6) AS direct,
+       round(total * (1.0::DOUBLE - frac), 6) AS diffuse,
+       round(raw - total, 6) AS residual
+FROM p
+""",
+)
+def ts_signal_composite(spark, sf_dir):
+    """F8/F11/F13 composition: branch dispatch → piecewise clip →
+    multi-output decomposition in one chained Column-expr pack
+    (features.apply_composite_pack; pandas twin parity-tested)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_type").alias("disp"),
+        "value",
+    )
+    out = features.apply_composite_pack(ev, "disp", "value", cap=50.0)
+    return out.select(
+        "event_id", "conv_id",
+        F.round("total", 6).alias("total"),
+        F.round("direct", 6).alias("direct"),
+        F.round("diffuse", 6).alias("diffuse"),
+        F.round("residual", 6).alias("residual"),
     )
 
 

@@ -159,6 +159,66 @@ def to_long(wide: DataFrame, metrics: list[str] | None = None) -> DataFrame:
 SignalFn = Callable[[pd.DataFrame], pd.DataFrame]
 
 
+# ---------------------------------------------------------------------------
+# F-composition pack: branch dispatch → piecewise clip → multi-output
+# decomposition, the full chained shape of the reference's solar pipeline
+# (F8/F11/F13): tracker-type dispatch `src/rewemo/solarpower.py:106-120`,
+# piecewise clipping `solarpower.py:101-102,156-157`, and multi-component
+# decomposition whose parts sum back to the total
+# `src/rewemo/ncep_reanalysis/solar.py:328-400`.
+# ---------------------------------------------------------------------------
+
+COMPOSITE_METRICS = ["total", "direct", "diffuse", "residual"]
+
+
+def composite_pack_exprs(dispatch, value, cap: float = 50.0) -> dict:
+    """Column-expression form. ``dispatch`` picks the branch formula (≙
+    tracker type), the result is clipped to [0, cap] (≙ piecewise masks),
+    then decomposed into direct/diffuse components that sum EXACTLY to the
+    clipped total (≙ beam/diffuse split), plus the clip residual."""
+    raw = (
+        F.when(dispatch == "click", value * 1.2 + 1.0)
+        .when(dispatch == "purchase", value * 0.8)
+        .otherwise(value)
+    )
+    total = F.least(F.greatest(raw, F.lit(0.0)), F.lit(float(cap)))
+    frac = F.least(F.greatest(raw / F.lit(100.0), F.lit(0.0)), F.lit(1.0))
+    return {
+        "total": total,
+        "direct": total * frac,
+        "diffuse": total * (F.lit(1.0) - frac),
+        "residual": raw - total,
+    }
+
+
+def apply_composite_pack(
+    df: DataFrame, dispatch_col: str, value_col: str, cap: float = 50.0
+) -> DataFrame:
+    """Catalyst path: appends COMPOSITE_METRICS columns, all JVM-side."""
+    exprs = composite_pack_exprs(F.col(dispatch_col), F.col(value_col), cap)
+    for name, col in exprs.items():
+        df = df.withColumn(name, col)
+    return df
+
+
+def composite_pack_pandas(
+    pdf: pd.DataFrame, dispatch_col: str, value_col: str, cap: float = 50.0
+) -> pd.DataFrame:
+    """Vectorized numpy twin (np.select / np.clip — the reference's idiom),
+    bit-identical to the Column path (parity-tested)."""
+    v = pdf[value_col].to_numpy(dtype=np.float64)
+    d = pdf[dispatch_col].to_numpy()
+    raw = np.select([d == "click", d == "purchase"], [v * 1.2 + 1.0, v * 0.8], v)
+    total = np.clip(raw, 0.0, float(cap))
+    frac = np.clip(raw / 100.0, 0.0, 1.0)
+    out = pdf.copy()
+    out["total"] = total
+    out["direct"] = total * frac
+    out["diffuse"] = total * (1.0 - frac)
+    out["residual"] = raw - total
+    return out
+
+
 def default_pack(pdf: pd.DataFrame) -> pd.DataFrame:
     """Vectorized pandas implementation of DEFAULT_METRICS (oracle twin)."""
     pdf = pdf.sort_values("turn_idx", kind="mergesort")

@@ -1,0 +1,114 @@
+"""Distance-based interpolation weight tables — F15/J2 in SURVEY §2.3/§2.6.
+
+Reference semantics reproduced (`src/rewemo/ncep_reanalysis/
+timeseries_tools.py:16-76`):
+- distance = spherical law-of-cosines "haversine" variant:
+  r · arccos(cos(Δlat) − cos lat₁ · cos lat₂ · (1 − cos Δlon)),
+  angles converted to radians FIRST (the subtraction happens in radians,
+  matching `_spherical_dist` exactly);
+- per target: if any grid point is at distance 0, those points take weight
+  1 (the reference's exact-hit branch); otherwise the k smallest distances
+  get weights ∝ 1/d, normalized to sum 1 (`computeInterpolationWeights`).
+
+Spark shapes:
+- the target set is tiny (points of interest) → grid × broadcast(targets)
+  cross join, ranked per target by a (dist, grid_id) window. The window
+  partitions by target_id, so state per task is |grid| rows for ONE target
+  — at a huge grid, pre-filter by bounding box before ranking.
+- the weight table itself is |targets| × k rows → always broadcast into
+  the weighted re-aggregation join (J2): no shuffle of the fact table
+  beyond its own groupBy.
+
+Cross-engine parity notes (for the DuckDB oracle): radians conversion is an
+explicit multiply by the same literal constant, distances are rounded to 4
+decimals before weighting, weights to 6 — trig libm ulps can't flip the
+driver's value hash.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+RAD = math.pi / 180.0
+EARTH_R = 6378.137  # km, ≙ `timeseries_tools.py:16`
+
+
+def spherical_dist(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column, r: float = EARTH_R
+) -> Column:
+    """Reference-exact spherical distance (degrees in, km out)."""
+    la1, la2 = lat1 * F.lit(RAD), lat2 * F.lit(RAD)
+    lo1, lo2 = lon1 * F.lit(RAD), lon2 * F.lit(RAD)
+    arg = F.cos(la1 - la2) - F.cos(la1) * F.cos(la2) * (F.lit(1.0) - F.cos(lo1 - lo2))
+    # identical points yield arg == 1.0 exactly; clamp guards float spill
+    # above 1 for nearly-identical points (acos would return NaN)
+    return F.lit(r) * F.acos(F.least(arg, F.lit(1.0)))
+
+
+def build_knn_weight_table(
+    grid: DataFrame,
+    targets: DataFrame,
+    k: int = 3,
+    grid_id: str = "grid_id",
+    target_id: str = "target_id",
+) -> DataFrame:
+    """(grid_id, lat, lon) × (target_id, lat, lon) → (grid_id, target_id,
+    weight), the J2 weight table. ≙ `computeInterpolationWeights`
+    (`timeseries_tools.py:40-76`) including the exact-hit branch."""
+    g = grid.select(grid_id, F.col("lat").alias("_gla"), F.col("lon").alias("_glo"))
+    t = targets.select(
+        target_id, F.col("lat").alias("_tla"), F.col("lon").alias("_tlo")
+    )
+    d = g.crossJoin(F.broadcast(t)).select(
+        grid_id,
+        target_id,
+        F.round(
+            spherical_dist(F.col("_gla"), F.col("_glo"), F.col("_tla"), F.col("_tlo")),
+            4,
+        ).alias("dist"),
+    )
+    wt = W.partitionBy(target_id)
+    d = d.withColumn("_mind", F.min("dist").over(wt))
+
+    zero = d.where((F.col("_mind") == 0) & (F.col("dist") == 0)).select(
+        grid_id, target_id, F.lit(1.0).alias("weight")
+    )
+    ranked = (
+        d.where(F.col("_mind") > 0)
+        .withColumn(
+            "_rk", F.row_number().over(wt.orderBy("dist", grid_id))
+        )
+        .where(F.col("_rk") <= k)
+    )
+    inv = F.lit(1.0) / F.col("dist")
+    knn = ranked.withColumn("_s", F.sum(inv).over(wt)).select(
+        grid_id, target_id, F.round(inv / F.col("_s"), 6).alias("weight")
+    )
+    return zero.unionByName(knn)
+
+
+def weighted_rollup(
+    fact: DataFrame,
+    weight_table: DataFrame,
+    grid_id: str = "grid_id",
+    target_id: str = "target_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    freq_unit: str = "hour",
+) -> DataFrame:
+    """J2 weighted re-aggregation: broadcast-join the weight table onto the
+    fact stream, then one groupBy (target, bucket) with a weighted sum —
+    the matrix-product reaggregation of `ncep/wind.py:302-310` as a join +
+    partial-agg plan. The fact table shuffles exactly once, keyed by the
+    (small) target set × time bucket."""
+    j = fact.join(F.broadcast(weight_table), grid_id)
+    return (
+        j.groupBy(target_id, F.date_trunc(freq_unit, ts_col).alias("bucket_ts"))
+        .agg(
+            F.sum(F.col(value_col) * F.col("weight")).alias("wsum"),
+            F.count("*").alias("cnt"),
+        )
+    )
