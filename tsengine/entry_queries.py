@@ -462,7 +462,8 @@ def ts_threshold_indicators(spark, sf_dir):
 # Gap fill (SURVEY §2.5 W1/W2, gapfill.py)
 # ===========================================================================
 
-_GAPFILL_BASE = f"""
+def _gapfill_base(pad_hours: int = 0) -> str:
+    return f"""
 WITH ev AS ({_EV}),
 b AS (SELECT conv_id, metric, date_trunc('hour', ts) AS bucket_ts,
              avg(value) AS value
@@ -470,8 +471,9 @@ b AS (SELECT conv_id, metric, date_trunc('hour', ts) AS bucket_ts,
 bounds AS (SELECT conv_id, metric, min(bucket_ts) AS lo, max(bucket_ts) AS hi
            FROM b GROUP BY 1, 2),
 grid AS (SELECT conv_id, metric,
-                unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket_ts
-         FROM bounds),
+                unnest(generate_series(lo, hi + to_hours({pad_hours}),
+                                       INTERVAL '1 hour')) AS bucket_ts
+         FROM bounds),""" + """
 j AS (SELECT g.conv_id, g.metric, g.bucket_ts, b.value
       FROM grid g LEFT JOIN b
         ON b.conv_id = g.conv_id AND b.metric = g.metric
@@ -491,6 +493,9 @@ w AS (SELECT conv_id, metric, bucket_ts, value, epoch(bucket_ts) AS t,
      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
 FROM j)
 """
+
+
+_GAPFILL_BASE = _gapfill_base(0)
 
 _GAPFILL_FFILL_SQL = (
     _GAPFILL_BASE
@@ -582,6 +587,156 @@ def ts_gap_metrics(spark, sf_dir):
     return m.select(
         "conv_id", "metric", "n_points", "n_filled",
         F.round("fill_frac", 6).alias("fill_frac"),
+    )
+
+
+@q(
+    "ts_gapfill_pad",
+    _gapfill_base(3)
+    + """
+SELECT conv_id, metric, bucket_ts, round(prev_v, 6) AS value,
+       (w.value IS NULL) AS filled
+FROM w
+""",
+)
+def ts_gapfill_pad(spark, sf_dir):
+    """W2 trailing pad: gap fill with pad_steps=3 — three synthetic steps
+    past each series' end repeating the last value (generalizes the
+    reference's fixed 5-hour pad, `ncep_reanalysis/wind.py:190-197`)."""
+    long = _events_long(spark, sf_dir).where(F.col("metric") == "view")
+    filled = gapfill.gapfill_sql(long, freq="1h", method="ffill", pad_steps=3)
+    return filled.select(
+        "conv_id", "metric", "bucket_ts",
+        F.round("value", 6).alias("value"), "filled",
+    )
+
+
+# ===========================================================================
+# Full J4 curve transform (per-key curve choice from a config dim)
+# ===========================================================================
+
+_CURVE_YB = np.array([0.0, 0.2, 0.5, 0.9, 1.0, 0.7, 0.3, 0.1])
+_YB_SQL = "[" + ", ".join(f"{v}::DOUBLE" for v in _CURVE_YB) + "]"
+
+
+def _interp_case(y_sql: str) -> str:
+    return f"""CASE WHEN v < 50 OR v > 400 THEN 0.0::DOUBLE
+             ELSE {y_sql}[LEAST(floor((v - 50) / 50), 6)::BIGINT + 1]
+                  + ({y_sql}[LEAST(floor((v - 50) / 50), 6)::BIGINT + 2]
+                     - {y_sql}[LEAST(floor((v - 50) / 50), 6)::BIGINT + 1])
+                    / 50.0::DOUBLE
+                    * (v - (50 + LEAST(floor((v - 50) / 50), 6)::BIGINT * 50))
+             END"""
+
+
+@q(
+    "ts_curve_transform",
+    f"""
+WITH cfg AS (SELECT DISTINCT user_id,
+                    CASE WHEN user_id % 2 = 0 THEN 'curve_a' ELSE 'curve_b' END AS curve_ref,
+                    (((user_id % 3) + 1)::DOUBLE * 0.5::DOUBLE) AS scaling
+             FROM events),
+s AS (SELECT e.event_id, e.user_id::VARCHAR AS conv_id, c.curve_ref,
+             e.value * c.scaling AS v
+      FROM events e JOIN cfg c ON c.user_id = e.user_id)
+SELECT event_id, conv_id,
+       round(CASE WHEN curve_ref = 'curve_a' THEN {_interp_case(_Y_SQL)}
+             ELSE {_interp_case(_YB_SQL)} END, 6) AS curve_power
+FROM s
+""",
+)
+def ts_curve_transform(spark, sf_dir):
+    """Full J4+J5+J3 pipeline through curves.apply_curve_transform: a
+    broadcast config dim selects curve AND scaling per conversation
+    (≙ `compute_wind_power` driven by per-site config,
+    `src/rewemo/windpower.py:4-20`), then the chosen curve interpolates."""
+    import pandas as pd
+
+    ev = _read(spark, sf_dir, "events")
+    cfg = (
+        ev.select("user_id").distinct().select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.when(F.col("user_id") % 2 == 0, F.lit("curve_a"))
+            .otherwise(F.lit("curve_b")).alias("curve_ref"),
+            ((F.col("user_id") % 3 + 1).cast("double") * 0.5).alias("scaling"),
+        )
+    )
+    curve_df = ev.sparkSession.createDataFrame(
+        pd.DataFrame({"x": _CURVE_X, "curve_a": _CURVE_Y, "curve_b": _CURVE_YB})
+    )
+    feats = ev.select(
+        "event_id", F.col("user_id").cast("string").alias("conv_id"),
+        F.col("value").alias("rate"),
+    )
+    out = curves.apply_curve_transform(
+        feats, cfg, curve_df, input_col="rate", output_col="curve_power"
+    )
+    return out.select(
+        "event_id", "conv_id", F.round("curve_power", 6).alias("curve_power")
+    )
+
+
+# ===========================================================================
+# V1 validation report over a deterministically corrupted view
+# ===========================================================================
+
+@q(
+    "ts_validate_violations",
+    f"""
+WITH ev AS (SELECT user_id::VARCHAR AS conv_id, event_id AS turn_idx,
+                   event_type AS role,
+                   CASE WHEN event_id % 53 = 0 THEN NULL
+                        ELSE ts + to_hours(event_id % 7) END AS ts
+            FROM events),
+f AS (SELECT conv_id, turn_idx,
+             (ts IS NULL) AS null_ts,
+             (role IS NULL OR conv_id IS NULL) AS null_key,
+             (lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) > ts) AS ts_regress
+      FROM ev),
+g AS (SELECT conv_id, count(*)::BIGINT AS n_turns,
+             (max(turn_idx) + 1)::BIGINT AS max_plus1,
+             count(DISTINCT turn_idx)::BIGINT AS n_distinct_idx,
+             sum(CASE WHEN null_ts THEN 1 ELSE 0 END)::BIGINT AS n_null_ts,
+             sum(CASE WHEN null_key THEN 1 ELSE 0 END)::BIGINT AS n_null_key,
+             sum(CASE WHEN coalesce(ts_regress, FALSE) THEN 1 ELSE 0 END)::BIGINT
+                 AS n_ts_regress
+      FROM f GROUP BY 1)
+SELECT conv_id, n_turns, max_plus1, n_distinct_idx,
+       n_null_ts, n_null_key, n_ts_regress,
+       (n_turns = max_plus1 AND n_turns = n_distinct_idx) AS dense_idx
+FROM g
+WHERE NOT (n_turns = max_plus1 AND n_turns = n_distinct_idx)
+   OR n_null_ts > 0 OR n_null_key > 0 OR n_ts_regress > 0
+""",
+)
+def ts_validate_violations(spark, sf_dir):
+    """V1 contract validation as a distributed report: events mapped onto
+    the transcripts shape with deterministic corruption (sparse turn_idx,
+    shuffled timestamps, periodic NULL ts), through
+    validate.transcript_violations (≙ the raise-on-mismatch validators,
+    `ncep_reanalysis/wind.py:74-96`, re-expressed as one aggregation)."""
+    from tsengine import validate
+
+    ev = _read(spark, sf_dir, "events")
+    t = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.when(F.col("event_id") % 53 == 0, F.lit(None).cast("timestamp"))
+        .otherwise(
+            F.col("ts") + (F.col("event_id") % 7) * F.expr("INTERVAL 1 HOUR")
+        ).alias("ts"),
+    )
+    v = validate.transcript_violations(t)
+    return v.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("max_plus1").cast("long").alias("max_plus1"),
+        F.col("n_distinct_idx").cast("long").alias("n_distinct_idx"),
+        F.col("n_null_ts").cast("long").alias("n_null_ts"),
+        F.col("n_null_key").cast("long").alias("n_null_key"),
+        F.col("n_ts_regress").cast("long").alias("n_ts_regress"),
+        "dense_idx",
     )
 
 
