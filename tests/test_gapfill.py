@@ -82,3 +82,23 @@ def test_gap_metrics(spark, transcripts):
     gm = gapfill.gap_metrics(filled).toPandas()
     assert (gm["n_filled"] <= gm["n_points"]).all()
     assert gm["n_filled"].sum() > 0  # synth injects gaps, so fills must occur
+
+
+def test_mega_span_series_day_chunked(spark):
+    """A sparse series spanning 2 years must not materialize one giant
+    sequence array: the segment design caps every explode at <= 1 day of
+    steps. Output still matches the pandas twin exactly."""
+    rows = []
+    ts0 = pd.Timestamp("2022-01-15 06:00:00")
+    # 12 observations, months apart -> 2-year span, huge gaps
+    for i in range(12):
+        rows.append(("mega", "m", (ts0 + pd.Timedelta(days=61 * i, hours=i)).to_pydatetime(), float(i * i)))
+    df = spark.createDataFrame(rows, "conv_id string, metric string, ts timestamp, value double")
+    got = _norm(gapfill.gapfill_sql(df, "1h", "linear", pad_steps=2).toPandas())
+    want = _norm(gapfill.gapfill_pandas(df, "1h", "linear", pad_steps=2).toPandas())
+    assert len(got) == len(want) and len(got) > 16000  # ~671 days of hours
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "metric", "bucket_ts", "filled"]],
+        want[["conv_id", "metric", "bucket_ts", "filled"]],
+    )
+    np.testing.assert_allclose(got["value"], want["value"], rtol=1e-9, atol=1e-12)

@@ -60,48 +60,77 @@ def gapfill_sql(
     method: str = "linear",
     pad_steps: int = 0,
 ) -> DataFrame:
-    """Catalyst-native gap fill. method ∈ {linear, ffill}."""
+    """Catalyst-native gap fill. method ∈ {linear, ffill}.
+
+    Scale design — gap-SEGMENT generation, not grid-window scanning:
+    1. bucketize observed points (shuffle keyed by (conv_id, metric));
+    2. one lead() window over OBSERVED buckets only pairs each point with
+       its successor — task state is bounded by observed data, never by
+       grid span (the old design ran unbounded windows over the full
+       synthesized grid: a sparse 2-year 1m series = 1M grid rows in ONE
+       task);
+    3. each segment [t0, t1) emits its own grid rows carrying both
+       endpoints, so the linear blend needs NO second window — and the
+       explode is day-chunked (outer day sequence, inner ≤ 1 day of
+       steps), so no single array exceeds 1440 elements at 1m regardless
+       of gap length. A mega-gap becomes many independent day rows.
+
+    Identical output to the window formulation (the blend uses the same
+    float expression on the same operands; tested against the pandas twin
+    and the DuckDB window oracle)."""
     _, interval, _, _ = FREQ[freq]
     b = _bucket(features_long, freq)
 
-    bounds = b.groupBy("conv_id", "metric").agg(
-        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
-    )
-    grid = bounds.select(
+    w = W.partitionBy("conv_id", "metric").orderBy("bucket_ts")
+    seg = b.select(
         "conv_id",
         "metric",
+        F.col("bucket_ts").alias("t0"),
+        F.col("value").alias("v0"),
+        F.lead("bucket_ts").over(w).alias("t1"),
+        F.lead("value").over(w).alias("v1"),
+    )
+    # last grid point of this segment: the step before the next observation,
+    # or (for the series' final point) the trailing pad
+    seg_last = F.when(
+        F.col("t1").isNotNull(), F.expr(f"t1 - {interval}")
+    ).otherwise(F.expr(f"t0 + {pad_steps} * {interval}"))
+    day = F.expr("INTERVAL 1 DAY")
+    chunked = seg.withColumn("_last", seg_last).select(
+        "conv_id", "metric", "t0", "v0", "t1", "v1", "_last",
         F.explode(
-            F.expr(f"sequence(lo, hi + {pad_steps} * {interval}, {interval})")
+            F.sequence(F.date_trunc("day", "t0"), F.date_trunc("day", "_last"), day)
+        ).alias("_day"),
+    )
+    grid = chunked.select(
+        "conv_id", "metric", "t0", "v0", "t1", "v1",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_day"), F.col("t0")),
+                F.least(F.col("_day") + day - F.expr(interval), F.col("_last")),
+                F.expr(interval),
+            )
         ).alias("bucket_ts"),
     )
-    j = grid.join(b, ["conv_id", "metric", "bucket_ts"], "left")
 
-    w = W.partitionBy("conv_id", "metric").orderBy("bucket_ts")
-    wp = w.rowsBetween(W.unboundedPreceding, 0)
-    wn = w.rowsBetween(0, W.unboundedFollowing)
     t = F.col("bucket_ts").cast("double")
-    known_t = F.when(F.col("value").isNotNull(), t)
-    prev_v = F.last("value", ignorenulls=True).over(wp)
-    prev_t = F.last(known_t, ignorenulls=True).over(wp)
-    next_v = F.first("value", ignorenulls=True).over(wn)
-    next_t = F.first(known_t, ignorenulls=True).over(wn)
-
+    t0d, t1d = F.col("t0").cast("double"), F.col("t1").cast("double")
     if method == "linear":
-        blend = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
-        fill = F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
-            F.coalesce(blend, prev_v)
+        blend = F.col("v0") + (F.col("v1") - F.col("v0")) * (t - t0d) / (t1d - t0d)
+        fill = F.when(F.col("bucket_ts") == F.col("t0"), F.col("v0")).otherwise(
+            F.coalesce(blend, F.col("v0"))
         )
     elif method == "ffill":
-        fill = prev_v
+        fill = F.col("v0")
     else:
         raise ValueError(method)
 
-    return j.select(
+    return grid.select(
         "conv_id",
         "metric",
         "bucket_ts",
         fill.alias("value"),
-        F.col("value").isNull().alias("filled"),
+        (F.col("bucket_ts") != F.col("t0")).alias("filled"),
     )
 
 
