@@ -24,6 +24,9 @@ textops   — dedup (exact/minhash/simhash/ngram), lang-id, quality, tokens
 vecops    — embedding similarity: brute-force + LSH-bucketed cosine top-k
 multimodal— opaque binary columns + stubbed decoders over mapInPandas
 jobs      — end-to-end pipeline entry points (spark-submit friendly)
+disagg    — daily→hourly disaggregation + per-day renormalization (W3/A8)
+weights   — distance-based kNN interpolation weight tables + J2 join (F15)
+export_emps — EMPS fixed-text sink: day×hour pivot + header block (S10)
 """
 
 __version__ = "0.1.0"
