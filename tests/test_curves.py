@@ -41,3 +41,14 @@ def test_interp_udf_matches_numpy(spark):
     want = np.interp(np.array(vals), X, y, left=0.0, right=0.0)
     want[np.isnan(vals)] = np.nan
     np.testing.assert_array_equal(got.to_numpy(), want)
+
+
+def test_read_curve_csv_roundtrip(spark, tmp_path):
+    p = tmp_path / "curves.csv"
+    p.write_text("speed,curve_a,curve_b\n50,0.0,0.1\n100,0.5,0.6\n150,1.0,0.9\n")
+    df = curves.read_curve_csv(spark, str(p))
+    assert df.columns == ["x", "curve_a", "curve_b"]
+    x, cs = curves.curve_table_to_arrays(df)
+    np.testing.assert_array_equal(x, [50.0, 100.0, 150.0])
+    np.testing.assert_array_equal(cs["curve_a"], [0.0, 0.5, 1.0])
+    np.testing.assert_array_equal(cs["curve_b"], [0.1, 0.6, 0.9])

@@ -79,3 +79,23 @@ def test_weighted_rollup_broadcast_plan(tables, spark):
     assert "BroadcastHashJoin" in buf.getvalue()
     pdf = out.toPandas()
     assert (pdf["cnt"] > 0).all()
+
+
+def test_normalize_grid_coords(spark):
+    rows = [(0, 90.0, 350.0), (1, -90.0, 180.0), (2, 45.0, 179.0), (3, 0.0, 0.0)]
+    df = spark.createDataFrame(rows, "grid_id long, lat double, lon double")
+    out = weights.normalize_grid_coords(df).toPandas().set_index("grid_id")
+    assert out.loc[0, "lat"] == 89.999 and out.loc[0, "lon"] == -10.0
+    assert out.loc[1, "lat"] == -89.999 and out.loc[1, "lon"] == -180.0
+    assert out.loc[2, "lat"] == 45.0 and out.loc[2, "lon"] == 179.0
+    assert out.loc[3, "lon"] == 0.0
+
+
+def test_bbox_filter_prunes(spark):
+    rows = [(i, float(i * 10 - 40), float(i * 20 - 80)) for i in range(9)]
+    df = spark.createDataFrame(rows, "grid_id long, lat double, lon double")
+    kept = weights.bbox_filter(df, (-20.0, 20.0), (-50.0, 50.0)).toPandas()
+    assert set(kept["grid_id"]) == {
+        i for i in range(9)
+        if -20 <= i * 10 - 40 <= 20 and -50 <= i * 20 - 80 <= 50
+    }

@@ -45,6 +45,17 @@ def make_interp_udf(x: np.ndarray, curves: dict[str, np.ndarray]):
     return interp
 
 
+def read_curve_csv(spark, path: str) -> DataFrame:
+    """S4 CSV dimension scan: a header CSV whose first column is the curve
+    x-axis and remaining columns are named response curves (≙ the power
+    curve files read with ``pd.read_csv`` at
+    `examples/example_create_wind_power.py:17` and
+    `ncep_reanalysis/example_wind.py:14`). Returned with the x column
+    normalized to ``x`` so it feeds curve_table_to_arrays directly."""
+    df = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    return df.withColumnRenamed(df.columns[0], "x")
+
+
 SMALL_NUMBER = 1e-9  # ≙ `examples/helper_functions.py:15`
 
 

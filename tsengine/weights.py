@@ -48,6 +48,37 @@ def spherical_dist(
     return F.lit(r) * F.acos(F.least(arg, F.lit(1.0)))
 
 
+def normalize_grid_coords(df: DataFrame, lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """V3 input normalization (≙ `timeseries_tools.py:84-86`): wrap
+    longitude from [0, 360) into [-180, 180) and nudge the poles off ±90
+    (the spherical distance degenerates exactly at the poles)."""
+    lo = F.when(F.col(lon) < 180.0, F.col(lon)).otherwise(F.col(lon) - 360.0)
+    la = (
+        F.when(F.col(lat) == 90.0, F.lit(89.999))
+        .when(F.col(lat) == -90.0, F.lit(-89.999))
+        .otherwise(F.col(lat))
+    )
+    return df.withColumn(lat, la).withColumn(lon, lo)
+
+
+def bbox_filter(
+    df: DataFrame,
+    lat_range: tuple[float, float],
+    lon_range: tuple[float, float],
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """P7 spatial range predicate: a plain pushable column filter — prunes
+    the grid BEFORE the cross join / ranking window, which is the 100 TB
+    guard for build_knn_weight_table (with the grid stored partitioned by
+    coarse cell this becomes partition pruning)."""
+    (la0, la1), (lo0, lo1) = lat_range, lon_range
+    return df.where(
+        (F.col(lat) >= la0) & (F.col(lat) <= la1)
+        & (F.col(lon) >= lo0) & (F.col(lon) <= lo1)
+    )
+
+
 def build_knn_weight_table(
     grid: DataFrame,
     targets: DataFrame,
