@@ -934,30 +934,42 @@ def text_token_stats(spark, sf_dir):
     )
 
 
-_STOP_EN = "['the', 'and', 'of', 'to', 'a']"
+_STOP_EN = "[" + ", ".join(f"'{w}'" for w in textops.STOPWORDS["en"]) + "]"
 
 @q(
     "text_quality",
     f"""
-WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+c AS (SELECT doc_id,
+        LEAST(length(text)::DOUBLE / 500.0::DOUBLE, 1.0::DOUBLE) AS len_score,
+        CASE WHEN len(toks) > 0
+             THEN len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE
+             ELSE 0.0::DOUBLE END AS uniq_ratio,
+        CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, x -> list_contains({_STOP_EN}, x)))::DOUBLE
+                  / len(toks)::DOUBLE
+             ELSE 0.0::DOUBLE END AS stop_ratio,
+        CASE WHEN length(text) > 0
+             THEN (length(text)
+                   - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n]', '', 'g')))::DOUBLE
+                  / length(text)::DOUBLE
+             ELSE 0.0::DOUBLE END AS symbol_ratio,
+        CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                  / len(toks)::DOUBLE
+             ELSE 0.0::DOUBLE END AS mean_word_len
+      FROM t)
 SELECT doc_id,
-  round(LEAST(length(text)::DOUBLE / 500.0::DOUBLE, 1.0::DOUBLE), 6) AS len_score,
-  round(CASE WHEN len(toks) > 0
-        THEN len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE
-        ELSE 0.0::DOUBLE END, 6) AS uniq_ratio,
-  round(CASE WHEN len(toks) > 0
-        THEN len(list_filter(toks, x -> list_contains({_STOP_EN}, x)))::DOUBLE
-             / len(toks)::DOUBLE
-        ELSE 0.0::DOUBLE END, 6) AS stop_ratio,
-  round(0.4::DOUBLE * LEAST(length(text)::DOUBLE / 500.0::DOUBLE, 1.0::DOUBLE)
-      + 0.4::DOUBLE * (CASE WHEN len(toks) > 0
-            THEN len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE
-            ELSE 0.0::DOUBLE END)
-      + 0.2::DOUBLE * LEAST((CASE WHEN len(toks) > 0
-            THEN len(list_filter(toks, x -> list_contains({_STOP_EN}, x)))::DOUBLE
-                 / len(toks)::DOUBLE
-            ELSE 0.0::DOUBLE END) * 5, 1.0::DOUBLE), 6) AS quality
-FROM t
+       round(len_score, 6) AS len_score,
+       round(uniq_ratio, 6) AS uniq_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(0.3::DOUBLE * len_score + 0.3::DOUBLE * uniq_ratio
+           + 0.2::DOUBLE * LEAST(stop_ratio * 5, 1.0::DOUBLE)
+           + 0.2::DOUBLE * (1.0::DOUBLE - LEAST(symbol_ratio * 4, 1.0::DOUBLE)),
+             6) AS quality
+FROM c
 """,
 )
 def text_quality(spark, sf_dir):
@@ -967,6 +979,8 @@ def text_quality(spark, sf_dir):
         F.round("len_score", 6).alias("len_score"),
         F.round("uniq_ratio", 6).alias("uniq_ratio"),
         F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
         F.round("quality", 6).alias("quality"),
     )
 

@@ -349,12 +349,20 @@ def ngram_jaccard_pairs(
 # language ID / quality / token stats / fingerprint
 # --------------------------------------------------------------------------
 
+# marker-word lists per language (function words — high-frequency, short,
+# language-distinctive; ~20 per language keeps the Column expression small
+# while being far past the toy-5 threshold where common loanwords dominate)
 STOPWORDS = {
-    "en": ["the", "and", "of", "to", "a"],
-    "fr": ["le", "la", "et", "les", "de"],
-    "es": ["el", "la", "los", "de", "que"],
-    "de": ["der", "die", "und", "das", "ist"],
-    "zh": ["de", "shi", "le", "bu", "wo"],
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "was",
+           "for", "on", "with", "as", "his", "they", "at", "be", "this", "have"],
+    "fr": ["le", "la", "et", "les", "des", "une", "dans", "est", "pour", "qui",
+           "pas", "sur", "avec", "son", "aux", "ce", "cette", "mais", "nous", "vous"],
+    "es": ["el", "los", "las", "que", "una", "por", "con", "para", "del", "se",
+           "su", "al", "lo", "como", "más", "pero", "sus", "está", "entre", "cuando"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "eine", "auf",
+           "für", "den", "dem", "sich", "auch", "werden", "aus", "bei", "nach", "wird"],
+    "zh": ["de", "shi", "bu", "wo", "ni", "ta", "men", "zhe", "na", "hen",
+           "dou", "mei", "hao", "yao", "hui", "shuo", "kan", "lai", "qu", "zai"],
 }
 
 
@@ -392,29 +400,46 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+SYMBOL_RE = "[^A-Za-z0-9 \\t\\n]"
+
+
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality features + composite score ∈ [0,1]:
-    - len_score: saturating length ratio  min(n_chars/500, 1)
-    - uniq_ratio: distinct/total tokens (repetition penalty)
-    - stop_ratio: english stopword fraction (fluency proxy)
-    score = 0.4·len + 0.4·uniq + 0.2·min(stop·5, 1)"""
+    """Heuristic quality features + composite score ∈ [0,1] (the classic
+    pre-training filter battery — length, repetition, fluency, symbol
+    noise, word shape):
+    - len_score:     saturating length ratio  min(n_chars/500, 1)
+    - uniq_ratio:    distinct/total tokens (repetition penalty)
+    - stop_ratio:    english stopword fraction (fluency proxy)
+    - symbol_ratio:  non-alphanumeric-char fraction (markup/noise proxy)
+    - mean_word_len: Σ token length / n_tokens (gibberish/URL detector)
+    score = 0.3·len + 0.3·uniq + 0.2·min(stop·5, 1) + 0.2·(1 − min(symbol·4, 1))"""
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks)
     uniq = F.size(F.array_distinct(toks))
     stop = _stop_hits(toks, STOPWORDS["en"])
-    len_score = F.least(F.length(text_col) / F.lit(500.0), F.lit(1.0))
+    n_chars = F.length(text_col)
+    n_sym = n_chars - F.length(F.regexp_replace(F.col(text_col), SYMBOL_RE, ""))
+    tok_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    )
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     uniq_ratio = F.when(n_tok > 0, uniq / n_tok).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(n_chars > 0, n_sym / n_chars).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_tok > 0, tok_chars / n_tok).otherwise(F.lit(0.0))
     score = (
-        F.lit(0.4) * len_score
-        + F.lit(0.4) * uniq_ratio
+        F.lit(0.3) * len_score
+        + F.lit(0.3) * uniq_ratio
         + F.lit(0.2) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(symbol_ratio * 4, F.lit(1.0)))
     )
     return docs.select(
         id_col,
         len_score.alias("len_score"),
         uniq_ratio.alias("uniq_ratio"),
         stop_ratio.alias("stop_ratio"),
+        symbol_ratio.alias("symbol_ratio"),
+        mean_word_len.alias("mean_word_len"),
         score.alias("quality"),
     )
 
