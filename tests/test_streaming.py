@@ -63,3 +63,48 @@ def test_streaming_tier_matches_batch(spark, tmp_path):
         pd.testing.assert_series_equal(
             merged[f"{c}_s"], merged[f"{c}_b"], check_names=False, rtol=1e-12
         )
+
+
+def test_streaming_latency_matches_batch(spark, tmp_path):
+    """applyInPandasWithState latency must equal the batch lag() signal when
+    turns arrive in order across micro-batches."""
+    import glob
+    import shutil
+
+    t = synth.generate_transcripts(spark, n_convs=10, mega_turns=100)
+    mid = t.approxQuantile("turn_idx", [0.5], 0.01)[0]
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    t.where(F.col("turn_idx") <= mid).coalesce(1).write.parquet(d1)
+    t.where(F.col("turn_idx") > mid).coalesce(1).write.parquet(d2)
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(str(tmp_path) + "/d*/part-*.parquet"))):
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        # Spark's file source orders micro-batches by modification time and
+        # breaks ties arbitrarily — pin distinct mtimes so drop order is the
+        # arrival order the test depends on
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = streaming.read_transcript_stream(spark, flat, max_files_per_trigger=1)
+    lat = streaming.streaming_latency(stream)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = streaming.start_tier_sink(lat, out_dir, ckpt, trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = (
+        spark.read.parquet(out_dir).toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    batch = (
+        features.derive_features(t)
+        .select("conv_id", "turn_idx", "latency_s").toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert len(got) == len(batch)
+    pd.testing.assert_series_equal(
+        got["latency_s"], batch["latency_s"], check_names=False, rtol=1e-9
+    )

@@ -89,6 +89,66 @@ def streaming_tier_1m(
     )
 
 
+LATENCY_OUT = "conv_id string, turn_idx int, ts timestamp, latency_s double"
+LATENCY_STATE = "last_ts double, last_idx int"
+
+
+def streaming_latency(stream: DataFrame) -> DataFrame:
+    """Order-dependent signals on a live stream via applyInPandasWithState:
+    per-conversation turn latency (Δts vs the PREVIOUS turn, which a plain
+    windowed agg cannot see across micro-batches).
+
+    State per conv_id = (last turn's epoch seconds, last turn_idx) — two
+    scalars, so state size is O(active conversations), independent of
+    stream length. Within a batch the group sorts by turn_idx (the
+    authoritative order key); rows at or below the state's last_idx are
+    late duplicates/out-of-order stragglers and are DROPPED (the batch
+    backfill is the source of truth for reordered history — the standard
+    lambda split, same policy as streaming_tier_1m's docstring).
+
+    Downstream, the emitted per-turn latency rows feed the 1m tier via the
+    same foreachBatch sink; the batch cascade remains authoritative."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values("turn_idx", kind="mergesort")
+        last_ts, last_idx = state.get if state.exists else (None, -1)
+        rows = rows[rows["turn_idx"] > last_idx]
+        if not len(rows):
+            return
+        t = rows["ts"].astype("int64").to_numpy() / 1e9
+        lat = np.empty(len(t))
+        lat[0] = t[0] - last_ts if last_ts is not None else np.nan
+        lat[1:] = np.diff(t)
+        state.update((float(t[-1]), int(rows["turn_idx"].iloc[-1])))
+        yield pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "turn_idx": rows["turn_idx"].to_numpy(),
+                "ts": rows["ts"].to_numpy(),
+                "latency_s": lat,
+            }
+        )
+
+    return (
+        stream.select("conv_id", "turn_idx", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=LATENCY_OUT,
+            stateStructType=LATENCY_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def start_tier_sink(
     tier_stream: DataFrame,
     out_path: str,
