@@ -185,9 +185,13 @@ def main() -> None:
     best: dict[int, float] = {}
     effs: list[float] = []
     n_turns = n_pts = 0
-    for _ in range(outer):
+    for r in range(outer):
         pair: dict[int, float] = {}
-        for cores in (small, big):
+        # alternate within-pair order (small,big / big,small) so monotone
+        # host drift inside a pair cancels across rounds instead of biasing
+        # the ratio one way
+        order = (small, big) if r % 2 == 0 else (big, small)
+        for cores in order:
             sec, n_turns, n_pts = run_pipeline_at(cores)
             pair[cores] = sec
             best[cores] = min(best.get(cores, sec), sec)

@@ -61,33 +61,47 @@ def encode_chunks(
     span_s = CHUNK_SPAN_SECONDS[chunk_span]
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized sort + run-boundary detection instead of a pandas
+        # groupby iterator: at 1d spans over hourly grids chunks are ~24
+        # rows, and per-group pandas slicing dominated encode cost ~2×;
+        # numpy slice views leave only the irreducible per-chunk codec calls
         pdf = pdf.sort_values(ts_col, kind="mergesort")
+        cs_all = pdf["chunk_start"].to_numpy()
+        ts_all = pdf[ts_col].astype("int64").to_numpy()
+        val_all = pdf["value"].to_numpy(dtype=np.float64)
+        starts = np.flatnonzero(np.r_[True, cs_all[1:] != cs_all[:-1]])
+        ends = np.r_[starts[1:], len(cs_all)]
+        conv = pdf["conv_id"].iloc[0]
+        metric = pdf["metric"].iloc[0]
         rows = []
-        for cs, g in pdf.groupby("chunk_start", sort=False):
-            ts_ns = g[ts_col].astype("int64").to_numpy()
-            vals = g["value"].to_numpy(dtype=np.float64)
+        for s, e in zip(starts, ends):
+            vals = val_all[s:e]
             finite = vals[np.isfinite(vals)]
             rows.append(
                 (
-                    g["conv_id"].iloc[0],
-                    g["metric"].iloc[0],
-                    cs,
-                    len(vals),
+                    conv,
+                    metric,
+                    cs_all[s],
+                    e - s,
                     ts_codec,
                     value_codec,
-                    tenc(ts_ns),
+                    tenc(ts_all[s:e]),
                     venc(vals),
                     float(finite.min()) if len(finite) else None,
                     float(finite.max()) if len(finite) else None,
                 )
             )
-        return pd.DataFrame(
+        out = pd.DataFrame(
             rows,
             columns=[
                 "conv_id", "metric", "chunk_start", "n", "ts_codec",
                 "val_codec", "ts_blob", "val_blob", "v_min", "v_max",
             ],
         )
+        # tuples carry np.datetime64 scalars → object dtype; restore the
+        # timestamp dtype Arrow expects
+        out["chunk_start"] = pd.to_datetime(out["chunk_start"])
+        return out
 
     keyed = series.withColumn(
         "chunk_start", F.date_trunc(unit, F.col(ts_col))

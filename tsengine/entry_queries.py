@@ -1361,6 +1361,32 @@ def mm_frames(spark, sf_dir):
     )
 
 
+@q(
+    "mm_resize",
+    """
+SELECT doc_id::BIGINT AS media_id, octet_length(text::BLOB)::BIGINT AS byte_len,
+       LEAST(16 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64, 32)::BIGINT AS width,
+       LEAST(16 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64, 32)::BIGINT AS height,
+       (1 + ('0x' || substr(md5(text), 5, 2))::BIGINT % 8)::BIGINT AS n_frames,
+       md5(text) AS fingerprint
+FROM documents
+""",
+)
+def mm_resize(spark, sf_dir):
+    """Resize stage through the real mapInPandas plumbing (decoder stubbed;
+    dimension clamp is the verifiable part of the contract)."""
+    media = multimodal.to_media_table(_read(spark, sf_dir, "documents"))
+    rs = multimodal.resize_stub(media, max_side=32)
+    return rs.select(
+        "media_id",
+        F.col("byte_len").cast("long").alias("byte_len"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "fingerprint",
+    )
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================
