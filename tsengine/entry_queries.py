@@ -1300,6 +1300,45 @@ def vec_ann_join(spark, sf_dir):
 
 
 @q(
+    "vec_near_dup",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({_bucket_sql('v')})::BIGINT AS bucket FROM e),
+p AS (SELECT a.vec_id AS left_id, c.vec_id AS right_id,
+             list_cosine_similarity(a.v, c.v) AS sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+SELECT left_id, right_id, round(sim, 5) AS cosine_sim
+FROM p WHERE sim >= 0.25
+""",
+)
+def vec_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate join
+    (never all-pairs) + cosine threshold — the embedding-side sibling of
+    the MinHash/SimHash text dedup family. Threshold 0.25 suits the
+    synthetic random embeddings (max pairwise cosine ≈ 0.48); production
+    near-dup uses ~0.9+."""
+    emb = _read(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        vecops._as_double(F.col("embedding")).alias("v"),
+    ).withColumn("bucket", vecops.rank_lsh_bucket(F.col("v"), 8))
+    a = b.select(F.col("vec_id").alias("left_id"), F.col("v").alias("lv"), "bucket")
+    c = b.select(F.col("vec_id").alias("right_id"), F.col("v").alias("rv"), "bucket")
+    pairs = (
+        a.join(c, "bucket")
+        .where(F.col("left_id") < F.col("right_id"))
+        .select(
+            "left_id", "right_id",
+            vecops.cosine(F.col("lv"), F.col("rv")).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= 0.25)
+    )
+    return pairs.select(
+        "left_id", "right_id", F.round("cosine_sim", 5).alias("cosine_sim")
+    )
+
+
+@q(
     "vec_label_stats",
     """
 SELECT label, count(*)::BIGINT AS cnt,
