@@ -176,3 +176,16 @@ def test_fingerprint_stable_under_identity(docs):
     toks = DOCS[0][1].split()
     shs = {" ".join(toks[i : i + 4]) for i in range(len(toks) - 3)}
     assert fp.loc[0, "fingerprint"] == min(_h60(s) for s in shs)
+
+
+def test_ngram_jaccard_lsh_composition(docs):
+    """Exact-dup pair survives the LSH-candidate restriction with jaccard 1;
+    every emitted pair's score equals the unrestricted exact computation."""
+    p = textops.ngram_jaccard_lsh(docs, n=3, k=8, band_size=2).toPandas()
+    d = {(a, b): j for a, b, j in zip(p["doc_a"], p["doc_b"], p["jaccard"])}
+    assert d[(0, 1)] == 1.0
+    full = textops.ngram_jaccard_pairs(docs, n=3, block_col="source").toPandas()
+    fd = {(a, b): j for a, b, j in zip(full["doc_a"], full["doc_b"], full["jaccard"])}
+    for pair, j in d.items():
+        if pair in fd:  # same-block pairs must agree exactly
+            assert abs(j - fd[pair]) < 1e-12

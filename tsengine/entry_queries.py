@@ -1117,6 +1117,61 @@ def text_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _band_rows_sql(k: int, band_size: int) -> str:
+    n_bands = k // band_size
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5("
+        + " || '_' || ".join(
+            f"sig_{b * band_size + j}::VARCHAR" for j in range(band_size)
+        )
+        + ") AS bucket FROM s"
+        for b in range(n_bands)
+    )
+
+
+@q(
+    "text_ngram_jaccard_lsh",
+    f"""
+WITH s AS ({_minhash_sql(4)}),
+bands AS ({_band_rows_sql(4, 2)}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id),
+d AS ({_DOCS2}),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM d),
+sl AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 3
+                   THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+                   ELSE [] END AS shs
+       FROM t),
+sh AS (SELECT doc_id, unnest(shs) AS sh FROM sl),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+inter AS (SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_inter
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                      JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter::DOUBLE / (sa.n_sh + sb.n_sh - i.n_inter)::DOUBLE, 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_inter::DOUBLE / (sa.n_sh + sb.n_sh - i.n_inter)::DOUBLE > 0
+""",
+)
+def text_ngram_jaccard_lsh(spark, sf_dir):
+    """Production dedup composition: exact n-gram Jaccard computed ONLY on
+    MinHash-LSH candidate pairs (no metadata blocking key, candidate volume
+    bounded by the bands)."""
+    p = textops.ngram_jaccard_lsh(_docs2(spark, sf_dir), n=3, k=4, band_size=2)
+    return p.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def _simhash_sql(bits: int = 16) -> str:
     terms = " + ".join(
         f"(CASE WHEN coalesce(list_sum(list_transform(h, x -> ((x >> {j}) & 1) * 2 - 1)), 0) >= 0 "

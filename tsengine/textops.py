@@ -345,6 +345,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_lsh(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 8,
+    band_size: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.0,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard restricted to MinHash-LSH candidate pairs — the
+    production composition of the two stages (`ngram_jaccard_pairs`'s
+    docstring promise): no metadata blocking key needed, candidate volume
+    bounded by the LSH bands, and the exact score computed only where a
+    near-dup is plausible.
+
+    Plan: sigs → banded candidate pairs → join each side's exploded
+    shingles through the pair list → count intersections → |∪| from sizes.
+    Shuffles are keyed by doc_id / shingle digest (uniform)."""
+    sigs = minhash_signature(docs, k=k, shingle_n=n, text_col=text_col, id_col=id_col)
+    cand = lsh_candidate_pairs(
+        sigs, k=k, band_size=band_size, id_col=id_col, max_bucket=max_bucket
+    ).select("doc_a", "doc_b")
+
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    ).select(id_col, F.md5("shingle").alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "sh"])  # equi-join on (doc, shingle): hash join,
+        # intersection rows only — never |A|x|B| per pair
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") > min_jaccard)
+    )
+
+
 # --------------------------------------------------------------------------
 # language ID / quality / token stats / fingerprint
 # --------------------------------------------------------------------------
