@@ -74,3 +74,29 @@ def test_finalize_std(spark, transcripts):
     assert len(m) == len(fin)
     np.testing.assert_allclose(m["mean"], m["mean_exp"], rtol=1e-9)
     np.testing.assert_allclose(m["std_pop"], m["std_pop_exp"], rtol=1e-6, atol=1e-9)
+
+
+def test_session_rollup_gap_semantics(spark):
+    from datetime import datetime
+
+    from tsengine import rollup as R
+
+    rows = [
+        ("c", datetime(2024, 1, 1, 10, 0, 0), 1.0),
+        ("c", datetime(2024, 1, 1, 10, 10, 0), 2.0),   # < gap -> same session
+        ("c", datetime(2024, 1, 1, 10, 40, 0), 3.0),   # exactly 30m -> MERGES (touching windows)
+        ("c", datetime(2024, 1, 1, 12, 0, 0), 4.0),    # far -> new session
+        ("d", datetime(2024, 1, 1, 10, 0, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, value double")
+    out = (
+        R.session_rollup(df, gap="30 minutes").toPandas()
+        .sort_values(["conv_id", "sess_start"]).reset_index(drop=True)
+    )
+    c = out[out["conv_id"] == "c"]
+    assert len(c) == 2, f"expected 2 sessions for c, got\n{out}"
+    assert list(c["cnt"]) == [3, 1]
+    assert c.iloc[0]["sum"] == 6.0
+    # sess_end = last event + gap
+    assert c.iloc[0]["sess_end"] == datetime(2024, 1, 1, 11, 10, 0)
+    assert len(out[out["conv_id"] == "d"]) == 1

@@ -148,6 +148,41 @@ def ts_tier_1h_stats(spark, sf_dir):
     )
 
 
+@q(
+    "ts_session_windows",
+    f"""
+WITH ev AS ({_EV}),
+x AS (SELECT conv_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+      WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
+y AS (SELECT conv_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY conv_id ORDER BY ts, new_sess DESC
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM x)
+SELECT conv_id, min(ts) AS sess_start,
+       max(ts) + INTERVAL 30 MINUTE AS sess_end,
+       count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_v,
+       min(value) AS min_v, max(value) AS max_v
+FROM y GROUP BY conv_id, sess_id
+""",
+)
+def ts_session_windows(spark, sf_dir):
+    """Activity sessionization through Spark's native session_window (merge
+    events with inter-arrival < 30m) — oracle is the classic
+    gaps-and-islands formulation; an event at EXACTLY the gap merges into
+    the session in both (Spark merges touching windows)."""
+    ev = _events_long(spark, sf_dir)
+    s = rollup.session_rollup(ev, gap="30 minutes")
+    return s.select(
+        "conv_id", "sess_start", "sess_end", "cnt",
+        F.round("sum", 4).alias("sum_v"),
+        F.col("min").alias("min_v"), F.col("max").alias("max_v"),
+    )
+
+
 # ===========================================================================
 # Indicator battery / profiles / duration curve (SURVEY §2.4 A1/A2/A7, W5)
 # ===========================================================================

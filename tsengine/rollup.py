@@ -132,3 +132,37 @@ def finalize(tier_df: DataFrame) -> DataFrame:
     mean = F.col("sum") / F.col("cnt")
     var = F.greatest(F.col("sumsq") / F.col("cnt") - mean * mean, F.lit(0.0))
     return tier_df.withColumn("mean", mean).withColumn("std_pop", F.sqrt(var))
+
+
+def session_rollup(
+    df: "DataFrame",
+    gap: str = "30 minutes",
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> "DataFrame":
+    """Activity-session aggregation via Spark's NATIVE session windows:
+    events of one key closer than ``gap`` merge into one session
+    (Structured-Streaming-ready state merging — the same call works on a
+    stream with a watermark).
+
+    Semantics note (pinned by test): an event EXACTLY ``gap`` after its
+    predecessor MERGES into the session — Spark merges touching windows
+    ([a, a+gap) and [a+gap, ...) share a boundary). The equivalent
+    gaps-and-islands SQL breaks sessions only on strictly-greater gaps.
+    ``sess_end`` is the window end = last event + gap."""
+    return (
+        df.groupBy(key, F.session_window(ts_col, gap).alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(value_col).alias("sum"),
+            F.min(value_col).alias("min"),
+            F.max(value_col).alias("max"),
+        )
+        .select(
+            key,
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "cnt", "sum", "min", "max",
+        )
+    )
