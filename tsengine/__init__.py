@@ -25,7 +25,8 @@ vecops    — embedding similarity: brute-force + LSH-bucketed cosine top-k
 multimodal— opaque binary columns + stubbed decoders over mapInPandas
 jobs      — end-to-end pipeline entry points (spark-submit friendly)
 disagg    — daily→hourly disaggregation + per-day renormalization (W3/A8)
-weights   — distance-based kNN interpolation weight tables + J2 join (F15)
+weights   — kNN weight tables, grid-snap NN join, coord normalization (J1/J2/F15/V3)
+retention — per-tier TTL enforcement via partition-metadata expiry
 export_emps — EMPS fixed-text sink: day×hour pivot + header block (S10)
 """
 

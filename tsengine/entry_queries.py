@@ -291,6 +291,48 @@ def ts_area_rollup(spark, sf_dir):
     )
 
 
+@q(
+    "ts_grid_snap_join",
+    """
+WITH pts AS (SELECT event_id, value,
+                    (value % 20) - 10 AS lat, (value * 3) % 30 AS lon
+             FROM events),
+sn AS (SELECT event_id, value,
+              floor((lat - (-10.0::DOUBLE)) / 2.5::DOUBLE + 0.5::DOUBLE)
+                  * 2.5::DOUBLE + (-10.0::DOUBLE) AS glat,
+              floor((lon - 0.0::DOUBLE) / 5.0::DOUBLE + 0.5::DOUBLE)
+                  * 5.0::DOUBLE + 0.0::DOUBLE AS glon
+       FROM pts),
+g AS (SELECT (la * 2.5::DOUBLE - 10.0::DOUBLE) AS lat, (lo * 5.0::DOUBLE) AS lon,
+             (la * 100 + lo)::BIGINT AS cell_id
+      FROM (SELECT unnest(range(0, 9)) AS la), (SELECT unnest(range(0, 7)) AS lo))
+SELECT g.cell_id, count(*)::BIGINT AS cnt, round(sum(sn.value), 4) AS sum_v
+FROM sn JOIN g ON g.lat = sn.glat AND g.lon = sn.glon
+GROUP BY 1
+""",
+)
+def ts_grid_snap_join(spark, sf_dir):
+    """J1 nearest-neighbour spatial join as a snap + broadcast equi-join
+    (≙ per-point ``ds.sel(method='nearest')``, `src/rewemo/era5.py:11-17,
+    174-176`) — synthetic point coordinates derived from the value column,
+    aggregated per grid cell."""
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id", "value",
+        (F.col("value") % 20 - 10).alias("lat"),
+        ((F.col("value") * 3) % 30).alias("lon"),
+    )
+    la = spark.range(9).select((F.col("id") * 2.5 - 10.0).alias("lat"), F.col("id").alias("_la"))
+    lo = spark.range(7).select((F.col("id") * 5.0).alias("lon"), F.col("id").alias("_lo"))
+    grid = la.crossJoin(lo).select(
+        "lat", "lon", (F.col("_la") * 100 + F.col("_lo")).cast("long").alias("cell_id")
+    )
+    j = weights.nearest_grid_join(pts, grid, origin=(-10.0, 0.0), step=(2.5, 5.0))
+    return j.groupBy("cell_id").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_v")
+    )
+
+
 _RAD_L = repr(weights.RAD)
 _R_L = repr(weights.EARTH_R)
 

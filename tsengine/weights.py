@@ -48,6 +48,44 @@ def spherical_dist(
     return F.lit(r) * F.acos(F.least(arg, F.lit(1.0)))
 
 
+def snap_to_grid(coord: Column, origin: float, step: float) -> Column:
+    """J1 nearest-axis snap for a UNIFORM grid: the nearest grid value of
+    ``coord`` on the axis origin + k·step (≙ xarray ``.sel(method=
+    'nearest')`` after the argmin-|Δ| lookup, `src/rewemo/era5.py:11-17`).
+
+    floor(x + 0.5) instead of round(): round() ties break differently
+    across engines (half-even vs half-up); floor is bit-identical
+    everywhere, and the half-step tie goes consistently up."""
+    k = F.floor((coord - F.lit(origin)) / F.lit(step) + F.lit(0.5))
+    return k * F.lit(step) + F.lit(origin)
+
+
+def nearest_grid_join(
+    points: DataFrame,
+    grid: DataFrame,
+    origin: tuple[float, float],
+    step: tuple[float, float],
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Nearest-neighbour spatial join on a uniform grid, as an EQUI-join:
+    snap each point's coordinates to the nearest axis values, then
+    broadcast-join the (small) grid dimension on the snapped key — the
+    distributed form of per-point ``ds.sel(..., method='nearest')``
+    (`src/rewemo/era5.py:174-176,211-213`). Never a cross join: the snap
+    is a pure projection, the join is hash-equi on exact grid keys."""
+    snapped = points.withColumn(
+        "_glat", snap_to_grid(F.col(lat), origin[0], step[0])
+    ).withColumn("_glon", snap_to_grid(F.col(lon), origin[1], step[1]))
+    g = grid.select(
+        F.col(lat).alias("_glat"), F.col(lon).alias("_glon"),
+        *[c for c in grid.columns if c not in (lat, lon)],
+    )
+    return snapped.join(F.broadcast(g), ["_glat", "_glon"], "left").drop(
+        "_glat", "_glon"
+    )
+
+
 def normalize_grid_coords(df: DataFrame, lat: str = "lat", lon: str = "lon") -> DataFrame:
     """V3 input normalization (≙ `timeseries_tools.py:84-86`): wrap
     longitude from [0, 360) into [-180, 180) and nudge the poles off ±90
