@@ -37,6 +37,12 @@ from tsengine.session import get_spark, stop_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# 300K convs (~17.7M turns). Larger inputs were tried (600K) and do NOT
+# stabilize the paired scaling ratio: tools/scaling_probe.py shows this
+# box's own 2→8-thread ceiling is ~0.78 for pure-CPU work and ~0.53 for
+# memory-bound aggregation (SMT + one shared memory controller), so the
+# pipeline's measured 0.70-0.84 already sits at the hardware ceiling and
+# more data only buys bench wall-time. See BASELINE.md.
 N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "300000"))
 MEGA = int(os.environ.get("SPARK_GRAFT_BENCH_MEGA", "200000"))
 
@@ -60,6 +66,19 @@ def synth_setup(spark) -> str:
     raw = f"/tmp/tsengine_bench_raw_{N_CONVS}_{MEGA}"
     if not os.path.exists(f"{raw}/_SUCCESS"):
         t = synth.generate_transcripts(spark, n_convs=N_CONVS, mega_turns=MEGA)
+        t.write.mode("overwrite").parquet(raw)
+    return raw
+
+
+def warmup_setup(spark) -> str:
+    """A ~5% slice of the bench input for the untimed JIT/codegen warm-up
+    pass: codegen compiles per PLAN SHAPE, not per data size, so warming on
+    a small slice buys the same steady state at a fraction of the wall
+    time (the full-size warm-up dominated bench runtime at large inputs)."""
+    n = max(N_CONVS // 20, 1000)
+    raw = f"/tmp/tsengine_bench_warm_{n}"
+    if not os.path.exists(f"{raw}/_SUCCESS"):
+        t = synth.generate_transcripts(spark, n_convs=n, mega_turns=MEGA // 10)
         t.write.mode("overwrite").parquet(raw)
     return raw
 
@@ -171,6 +190,7 @@ def main() -> None:
     # worker subprocess doesn't pay generation at 2 cores
     spark = get_spark(app_name="bench-gen", master=f"local[{CPUS}]")
     synth_setup(spark)
+    warmup_setup(spark)
     stop_spark()
 
     # host capacity drifts over minutes — ALTERNATE the levels so adjacent
@@ -240,7 +260,7 @@ def pipeline_worker(cores: int) -> None:
     )
     out = f"/tmp/tsengine_bench_c{cores}"
     raw = synth_setup(spark)  # data-source materialization (untimed, shared)
-    transcript_pipeline(spark, out, raw)  # warm-up pass (not reported)
+    transcript_pipeline(spark, f"{out}_warm", warmup_setup(spark))  # JIT warm-up (not reported)
     best = None
     for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_INNER", "1"))):
         sec, _ = timed(lambda: transcript_pipeline(spark, out, raw))

@@ -50,7 +50,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("TSENGINE_DRIVER_MEM", "24g"))
+        # heap is lazily allocated — size for the worst stage, not the
+        # average: at ~35M turns the wide-rollup hash agg + chunked windows
+        # cross 24g's execution-memory threshold and spill, and 8 concurrent
+        # spilling tasks on virtio disk ran 3x slower (measured 489s -> 161s
+        # for the same job at 48g)
+        .config("spark.driver.memory", os.environ.get("TSENGINE_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # committer v2: task outputs move to the final location at task
