@@ -149,6 +149,33 @@ def ts_tier_1h_stats(spark, sf_dir):
 
 
 @q(
+    "ts_tier_1h_quantiles",
+    f"""
+WITH ev AS ({_EV})
+SELECT conv_id, date_trunc('hour', ts) AS bucket_ts, metric,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       count(value)::BIGINT AS cnt
+FROM ev GROUP BY 1, 2, 3
+""",
+)
+def ts_tier_1h_quantiles(spark, sf_dir):
+    """Exact per-bucket quantiles at the finest materialization (SURVEY
+    hard-part (d): median is not reaggregable, so exact quantiles are
+    computed at tier-build time from raw; coarser tiers re-aggregate the
+    algebraic components only)."""
+    ev = _events_long(spark, sf_dir)
+    return (
+        ev.groupBy("conv_id", F.date_trunc("hour", "ts").alias("bucket_ts"), "metric")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.count("value").alias("cnt"),
+        )
+    )
+
+
+@q(
     "ts_session_windows",
     f"""
 WITH ev AS ({_EV}),
