@@ -86,7 +86,7 @@ def test_simhash_properties(docs):
 
 def test_hamming_neighbors(docs):
     sim = textops.simhash(docs, bits=16)
-    n = textops.hamming_neighbors(sim, max_dist=0).toPandas()
+    n = textops.hamming_neighbors(sim, max_dist=0, bits=16).toPandas()
     assert {(0, 1)} <= {(a, b) for a, b in zip(n["doc_a"], n["doc_b"])}
 
 
@@ -105,7 +105,7 @@ def test_hamming_neighbors_banded_equals_bruteforce(spark):
     for md in (1, 3, 5):
         got = {
             (r["doc_a"], r["doc_b"], r["hamming"])
-            for r in textops.hamming_neighbors(sim, max_dist=md).collect()
+            for r in textops.hamming_neighbors(sim, max_dist=md, bits=16).collect()
         }
         want = set()
         ids = sorted(hashes)
@@ -123,10 +123,10 @@ def test_hamming_neighbors_bucket_cap(spark):
     rows.append((99, "utterly different words entirely", "x"))
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     sim = textops.simhash(docs, bits=16)
-    capped = textops.hamming_neighbors(sim, max_dist=3, max_bucket=5).toPandas()
+    capped = textops.hamming_neighbors(sim, max_dist=3, bits=16, max_bucket=5).toPandas()
     # the 20-identical cluster (190 pairs) is dropped by the cap
     assert len(capped) == 0
-    uncapped = textops.hamming_neighbors(sim, max_dist=3).toPandas()
+    uncapped = textops.hamming_neighbors(sim, max_dist=3, bits=16).toPandas()
     assert len(uncapped) == 190
 
 
@@ -189,3 +189,66 @@ def test_ngram_jaccard_lsh_composition(docs):
     for pair, j in d.items():
         if pair in fd:  # same-block pairs must agree exactly
             assert abs(j - fd[pair]) < 1e-12
+
+
+def test_simhash_64bit_banded_equals_bruteforce(spark):
+    """Production 64-bit width: second md5 segment feeds bits 60-63, and
+    pigeonhole banding still returns exactly the brute-force pair set."""
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu"]
+    rows = []
+    for i in range(40):
+        txt = " ".join(words[j] for j in range(12) if (i >> (j % 6)) & 1 or j % 4 == i % 4)
+        rows.append((i, txt or "empty", "x"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sim = textops.simhash(docs, bits=64)
+    hashes = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    # two's-complement 64-bit: negatives allowed, value fits in int64
+    assert all(-(2**63) <= h < 2**63 for h in hashes.values())
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in textops.hamming_neighbors(sim, max_dist=5, bits=64).collect()
+    }
+    want = set()
+    ids = sorted(hashes)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            d = bin((hashes[ids[ai]] ^ hashes[ids[bi]]) & (2**64 - 1)).count("1")
+            if d <= 5:
+                want.add((ids[ai], ids[bi], d))
+    assert got == want
+
+
+def test_bucket_cap_dropped_metrics(spark):
+    """Caps are never silent: the dropped-metrics row must count the hot
+    bucket and its rows for both LSH pairing and simhash banding."""
+    rows = [(i, "same same same text", "x") for i in range(20)]
+    rows.append((99, "utterly different words entirely", "x"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    sim = textops.simhash(docs, bits=16)
+    pairs, dropped = textops.hamming_neighbors(
+        sim, max_dist=3, bits=16, max_bucket=5, return_dropped=True
+    )
+    m = dropped.collect()[0]
+    # the 20-identical cluster occupies all 4 bands' buckets (20 rows each;
+    # the outlier doc may collide into a cluster bucket in some bands)
+    assert m["n_buckets_dropped"] == 4
+    assert 80 <= m["n_rows_dropped"] <= 84
+    assert pairs.count() == 0
+
+    sigs = textops.minhash_signature(docs, k=4, shingle_n=2)
+    lsh_pairs, lsh_dropped = textops.lsh_candidate_pairs(
+        sigs, k=4, band_size=2, max_bucket=5, return_dropped=True
+    )
+    lm = lsh_dropped.collect()[0]
+    assert lm["n_buckets_dropped"] == 2  # 2 bands, one hot bucket each
+    assert lm["n_rows_dropped"] == 40
+    assert lsh_pairs.count() == 0
+
+    # no cap → explicit zero metrics, not a missing signal
+    _, none_dropped = textops.hamming_neighbors(
+        sim, max_dist=3, bits=16, return_dropped=True
+    )
+    nm = none_dropped.collect()[0]
+    assert nm["n_buckets_dropped"] == 0 and nm["n_rows_dropped"] == 0

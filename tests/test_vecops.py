@@ -116,3 +116,22 @@ def test_label_stats(emb):
         assert s.loc[lbl, "cnt"] == len(ids)
         expect = np.mean([np.linalg.norm(VECS[i].astype(np.float64)) for i in ids])
         assert abs(s.loc[lbl, "avg_norm"] - expect) < 1e-9
+
+
+def test_pairwise_topk_join_dropped_metrics(emb):
+    """max_bucket capping must report what it dropped."""
+    topk, dropped = vecops.pairwise_topk_join(
+        emb, emb, k=3, max_bucket=2, return_dropped=True
+    )
+    m = dropped.collect()[0]
+    capped_only = vecops.pairwise_topk_join(emb, emb, k=3, max_bucket=2)
+    assert topk.count() == capped_only.count()
+    # every dropped row belongs to a bucket with >2 members
+    assert m["n_rows_dropped"] >= 0
+    if m["n_rows_dropped"] > 0:
+        assert m["n_buckets_dropped"] >= 1
+        assert m["n_rows_dropped"] > 2 * m["n_buckets_dropped"]
+    # no-cap variant reports explicit zeros
+    _, zero = vecops.pairwise_topk_join(emb, emb, k=3, return_dropped=True)
+    zm = zero.collect()[0]
+    assert zm["n_buckets_dropped"] == 0 and zm["n_rows_dropped"] == 0

@@ -89,7 +89,10 @@ def renormalize_daily(
     day = F.date_trunc("day", F.col(ts_col))
     w = W.partitionBy(*keys, day)
     s = F.sum(value_col).over(w)
-    factor = F.when(s != 0, F.col(target_col) / s).otherwise(F.lit(1.0))
+    # strictly-positive guard, matching the reference's `sum() > 0` branch
+    # (`solar.py:296-301`): a day whose hourly sum is negative keeps factor
+    # 1 instead of getting a sign-flipping negative factor
+    factor = F.when(s > 0, F.col(target_col) / s).otherwise(F.lit(1.0))
     return hourly.withColumn("renorm_factor", factor).withColumn(
         out_col, F.col(value_col) * F.col("renorm_factor")
     )

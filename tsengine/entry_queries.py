@@ -374,11 +374,11 @@ tgc AS (SELECT t AS target_id, (t * 9.0::DOUBLE - 18.0::DOUBLE) AS lat,
                (t * 11.0::DOUBLE + 3.0::DOUBLE) AS lon
         FROM (SELECT unnest(range(0, 5))::BIGINT AS t)),
 d AS (SELECT p.grid_id, t.target_id,
-             round({_R_L}::DOUBLE * acos(LEAST(
+             round({_R_L}::DOUBLE * acos(GREATEST(LEAST(
                  cos(p.lat * {_RAD_L} - t.lat * {_RAD_L})
                  - cos(p.lat * {_RAD_L}) * cos(t.lat * {_RAD_L})
                    * (1.0::DOUBLE - cos(p.lon * {_RAD_L} - t.lon * {_RAD_L})),
-                 1.0::DOUBLE)), 4) AS dist
+                 1.0::DOUBLE), -1.0::DOUBLE)), 4) AS dist
       FROM pts p CROSS JOIN tgc t),
 m AS (SELECT grid_id, target_id, dist,
              min(dist) OVER (PARTITION BY target_id) AS mind FROM d),
@@ -894,7 +894,7 @@ j AS (SELECT h.conv_id, h.bucket_ts, h.est, d.daily_target,
       FROM h JOIN d ON d.conv_id = h.conv_id
                    AND d.day_ts = date_trunc('day', h.bucket_ts))
 SELECT conv_id, bucket_ts,
-       round(est * (CASE WHEN s != 0 THEN daily_target / s ELSE 1.0::DOUBLE END)
+       round(est * (CASE WHEN s > 0 THEN daily_target / s ELSE 1.0::DOUBLE END)
              + 5e-10, 4) AS value_renorm
 FROM j
 """,
@@ -1276,25 +1276,41 @@ def text_ngram_jaccard_lsh(spark, sf_dir):
     )
 
 
-def _simhash_sql(bits: int = 16) -> str:
+def _simhash_sql(bits: int = 64) -> str:
+    # bits 0-59 vote from the first md5 segment, 60-63 from the second
+    # (mirroring textops.simhash); DuckDB raises on 1<<63, so bit 63 adds
+    # the two's-complement literal directly (Spark's shiftleft wraps to the
+    # same value)
+    def weight(j: int) -> str:
+        return "(-9223372036854775808)::BIGINT" if j == 63 else f"(1::BIGINT << {j})"
+
+    def src(j: int) -> tuple[str, int]:
+        return ("h1", j) if j < 60 else ("h2", j - 60)
+
     terms = " + ".join(
-        f"(CASE WHEN coalesce(list_sum(list_transform(h, x -> ((x >> {j}) & 1) * 2 - 1)), 0) >= 0 "
-        f"THEN (1::BIGINT << {j}) ELSE 0 END)"
+        f"(CASE WHEN coalesce(list_sum(list_transform({src(j)[0]}, "
+        f"x -> ((x >> {src(j)[1]}) & 1) * 2 - 1)), 0) >= 0 "
+        f"THEN {weight(j)} ELSE 0::BIGINT END)"
         for j in range(bits)
     )
     return f"""
-WITH t AS (SELECT doc_id, list_transform(list_distinct({_TOKS}),
-                  t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h
+WITH t AS (SELECT doc_id,
+                  list_transform(list_distinct({_TOKS}),
+                      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h1,
+                  list_transform(list_distinct({_TOKS}),
+                      t -> ('0x' || substr(md5(t), 16, 15))::BIGINT) AS h2
            FROM documents)
 SELECT doc_id, ({terms})::BIGINT AS simhash,
-       len(h)::BIGINT AS n_tokens
+       len(h1)::BIGINT AS n_tokens
 FROM t
 """
 
 
-@q("text_simhash", _simhash_sql(16))
+@q("text_simhash", _simhash_sql(64))
 def text_simhash(spark, sf_dir):
-    s = textops.simhash(_read(spark, sf_dir, "documents"), bits=16)
+    """64-bit production-width SimHash (bits 60-63 carved from the second
+    md5 segment so every bit carries hash signal)."""
+    s = textops.simhash(_read(spark, sf_dir, "documents"), bits=64)
     return s.select(
         "doc_id", F.col("simhash").cast("long").alias("simhash"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -1321,23 +1337,25 @@ def text_fingerprint(spark, sf_dir):
     return fp.select("doc_id", "fingerprint")
 
 
-def _simhash_pairs_sql(bits: int = 16, max_dist: int = 3) -> str:
-    pop = " + ".join(f"((x >> {j}) & 1)" for j in range(bits))
+def _simhash_pairs_sql(bits: int = 64, max_dist: int = 3) -> str:
     return f"""
 WITH s AS ({_simhash_sql(bits)}),
 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             xor(a.simhash, b.simhash) AS x
+             bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
       FROM s a JOIN s b ON a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, ({pop})::BIGINT AS hamming
-FROM p WHERE ({pop}) <= {max_dist}
+SELECT doc_a, doc_b, hamming
+FROM p WHERE hamming <= {max_dist}
 """
 
 
 @q("text_simhash_pairs", _simhash_pairs_sql())
 def text_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs within Hamming distance 3."""
-    s = textops.simhash(_read(spark, sf_dir, "documents"), bits=16)
-    p = textops.hamming_neighbors(s, max_dist=3)
+    """SimHash near-dup pairs within Hamming distance 3 at the production
+    64-bit width — exact result via pigeonhole banding (4 disjoint 16-bit
+    bands, equi-join, bit_count distance filter), never an all-pairs join;
+    the O(n²) join lives only in the DuckDB oracle."""
+    s = textops.simhash(_read(spark, sf_dir, "documents"), bits=64)
+    p = textops.hamming_neighbors(s, max_dist=3, bits=64)
     return p.select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )

@@ -70,10 +70,13 @@ def gapfill_sql(
        synthesized grid: a sparse 2-year 1m series = 1M grid rows in ONE
        task);
     3. each segment [t0, t1) emits its own grid rows carrying both
-       endpoints, so the linear blend needs NO second window — and the
-       explode is day-chunked (outer day sequence, inner ≤ 1 day of
-       steps), so no single array exceeds 1440 elements at 1m regardless
-       of gap length. A mega-gap becomes many independent day rows.
+       endpoints, so the linear blend needs NO second window — and
+       multi-day segments are day-chunked (outer day sequence, inner
+       ≤ 1 day of steps), so no single array exceeds 1440 elements at 1m
+       regardless of gap length. A mega-gap becomes many independent day
+       rows (same-day segments carry a 1-element outer array — measured
+       overhead of the extra Generate on dense series is small; see the
+       rejected-alternative note below).
 
     Identical output to the window formulation (the blend uses the same
     float expression on the same operands; tested against the pandas twin
@@ -96,6 +99,12 @@ def gapfill_sql(
         F.col("t1").isNotNull(), F.expr(f"t1 - {interval}")
     ).otherwise(F.expr(f"t0 + {pad_steps} * {interval}"))
     day = F.expr("INTERVAL 1 DAY")
+    # Same-day segments (the dense common case) keep a 1-element outer
+    # array, so the day-chunk Generate adds one cheap pass-through row; a
+    # where/union split into a dedicated single-explode branch was tried
+    # and REJECTED: Catalyst does not reuse the bucket-agg exchange across
+    # the two branches (measured: 4 exchanges / 2 windows vs 2 / 1), which
+    # doubles the raw shuffle — the one thing this design exists to avoid.
     chunked = seg.withColumn("_last", seg_last).select(
         "conv_id", "metric", "t0", "v0", "t1", "v1", "_last",
         F.explode(

@@ -33,12 +33,15 @@ DEFAULT_POLICY: dict[str, timedelta | None] = {
 
 
 def filter_retained(df: DataFrame, cutoff, ts_col: str = "bucket_ts") -> DataFrame:
-    """Reader-side retention: rows at/after the cutoff. On a pday-laid-out
-    table, filter on the partition column so pruning happens before any
-    file opens."""
+    """Reader-side retention: rows from the cutoff DAY onward. Retention
+    granularity is one day in both branches — ``apply_retention`` drops
+    whole day partitions, so a mid-day cutoff keeps the entire cutoff day
+    whether or not the table carries the ``pday`` partition column (the
+    ts branch floors the cutoff to day start to match)."""
     if "pday" in df.columns:
         return df.where(F.col("pday") >= F.lit(cutoff).cast("date"))
-    return df.where(F.col(ts_col) >= F.lit(cutoff).cast("timestamp"))
+    day_start = F.lit(cutoff).cast("date").cast("timestamp")
+    return df.where(F.col(ts_col) >= day_start)
 
 
 def expired_day_dirs(root: str, cutoff) -> list[Path]:

@@ -55,11 +55,13 @@ def write_fact(
         )
         # both backends must share write semantics: append appends, anything
         # else replaces — otherwise flipping Iceberg on silently turns
-        # incremental loads into full-table rewrites
+        # incremental loads into full-table rewrites. Existence is checked
+        # explicitly: catching a bare append failure and retrying as create
+        # would misdiagnose schema/permission/commit errors as table-missing
         if mode == "append":
-            try:
+            if spark.catalog.tableExists(path_or_table):
                 writer.append()
-            except Exception:  # table doesn't exist yet → first write creates
+            else:
                 writer.create()
         else:
             writer.createOrReplace()

@@ -18,10 +18,29 @@ Design rules:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 TOKEN_RE = r"\s+"
+
+
+def bucket_cap(
+    bands: DataFrame, part_cols: list[str], max_bucket: int
+) -> tuple[DataFrame, DataFrame]:
+    """Apply a per-bucket row cap and ACCOUNT for what it drops — the
+    engine's own "no silent caps" rule. Returns (kept, dropped_metrics)
+    where dropped_metrics is a 1-row DataFrame
+    (n_buckets_dropped, n_rows_dropped); at 100 TB scale materializing it
+    is one cheap aggregate over the already-shuffled band table, and a
+    non-zero count is the recall-loss signal a production run must see."""
+    cnt = F.count("*").over(W.partitionBy(*part_cols))
+    with_c = bands.withColumn("_bc", cnt)
+    kept = with_c.where(F.col("_bc") <= max_bucket).drop("_bc")
+    dropped = with_c.where(F.col("_bc") > max_bucket).agg(
+        F.count_distinct(*[F.col(c) for c in part_cols]).alias("n_buckets_dropped"),
+        F.count("*").alias("n_rows_dropped"),
+    )
+    return kept, dropped
 
 # 60-bit hash of a string column via md5 (oracle: ('0x'||substr(md5(x),1,15))::bigint)
 def _h60(col: Column) -> Column:
@@ -106,6 +125,7 @@ def lsh_candidate_pairs(
     band_size: int = 2,
     id_col: str = "doc_id",
     max_bucket: int | None = None,
+    return_dropped: bool = False,
 ) -> DataFrame:
     """Band the signature (k/band_size bands of band_size rows), bucket-join
     within bands, emit candidate pairs (a<b) with the signature-estimated
@@ -122,7 +142,9 @@ def lsh_candidate_pairs(
     ``max_bucket`` is the 100 TB safety valve: buckets holding more rows are
     dropped entirely (a bucket of B rows costs B² comparisons; a near-dup
     mega-cluster is still found via its other bands or is trivially exact-dup
-    material). None = no cap (the oracle-checkable default)."""
+    material). None = no cap (the oracle-checkable default). With
+    ``return_dropped=True`` the result is (pairs, dropped_metrics) where
+    dropped_metrics counts capped buckets/rows — caps are never silent."""
     n_bands = k // band_size
     sigs = sigs.where(F.col("sig_0").isNotNull())
     bands = sigs.select(
@@ -149,11 +171,9 @@ def lsh_candidate_pairs(
         ).alias("band"),
     ).select(id_col, *[f"sig_{i}" for i in range(k)], "band.band_idx", "band.bucket")
 
+    dropped = None
     if max_bucket is not None:
-        from pyspark.sql import Window as W
-
-        cnt = F.count("*").over(W.partitionBy("band_idx", "bucket"))
-        bands = bands.withColumn("_bc", cnt).where(F.col("_bc") <= max_bucket).drop("_bc")
+        bands, dropped = bucket_cap(bands, ["band_idx", "bucket"], max_bucket)
 
     left = bands.select(
         F.col(id_col).alias("doc_a"),
@@ -171,12 +191,19 @@ def lsh_candidate_pairs(
         F.when(F.col(f"a_sig_{i}") == F.col(f"b_sig_{i}"), 1).otherwise(0)
         for i in range(k)
     )
-    return (
+    pairs = (
         left.join(right, ["band_idx", "bucket"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", (eq_slots / F.lit(float(k))).alias("est_jaccard"))
         .distinct()
     )
+    if return_dropped:
+        if dropped is None:  # no cap → nothing can be dropped
+            dropped = sigs.sparkSession.createDataFrame(
+                [(0, 0)], "n_buckets_dropped long, n_rows_dropped long"
+            )
+        return pairs, dropped
+    return pairs
 
 
 # --------------------------------------------------------------------------
@@ -184,17 +211,27 @@ def lsh_candidate_pairs(
 # --------------------------------------------------------------------------
 
 def simhash(
-    docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, bits: int = 64, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """bits-wide SimHash over distinct tokens: bit j is 1 iff the majority
     of token hashes have bit j set (ties → 1, since vote uses >= 0).
 
     Expressed as one aggregate over the token array per bit — all Column
-    exprs. 16 bits keeps the expression tree small; raise for production."""
+    exprs. Bits 0-59 come from the first 15 hex chars of the token md5,
+    bits 60-119 from the next 15 — every simhash bit carries real hash
+    signal up to width 120 (a single 60-bit carve would leave the top
+    bits of a 64-wide hash constant-zero). Default 64 = production width;
+    the oracle builds the identical value from the same md5 segments."""
+    if not 1 <= bits <= 120:
+        raise ValueError(f"bits must be in [1, 120], got {bits}")
     toks = F.array_distinct(tokens(F.col(text_col)))
-    h = F.transform(toks, _h60)
-    n = F.size(h)
-    out = docs.select(id_col, h.alias("_h"), n.alias("_n"))
+    h1 = F.transform(toks, _h60)
+    h2 = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 16, 15), 16, 10).cast("long")
+    )
+    out = docs.select(
+        id_col, h1.alias("_h1"), h2.alias("_h2"), F.size(h1).alias("_n")
+    )
 
     def vote(j: int):
         # factory keeps the merge lambda 2-arg (acc, x) — see perm() above
@@ -204,7 +241,8 @@ def simhash(
 
     acc = F.lit(0).cast("long")
     for j in range(bits):
-        votes = F.aggregate(F.col("_h"), F.lit(0).cast("long"), vote(j))
+        src, bit_in_src = ("_h1", j) if j < 60 else ("_h2", j - 60)
+        votes = F.aggregate(F.col(src), F.lit(0).cast("long"), vote(bit_in_src))
         bit = F.when(votes >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         acc = acc + F.shiftleft(bit, j)
     return out.select(id_col, acc.alias("simhash"), F.col("_n").alias("n_tokens"))
@@ -213,9 +251,10 @@ def simhash(
 def hamming_neighbors(
     sim: DataFrame,
     max_dist: int = 3,
-    bits: int = 16,
+    bits: int = 64,
     id_col: str = "doc_id",
     max_bucket: int | None = None,
+    return_dropped: bool = False,
 ) -> DataFrame:
     """Pairs within Hamming distance ≤ max_dist of each other's simhash —
     EXACT result via pigeonhole banding, never an all-pairs join.
@@ -248,11 +287,9 @@ def hamming_neighbors(
         F.explode(F.array(*band_structs)).alias("bd"),
     ).select("_id", "_h", "bd.band_idx", "bd.band_bits")
 
+    dropped = None
     if max_bucket is not None:
-        from pyspark.sql import Window as W
-
-        cnt = F.count("*").over(W.partitionBy("band_idx", "band_bits"))
-        bands = bands.withColumn("_bc", cnt).where(F.col("_bc") <= max_bucket).drop("_bc")
+        bands, dropped = bucket_cap(bands, ["band_idx", "band_bits"], max_bucket)
 
     a = bands.select(
         F.col("_id").alias("doc_a"), F.col("_h").alias("h_a"), "band_idx", "band_bits"
@@ -260,17 +297,21 @@ def hamming_neighbors(
     b = bands.select(
         F.col("_id").alias("doc_b"), F.col("_h").alias("h_b"), "band_idx", "band_bits"
     )
-    x = F.col("h_a").bitwiseXOR(F.col("h_b"))
-    dist = sum(
-        F.shiftright(x, j).bitwiseAND(F.lit(1).cast("long")) for j in range(bits)
-    )
-    return (
+    dist = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+    pairs = (
         a.join(b, ["band_idx", "band_bits"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", dist.alias("hamming"))
         .where(F.col("hamming") <= max_dist)
         .distinct()
     )
+    if return_dropped:
+        if dropped is None:  # no cap → nothing can be dropped
+            dropped = sim.sparkSession.createDataFrame(
+                [(0, 0)], "n_buckets_dropped long, n_rows_dropped long"
+            )
+        return pairs, dropped
+    return pairs
 
 
 # --------------------------------------------------------------------------

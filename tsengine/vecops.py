@@ -146,14 +146,20 @@ def pairwise_topk_join(
     max_bucket: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_dropped: bool = False,
 ) -> DataFrame:
     """All-pairs ANN join: bucket both sides, join on bucket, top-k
     neighbors per left row by cosine. The scalable batch form of lsh_topk
     (query set = a whole table). Shuffle key = bucket (2^n_bits salted
     groups). ``max_bucket`` caps the RIGHT side per bucket (a B-row bucket
-    costs B² scores); buckets beyond the cap are dropped — log the
-    right-side bucket histogram before relying on results at scale."""
+    costs B² scores); with ``return_dropped=True`` the result is
+    (topk, dropped_metrics) where dropped_metrics is a 1-row DataFrame
+    (n_buckets_dropped, n_rows_dropped) — left rows whose true neighbors
+    lived in a capped bucket get worse-than-k results, and a production
+    run must see that count rather than infer it from a histogram."""
     from pyspark.sql import Window as W
+
+    from tsengine.textops import bucket_cap
 
     lb = left.select(
         F.col(id_col).alias("left_id"),
@@ -163,16 +169,23 @@ def pairwise_topk_join(
         F.col(id_col).alias("right_id"),
         _as_double(F.col(vec_col)).alias("rv"),
     ).withColumn("bucket", rank_lsh_bucket(F.col("rv"), n_bits, stride, d))
+    dropped = None
     if max_bucket is not None:
-        cnt = F.count("*").over(W.partitionBy("bucket"))
-        rb = rb.withColumn("_bc", cnt).where(F.col("_bc") <= max_bucket).drop("_bc")
+        rb, dropped = bucket_cap(rb, ["bucket"], max_bucket)
     scored = (
         lb.join(rb, "bucket")
         .where(F.col("left_id") != F.col("right_id"))
         .select("left_id", "right_id", cosine(F.col("lv"), F.col("rv")).alias("cosine_sim"))
     )
     w = W.partitionBy("left_id").orderBy(F.col("cosine_sim").desc(), F.col("right_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    topk = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    if return_dropped:
+        if dropped is None:  # no cap → nothing can be dropped
+            dropped = left.sparkSession.createDataFrame(
+                [(0, 0)], "n_buckets_dropped long, n_rows_dropped long"
+            )
+        return topk, dropped
+    return topk
 
 
 def label_centroid_stats(

@@ -43,9 +43,10 @@ def spherical_dist(
     la1, la2 = lat1 * F.lit(RAD), lat2 * F.lit(RAD)
     lo1, lo2 = lon1 * F.lit(RAD), lon2 * F.lit(RAD)
     arg = F.cos(la1 - la2) - F.cos(la1) * F.cos(la2) * (F.lit(1.0) - F.cos(lo1 - lo2))
-    # identical points yield arg == 1.0 exactly; clamp guards float spill
-    # above 1 for nearly-identical points (acos would return NaN)
-    return F.lit(r) * F.acos(F.least(arg, F.lit(1.0)))
+    # clamp both ends: float spill above 1 for nearly-identical points and
+    # below -1 for near-antipodal pairs would make acos return NaN (which
+    # sorts last in Spark and silently drops the pair from kNN rankings)
+    return F.lit(r) * F.acos(F.greatest(F.least(arg, F.lit(1.0)), F.lit(-1.0)))
 
 
 def snap_to_grid(coord: Column, origin: float, step: float) -> Column:
