@@ -91,7 +91,10 @@ def main() -> None:
           ["codegen"])
     audit("dedup exact", textops.exact_dedup_groups(docs), ["partial_agg", "codegen"])
     audit("simhash pairs (banded)",
-          textops.hamming_neighbors(textops.simhash(docs, bits=16), max_dist=3),
+          textops.hamming_neighbors(textops.simhash(docs, bits=16), max_dist=3, bits=16),
+          ["no_cartesian"])
+    audit("simhash pairs 64-bit (banded)",
+          textops.hamming_neighbors(textops.simhash(docs, bits=64), max_dist=3, bits=64),
           ["no_cartesian"])
     audit("lsh candidate pairs",
           textops.lsh_candidate_pairs(
@@ -101,6 +104,16 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
     audit("knn brute", vecops.cosine_topk(emb, qv, 10), ["codegen"])
+
+    # solar pack: pure Column-expr chains must stay inside codegen spans
+    audit("solar geometry (F1-F4)",
+          eq.QUERIES["ts_solar_geometry"](spark, sf), ["codegen"])
+    audit("solar power chain (F7-F12)",
+          eq.QUERIES["ts_solar_power"](spark, sf), ["codegen"])
+    # tilted_daily's 24-row hour grid is an explicit broadcast (tiny literal
+    # side) — the check here is partial agg on the daily rollup + codegen
+    audit("solar tilted daily (F5/F6/F10 + renorm)",
+          eq.QUERIES["ts_tilted_daily"](spark, sf), ["partial_agg", "codegen"])
 
     # broadcast check: config-dim join in the curve transform
     from tsengine import synth

@@ -31,11 +31,13 @@ from tsengine import (
     chunks,
     curves,
     disagg,
+    export_emps,
     features,
     gapfill,
     indicators,
     multimodal,
     rollup,
+    solar,
     textops,
     vecops,
     weights,
@@ -1600,6 +1602,443 @@ def mm_resize(spark, sf_dir):
         F.col("height").cast("long").alias("height"),
         F.col("n_frames").cast("long").alias("n_frames"),
         "fingerprint",
+    )
+
+
+# ===========================================================================
+# Streaming parity (SURVEY §2.5 streaming note, streaming.py)
+# ===========================================================================
+
+@q("ts_streaming_tier", _TIER_SQL.format(ev=_EV, unit="minute"))
+def ts_streaming_tier(spark, sf_dir):
+    """Structured-Streaming 1m tier drained with trigger(availableNow=True)
+    over the SAME events input, against the batch-tier oracle — stream and
+    batch share one component-set definition (streaming.tier_agg_exprs), so
+    the drained stream must be row-identical to the batch rollup."""
+    from tsengine import streaming as streaming_mod
+
+    sch = _read(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    long = stream.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        # watermarks require TIMESTAMP (LTZ); the parquet column is NTZ and
+        # the session is pinned UTC, so the cast is value-preserving
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_type").alias("metric"),
+        "value",
+    )
+    tier = streaming_mod.streaming_tier_long(long, watermark="10 minutes")
+    qname = "ts_streaming_tier_mem"
+    sq = (
+        tier.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    out = spark.table(qname)
+    return out.select(
+        "conv_id", "bucket_ts", "metric", "cnt",
+        F.round("sum", 4).alias("sum_v"),
+        F.col("min").alias("min_v"),
+        F.col("max").alias("max_v"),
+        F.round("sumsq", 4).alias("sumsq_v"),
+    )
+
+
+# ===========================================================================
+# EMPS fixed-text sink lines (SURVEY §2.1 S10, export_emps.py)
+# ===========================================================================
+
+@q(
+    "ts_emps_lines",
+    """
+WITH ev AS (SELECT user_id::VARCHAR AS conv_id, ts, value FROM events
+            WHERE event_type = 'view'
+              AND NOT (month(ts) = 2 AND day(ts) = 29)
+              AND NOT (month(ts) = 12 AND day(ts) = 31)),
+hourly AS (SELECT conv_id, ts::DATE AS day, EXTRACT(hour FROM ts) AS hr,
+                  round(avg(value) + 5e-10, 3) AS v
+           FROM ev GROUP BY 1, 2, 3),
+grid AS (SELECT d.conv_id, d.day, g.hh AS hr
+         FROM (SELECT DISTINCT conv_id, day FROM hourly) d
+         CROSS JOIN (SELECT unnest(range(0, 24)) AS hh) g),
+joined AS (SELECT g.conv_id, g.day, g.hr, h.v
+           FROM grid g LEFT JOIN hourly h
+             ON h.conv_id = g.conv_id AND h.day = g.day AND h.hr = g.hr)
+SELECT conv_id, day,
+       string_agg(CASE WHEN v IS NULL THEN '' ELSE printf('%9.3f', v) END,
+                  ';' ORDER BY hr) AS line
+FROM joined GROUP BY 1, 2
+""",
+)
+def ts_emps_lines(spark, sf_dir):
+    """S10: the EMPS fixed-text rows — Feb-29/Dec-31 drop (P5/P6), date x
+    hour pivot, %9.3f formatting with empty missing-hour fields
+    (`ncep_reanalysis/timeseries_tools.py:407-454`) — as string-typed rows
+    the driver can hash. Values are pre-rounded to 3 decimals on both
+    sides so the printf never has to break a representable-half tie (Java
+    HALF_UP vs C half-even)."""
+    ev = _events_long(spark, sf_dir).where(F.col("metric") == "view")
+    hourly = (
+        export_emps.drop_emps_days(ev, "ts")
+        .groupBy("conv_id", F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(F.round(F.avg("value") + 5e-10, 3).alias("value"))
+    )
+    return export_emps.emps_lines(hourly, key="conv_id")
+
+
+# ===========================================================================
+# Coordinate normalization + bbox predicate (SURVEY §2.2 P7 / §2.7 V3)
+# ===========================================================================
+
+@q(
+    "ts_normalize_coords",
+    """
+WITH pts AS (SELECT event_id,
+                    ((user_id % 181)::DOUBLE - 90.0::DOUBLE) AS lat,
+                    ((event_id % 360)::DOUBLE) AS lon
+             FROM events),
+norm AS (SELECT event_id,
+                CASE WHEN lat = 90.0 THEN 89.999::DOUBLE
+                     WHEN lat = -90.0 THEN -89.999::DOUBLE
+                     ELSE lat END AS lat,
+                CASE WHEN lon < 180.0 THEN lon ELSE lon - 360.0::DOUBLE END AS lon
+         FROM pts)
+SELECT event_id, lat, lon FROM norm
+WHERE lat >= -60.0 AND lat <= 88.0 AND lon >= -150.0 AND lon <= 150.0
+""",
+)
+def ts_normalize_coords(spark, sf_dir):
+    """P7 + V3: longitude wrap [0,360)→[-180,180), pole nudge off ±90, then
+    the pushable bbox range predicate (`ncep_reanalysis/
+    timeseries_tools.py:84-89`, `ncep_reanalysis/wind.py:106-116`).
+    Synthetic coordinates hit both poles and the lon wrap boundary."""
+    pts = _read(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("user_id") % 181).cast("double") - 90.0).alias("lat"),
+        (F.col("event_id") % 360).cast("double").alias("lon"),
+    )
+    norm = weights.normalize_grid_coords(pts)
+    return weights.bbox_filter(norm, (-60.0, 88.0), (-150.0, 150.0)).select(
+        "event_id", "lat", "lon"
+    )
+
+
+# ===========================================================================
+# Checkpoint/resume lineage (SURVEY §2.1 S7, lineage.py + jobs.py)
+# ===========================================================================
+
+@q(
+    "ts_resume_lineage",
+    """
+SELECT 'chunks' AS stage, 4::BIGINT AS units_run1, 4::BIGINT AS units_run2,
+       0::BIGINT AS recomputed
+UNION ALL
+SELECT 'tier_cascade', 4::BIGINT, 4::BIGINT, 0::BIGINT
+""",
+)
+def ts_resume_lineage(spark, sf_dir):
+    """S7 idempotent re-run: run the 2-stage pipeline twice on a fresh
+    deterministic input; the second run must skip every completed unit
+    (lineage row count unchanged, zero recompute). Returns the per-stage
+    lineage summary; the oracle is the declarative expected table (golden
+    values — the pipeline side-effects are not SQL-expressible, but its
+    observable resume contract is)."""
+    import shutil
+
+    from tsengine import jobs, synth
+    from tsengine.lineage import LineageLog
+
+    root = "/tmp/tsengine_entry_resume"
+    shutil.rmtree(root, ignore_errors=True)
+    t = synth.generate_transcripts(spark, n_convs=6, mega_turns=0)
+    t.write.mode("overwrite").parquet(f"{root}/raw")
+    raw = spark.read.parquet(f"{root}/raw")
+    jobs.run_pipeline(spark, raw, root)
+    runs1 = (
+        LineageLog(spark, root).metrics().groupBy("stage")
+        .agg(F.count("*").alias("units_run1"))
+    )
+    jobs.run_pipeline(spark, raw, root)  # resume: everything skips
+    runs2 = (
+        LineageLog(spark, root).metrics().groupBy("stage")
+        .agg(F.count("*").alias("units_run2"))
+    )
+    return (
+        runs1.join(runs2, "stage")
+        .select(
+            "stage",
+            "units_run1",
+            "units_run2",
+            (F.col("units_run2") - F.col("units_run1")).alias("recomputed"),
+        )
+    )
+
+
+# ===========================================================================
+# Solar pack (SURVEY §2.6 F1-F12, solar.py) — the second signal pack:
+# real textbook formulas, Column exprs vs the same math in DuckDB SQL.
+# Deterministic lat/lon derive from user_id so both engines build the
+# identical site table; trig runs on both sides (libm-ulp differences are
+# absorbed by same-decimals rounding + the 5e-10 knife-edge nudge).
+# ===========================================================================
+
+import math as _math
+
+_K_RAD = f"{solar.RAD!r}::DOUBLE"
+_K_PI = f"{_math.pi!r}::DOUBLE"
+_K_2PI = f"{(2 * _math.pi)!r}::DOUBLE"
+_K_DECL = f"{(solar.RAD * 23.45)!r}::DOUBLE"
+_K_PI3 = f"{(_math.pi / 3)!r}::DOUBLE"
+_K_PI24 = f"{(_math.pi / 24)!r}::DOUBLE"
+
+# site columns shared by all three solar oracles
+_SOLAR_BASE = """
+SELECT event_id, user_id, ts, value,
+       (user_id % 161)::DOUBLE - 80.0::DOUBLE AS lat,
+       (user_id % 36)::DOUBLE * 10.0::DOUBLE - 180.0::DOUBLE AS lon,
+       dayofyear(ts)::DOUBLE AS n,
+       EXTRACT(hour FROM ts)::DOUBLE AS h
+FROM events
+"""
+
+
+def _sql_decl(n: str) -> str:
+    return f"({_K_DECL} * sin({_K_2PI} * (284.0::DOUBLE + {n}) / 365.0::DOUBLE))"
+
+
+def _sql_w(h: str, lon: str) -> str:
+    raw = f"({_K_RAD} * (15.0::DOUBLE * ({h} - 12.0::DOUBLE) + {lon}))"
+    return (
+        f"(CASE WHEN {raw} > {_K_PI} THEN {raw} - {_K_2PI} "
+        f"WHEN {raw} < -{_K_PI} THEN {raw} + {_K_2PI} ELSE {raw} END)"
+    )
+
+
+def _sql_ws(cosws: str) -> str:
+    return (
+        f"(CASE WHEN {cosws} > 1.0::DOUBLE THEN -1.0::DOUBLE "
+        f"WHEN {cosws} < -1.0::DOUBLE THEN {_K_PI} ELSE acos({cosws}) END)"
+    )
+
+
+def _lat_col():
+    return (F.col("user_id") % 161).cast("double") - 80.0
+
+
+def _lon_col():
+    return (F.col("user_id") % 36).cast("double") * 10.0 - 180.0
+
+
+@q(
+    "ts_solar_geometry",
+    f"""
+WITH b AS ({_SOLAR_BASE}),
+g1 AS (SELECT event_id, lat, lon, n, h, {_sql_decl('n')} AS d,
+              {_sql_w('h', 'lon')} AS w,
+              (-tan(lat * {_K_RAD}) * tan({_sql_decl('n')})) AS cosws
+       FROM b),
+g2 AS (SELECT event_id, d, w, {_sql_ws('cosws')} AS ws,
+              acos(GREATEST(LEAST(sin(lat * {_K_RAD}) * sin(d)
+                   + cos(lat * {_K_RAD}) * cos(d) * cos(w),
+                   1.0::DOUBLE), -1.0::DOUBLE)) AS thz
+       FROM g1)
+SELECT event_id,
+       round(d + 5e-10, 6) AS decl_rad,
+       round(w + 5e-10, 6) AS hour_angle,
+       round(ws + 5e-10, 6) AS sunset_angle,
+       round(thz + 5e-10, 6) AS zenith_angle
+FROM g2
+""",
+)
+def ts_solar_geometry(spark, sf_dir):
+    """F1-F4: declination, wrapped hour angle, sunset hour angle (with the
+    polar-day/-night sentinels) and zenith angle per event row, sites
+    derived deterministically from the key (`src/rewemo/solarpower.py:4-79`
+    semantics as Column exprs)."""
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        _lat_col().alias("lat"),
+        _lon_col().alias("lon"),
+        F.dayofyear("ts").cast("double").alias("n"),
+        F.hour("ts").cast("double").alias("h"),
+    )
+    return base.select(
+        "event_id",
+        F.round(solar.decl(F.col("n")) + 5e-10, 6).alias("decl_rad"),
+        F.round(solar.hourangle(F.col("h"), F.col("lon")) + 5e-10, 6).alias("hour_angle"),
+        F.round(solar.hourangle_sunset(F.col("n"), F.col("lat")) + 5e-10, 6).alias("sunset_angle"),
+        F.round(
+            solar.zenithangle(F.col("h"), F.col("n"), F.col("lat"), F.col("lon")) + 5e-10, 6
+        ).alias("zenith_angle"),
+    )
+
+
+_SP_SLOPE = 35.0 * solar.RAD
+_SP_COSB = f"cos({_SP_SLOPE!r}::DOUBLE)"
+
+
+@q(
+    "ts_solar_power",
+    f"""
+WITH b AS ({_SOLAR_BASE}),
+b2 AS (SELECT *, abs(value) * 360000.0::DOUBLE AS ssrd,
+              abs(value) * 360000.0::DOUBLE * 0.6::DOUBLE AS fdir
+       FROM b),
+g1 AS (SELECT *, {_sql_decl('n')} AS d,
+              {_sql_w('h', '(lon - 180.0::DOUBLE)')} AS dphi,
+              (-tan(lat * {_K_RAD}) * tan({_sql_decl('n')})) AS cosws
+       FROM b2),
+g2 AS (SELECT *, {_sql_ws('cosws')} AS ws,
+              acos(GREATEST(LEAST(sin(lat * {_K_RAD}) * sin(d)
+                   + cos(lat * {_K_RAD}) * cos(d) * cos({_sql_w('h', 'lon')}),
+                   1.0::DOUBLE), -1.0::DOUBLE)) AS thz
+       FROM g1),
+g3 AS (SELECT *, GREATEST(LEAST(cos(thz) * {_SP_COSB}
+                   + sin(thz) * sin({_SP_SLOPE!r}::DOUBLE) * cos(dphi),
+                   1.0::DOUBLE), 0.0::DOUBLE) AS costh
+       FROM g2),
+g4 AS (SELECT *, GREATEST(LEAST(
+              CASE WHEN ws < {(30.0 * solar.RAD)!r}::DOUBLE
+                        AND thz > {(85.0 * solar.RAD)!r}::DOUBLE
+                   THEN 0.0::DOUBLE ELSE costh / cos(thz) END,
+              10.0::DOUBLE), 0.0::DOUBLE) AS rb
+       FROM g3)
+SELECT event_id,
+       round((rb * fdir
+              + (1.0::DOUBLE + {_SP_COSB}) / 2.0::DOUBLE * (ssrd - fdir)
+              + 0.2::DOUBLE * (1.0::DOUBLE - {_SP_COSB}) / 2.0::DOUBLE
+                * (fdir + (ssrd - fdir)))
+             / 3600.0::DOUBLE * 0.95::DOUBLE / 1000.0::DOUBLE + 5e-10, 6) AS power
+FROM g4
+""",
+)
+def ts_solar_power(spark, sf_dir):
+    """F13-shape composition (F7/F8/F9/F10/F12 chained): the full ERA5 PV
+    pipeline — diffuse split, fixed-tracker dispatch, Rb with the
+    high-latitude correction and [0,10] clip, Liu-Jordan composition, unit
+    conversion — as ONE whole-stage-codegen Column chain
+    (`src/rewemo/solarpower.py:123-198` semantics)."""
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "ts",
+        _lat_col().alias("lat"),
+        _lon_col().alias("lon"),
+        (F.abs("value") * 360000.0).alias("ssrd"),
+        (F.abs("value") * 360000.0 * 0.6).alias("fdir"),
+    )
+    out = solar.compute_solar_power(
+        base, F.col("lat"), F.col("lon"),
+        panel_slope=_SP_SLOPE, panel_azimuth=180.0, albedo=0.2, eta_el=0.95,
+        tracking="fixed",
+    )
+    return out.select("event_id", F.round(F.col("power") + 5e-10, 6).alias("power"))
+
+
+_TD_SLOPE = 40.0 * solar.RAD
+_TD_COSB = f"cos({_TD_SLOPE!r}::DOUBLE)"
+
+
+@q(
+    "ts_tilted_daily",
+    f"""
+WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day_ts,
+                      round(sum(abs(value)), 4) AS hb_base
+               FROM events GROUP BY 1, 2),
+d2 AS (SELECT user_id::VARCHAR AS conv_id, day_ts,
+              (user_id % 161)::DOUBLE - 80.0::DOUBLE AS lat,
+              (user_id % 36)::DOUBLE * 10.0::DOUBLE - 180.0::DOUBLE AS lon,
+              hb_base * 100.0::DOUBLE AS Hb,
+              hb_base * 40.0::DOUBLE AS Hd,
+              dayofyear(day_ts)::DOUBLE AS n
+       FROM daily),
+g AS (SELECT *, hh::DOUBLE AS h
+      FROM d2 CROSS JOIN (SELECT unnest(range(0, 24)) AS hh)),
+geo AS (SELECT *, {_sql_w('h', 'lon')} AS w,
+               (-tan(lat * {_K_RAD}) * tan({_sql_decl('n')})) AS cosws
+        FROM g),
+geo2 AS (SELECT *, {_sql_ws('cosws')} AS ws FROM geo),
+cprf AS (SELECT *,
+               (0.4090::DOUBLE + 0.5016::DOUBLE * sin(ws - {_K_PI3})) AS a,
+               (0.6609::DOUBLE - 0.4767::DOUBLE * sin(ws - {_K_PI3})) AS b,
+               (CASE WHEN w > ws OR w < -ws THEN 0.0::DOUBLE
+                     ELSE (cos(w) - cos(ws)) / (sin(ws) - ws * cos(ws)) END) AS f
+        FROM geo2),
+rtd AS (SELECT *, GREATEST({_K_PI24} * f * (a + b * cos(w)), 0.0::DOUBLE) AS rt
+        FROM cprf),
+est AS (SELECT *, round(GREATEST(rt * (Hb + Hd) - rt * Hd, 0.0::DOUBLE), 6) AS hhb0,
+               round(rt * Hd, 6) AS hhd0
+        FROM rtd),
+ren AS (SELECT *, sum(hhb0) OVER (PARTITION BY conv_id, day_ts) AS sb,
+               sum(hhd0) OVER (PARTITION BY conv_id, day_ts) AS sd
+        FROM est),
+fin AS (SELECT *, CASE WHEN sb > 0 THEN hhb0 * Hb / sb ELSE hhb0 END AS hhb,
+               CASE WHEN sd > 0 THEN hhd0 * Hd / sd ELSE hhd0 END AS hhd
+        FROM ren),
+geo3 AS (SELECT *, acos(GREATEST(LEAST(sin(lat * {_K_RAD})
+              * sin({_sql_decl('n')}) + cos(lat * {_K_RAD})
+              * cos({_sql_decl('n')}) * cos(w), 1.0::DOUBLE), -1.0::DOUBLE)) AS thz,
+              {_sql_w('h', '(lon - 0.0::DOUBLE)')} AS dphi
+         FROM fin),
+rbx AS (SELECT *, GREATEST(LEAST(
+              CASE WHEN ws < {(30.0 * solar.RAD)!r}::DOUBLE
+                        AND thz > {(85.0 * solar.RAD)!r}::DOUBLE
+                   THEN 0.0::DOUBLE
+                   ELSE GREATEST(LEAST(cos(thz) * {_TD_COSB}
+                        + sin(thz) * sin({_TD_SLOPE!r}::DOUBLE) * cos(dphi),
+                        1.0::DOUBLE), 0.0::DOUBLE) / cos(thz) END,
+              10.0::DOUBLE), 0.0::DOUBLE) AS rb
+        FROM geo3)
+SELECT conv_id, day_ts, hh::BIGINT AS hour,
+       round(hhb + 5e-10, 4) AS hhb,
+       round(hhd + 5e-10, 4) AS hhd,
+       round(rb * hhb + hhd * (1.0::DOUBLE + {_TD_COSB}) / 2.0::DOUBLE
+             + (hhb + hhd) * 0.2::DOUBLE * (1.0::DOUBLE - {_TD_COSB}) / 2.0::DOUBLE
+             + 5e-10, 4) AS h_total
+FROM rbx
+""",
+)
+def ts_tilted_daily(spark, sf_dir):
+    """F5/F6/F10 (daily NCEP form) + A8 renorm: daily totals decomposed to
+    hourly via Collares-Pereira-Rabl ratios, renormalized per day so hourly
+    sums match the daily totals (sum > 0 guard), then Liu-Jordan onto the
+    tilted panel (`src/rewemo/ncep_reanalysis/solar.py:102-152,247-325`).
+    The per-day renorm is ONE window sum — never a per-day loop."""
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(F.round(F.sum(F.abs(F.col("value"))), 4).alias("hb_base"))
+    d2 = daily.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "day_ts",
+        _lat_col().alias("lat"),
+        _lon_col().alias("lon"),
+        (F.col("hb_base") * 100.0).alias("Hb"),
+        (F.col("hb_base") * 40.0).alias("Hd"),
+        F.dayofyear("day_ts").cast("double").alias("doy"),
+    )
+    hours = spark.range(24).select(F.col("id").cast("int").alias("hour"))
+    grid = d2.crossJoin(F.broadcast(hours))
+    out = solar.tilted_from_daily(
+        grid, keys=["conv_id"], lat=F.col("lat"), lon=F.col("lon"),
+        slope=_TD_SLOPE, albedo=0.2, tracking=None, azimuth=0.0,
+        round_intermediates=6,
+    )
+    return out.select(
+        "conv_id",
+        "day_ts",
+        F.col("hour").cast("long").alias("hour"),
+        F.round(F.col("hhb") + 5e-10, 4).alias("hhb"),
+        F.round(F.col("hhd") + 5e-10, 4).alias("hhd"),
+        F.round(F.col("h_total") + 5e-10, 4).alias("h_total"),
     )
 
 

@@ -23,11 +23,20 @@ Scale notes: payloads dominate bytes, so
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # optional real decoder — absent in this container, stub kicks in
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    HAVE_PIL = False
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, byte_len int"
@@ -56,12 +65,26 @@ def to_media_table(
 
 
 def _decode_payload(payload: bytes) -> dict:
-    """STUB decoder — deterministic fake decode from the payload digest.
+    """Decoder with an optional real branch: when PIL is importable and the
+    payload is a decodable image, return its TRUE dimensions; otherwise a
+    deterministic digest-derived stub (matching the SQL oracle: width =
+    16 + hexbyte0 % 64, etc. — the harness feeds UTF-8 text payloads, so
+    the oracle always exercises the stub branch even when PIL exists).
 
-    Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload));
-    the container has no media libs, so dimensions are carved from md5
-    (matching the SQL oracle: width = 16 + hexbyte0 % 64, etc.).
-    """
+    The stub fallback on undecodable bytes is the documented harness
+    contract, not error suppression — a production ingest would route
+    decode failures to a quarantine table instead."""
+    if HAVE_PIL:
+        try:
+            im = _PILImage.open(io.BytesIO(payload))
+            return {
+                "width": int(im.width),
+                "height": int(im.height),
+                "n_frames": int(getattr(im, "n_frames", 1)),
+                "fingerprint": hashlib.md5(payload).hexdigest(),
+            }
+        except Exception:
+            pass
     d = hashlib.md5(payload).hexdigest()
     return {
         "width": 16 + int(d[0:2], 16) % 64,

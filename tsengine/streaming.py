@@ -72,6 +72,16 @@ def streaming_tier_1m(
         .withColumn("is_assistant", F.when(F.col("role") == "assistant", 1.0).otherwise(0.0))
     )
     long = features.to_long(wide.select("conv_id", "ts", *stateless), stateless)
+    return streaming_tier_long(long, watermark)
+
+
+def streaming_tier_long(long: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """(conv_id, ts, metric, value) stream → windowed 1m tier updates —
+    the windowed-agg stage shared by every long-format source (transcript
+    signals, event streams). Same component set as the batch tier, so a
+    stream drained with ``trigger(availableNow=True)`` is row-identical to
+    ``rollup.rollup_from_raw`` on the same input (oracle-checked by the
+    ``ts_streaming_tier`` entry)."""
     return (
         long.withWatermark("ts", watermark)
         .groupBy("conv_id", F.window("ts", "1 minute").alias("w"), "metric")
