@@ -100,3 +100,52 @@ def test_session_rollup_gap_semantics(spark):
     # sess_end = last event + gap
     assert c.iloc[0]["sess_end"] == datetime(2024, 1, 1, 11, 10, 0)
     assert len(out[out["conv_id"] == "d"]) == 1
+
+
+def test_hist_sketch_cascade_and_quantiles(spark):
+    """Histogram sketch: 1m→1h cascade must equal the direct 1h histogram
+    (exact integer merge), and the p50 estimate must bracket the exact
+    median within its bin."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    rows = []
+    base = 1_700_000_000
+    for i in range(2000):
+        v = float(rng.normal(0, 8))
+        rows.append(("c%d" % (i % 3), base + i * 7, "m", v))
+    df = spark.createDataFrame(rows, "conv_id string, epoch long, metric string, value double")
+    ev = df.select("conv_id", F.timestamp_seconds("epoch").alias("ts"), "metric", "value")
+
+    bounds = rollup.DEFAULT_HIST_BOUNDS
+    nbins = len(bounds) + 1
+    h1m = rollup.rollup_hist(ev, bounds, "1m")
+    h1h_cascade = rollup.cascade_hist(h1m, "1h", nbins)
+    # direct 1h histogram over raw
+    direct = rollup.rollup_hist(ev, bounds, "1h")
+    a = {(r["conv_id"], r["bucket_ts"], r["metric"]): (r["cnt"], list(r["hist"]))
+         for r in h1h_cascade.collect()}
+    b = {(r["conv_id"], r["bucket_ts"], r["metric"]): (r["cnt"], list(r["hist"]))
+         for r in direct.collect()}
+    assert a == b
+
+    est = h1h_cascade.select(
+        "conv_id", "bucket_ts", rollup.hist_quantile(0.5, bounds).alias("p50")
+    ).collect()
+    import pandas as pd
+
+    pdf = ev.toPandas()
+    pdf["bucket_ts"] = pdf["ts"].dt.floor("h")
+    import math
+
+    for r in est[:20]:
+        vals = sorted(
+            pdf[(pdf["conv_id"] == r["conv_id"]) & (pdf["bucket_ts"] == r["bucket_ts"])]["value"]
+        )
+        # the sketch targets the ceil(q*cnt)-th order statistic (not the
+        # interpolated median) and returns its bin's upper edge
+        kth = vals[math.ceil(0.5 * len(vals)) - 1]
+        bigger = [x for x in bounds if x >= kth]
+        want = bigger[0] if bigger else bounds[-1]
+        assert r["p50"] == want, (kth, r["p50"], want)

@@ -99,3 +99,49 @@ def test_bbox_filter_prunes(spark):
         i for i in range(9)
         if -20 <= i * 10 - 40 <= 20 and -50 <= i * 20 - 80 <= 50
     }
+
+
+def test_nearest_point_join_matches_bruteforce(spark):
+    """Cell-bucketed general NN join == brute-force argmin, including a
+    sparse outlier that needs escalation rounds."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # non-uniform grid: clustered blob + scattered tail
+    gx = np.concatenate([rng.normal(10, 1.0, 40), rng.uniform(0, 50, 10)])
+    gy = np.concatenate([rng.normal(20, 1.5, 40), rng.uniform(0, 50, 10)])
+    grid = spark.createDataFrame(
+        [(i, float(gx[i]), float(gy[i])) for i in range(50)],
+        "grid_id long, lat double, lon double",
+    )
+    px = np.concatenate([rng.normal(10, 2.0, 30), np.array([49.0, -30.0])])
+    py = np.concatenate([rng.normal(20, 2.0, 30), np.array([49.0, -30.0])])
+    pts = spark.createDataFrame(
+        [(i, float(px[i]), float(py[i])) for i in range(32)],
+        "point_id long, lat double, lon double",
+    )
+    got = {
+        r["point_id"]: (r["grid_id"], r["nn_dist"])
+        for r in weights.nearest_point_join(pts, grid, cell=1.0).collect()
+    }
+    assert len(got) == 32
+    for i in range(32):
+        d = np.sqrt((px[i] - gx) ** 2 + (py[i] - gy) ** 2)
+        j = int(np.argmin(d))
+        assert got[i][0] == j, f"point {i}: got {got[i][0]}, want {j}"
+        assert abs(got[i][1] - float(d[j])) < 1e-9
+
+
+def test_nearest_point_join_no_cartesian(spark):
+    grid = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(20)],
+        "grid_id long, lat double, lon double",
+    )
+    pts = spark.createDataFrame(
+        [(i, i + 0.1, i + 0.2) for i in range(20)],
+        "point_id long, lat double, lon double",
+    )
+    plan = weights.nearest_point_join(pts, grid, cell=2.0)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1731,6 +1731,118 @@ def ts_normalize_coords(spark, sf_dir):
 
 
 # ===========================================================================
+# Reaggregable histogram-sketch quantiles (rollup.rollup_hist/cascade_hist)
+# ===========================================================================
+
+_HB = rollup.DEFAULT_HIST_BOUNDS
+_NB = len(_HB) + 1
+
+
+def _hist_quantile_sql() -> str:
+    bounds_sql = ", ".join(f"{b!r}::DOUBLE" for b in _HB)
+    bin_expr = f"len(list_filter([{bounds_sql}], b -> value > b))"
+    hsums = ", ".join(
+        f"sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END)::BIGINT AS h{i}"
+        for i in range(_NB)
+    )
+
+    def est(q: float) -> str:
+        whens = []
+        for i in range(_NB):
+            cum = " + ".join(f"h{j}" for j in range(i + 1))
+            edge = _HB[i] if i < len(_HB) else _HB[-1]
+            whens.append(
+                f"WHEN ({cum}) >= ceil({q!r}::DOUBLE * cnt) THEN {edge!r}::DOUBLE"
+            )
+        return "CASE " + " ".join(whens) + f" ELSE {_HB[-1]!r}::DOUBLE END"
+
+    return f"""
+WITH ev AS ({_EV}),
+b AS (SELECT conv_id, ts, metric, value, {bin_expr} AS bin FROM ev
+      WHERE value IS NOT NULL),
+t1m AS (SELECT conv_id, date_trunc('minute', ts) AS bucket_ts, metric,
+               count(*)::BIGINT AS cnt, {hsums}
+        FROM b GROUP BY 1, 2, 3),
+t1h AS (SELECT conv_id, date_trunc('hour', bucket_ts) AS bucket_ts, metric,
+               sum(cnt)::BIGINT AS cnt,
+               {", ".join(f"sum(h{i})::BIGINT AS h{i}" for i in range(_NB))}
+        FROM t1m GROUP BY 1, 2, 3)
+SELECT conv_id, bucket_ts, metric, cnt,
+       {est(0.5)} AS p50,
+       {est(0.95)} AS p95
+FROM t1h
+"""
+
+
+@q("ts_hist_quantiles", _hist_quantile_sql())
+def ts_hist_quantiles(spark, sf_dir):
+    """Reaggregable quantile sketch: fixed-boundary histogram built at the
+    1m tier, cascaded 1m→1h by exact element-wise integer merge, p50/p95
+    estimated from the merged hist — quantiles at coarse tiers with NO raw
+    re-read, chosen over t-digest because the merge is order-independent
+    and the estimate deterministic (SQL-oracle-checkable end to end)."""
+    ev = _events_long(spark, sf_dir)
+    h1m = rollup.rollup_hist(ev, _HB, "1m")
+    h1h = rollup.cascade_hist(h1m, "1h", _NB)
+    return h1h.select(
+        "conv_id", "bucket_ts", "metric", "cnt",
+        rollup.hist_quantile(0.5, _HB).alias("p50"),
+        rollup.hist_quantile(0.95, _HB).alias("p95"),
+    )
+
+
+# ===========================================================================
+# General non-uniform NN join (J1 extension, weights.nearest_point_join)
+# ===========================================================================
+
+@q(
+    "ts_nn_general",
+    """
+WITH pts AS (SELECT event_id AS point_id,
+                    (user_id % 97)::DOUBLE * 0.37::DOUBLE AS plat,
+                    (event_id % 89)::DOUBLE * 0.41::DOUBLE AS plon
+             FROM events),
+grid AS (SELECT g AS grid_id,
+                ((g * 7) % 103)::DOUBLE * 0.35::DOUBLE AS glat,
+                ((g * 13) % 97)::DOUBLE * 0.39::DOUBLE AS glon
+         FROM (SELECT unnest(range(0, 200))::BIGINT AS g)),
+d AS (SELECT p.point_id, g.grid_id,
+             sqrt((p.plat - g.glat) * (p.plat - g.glat)
+                  + (p.plon - g.glon) * (p.plon - g.glon)) AS nn_dist
+      FROM pts p CROSS JOIN grid g),
+r AS (SELECT point_id, grid_id, nn_dist,
+             row_number() OVER (PARTITION BY point_id
+                                ORDER BY nn_dist, grid_id) AS rk
+      FROM d)
+SELECT point_id, grid_id, round(nn_dist + 5e-10, 6) AS nn_dist
+FROM r WHERE rk = 1
+""",
+)
+def ts_nn_general(spark, sf_dir):
+    """General NON-uniform-grid nearest-neighbour join via cell-bucketed
+    equi-joins with driver-side escalation (never a cross join in the
+    Spark plan — the O(n*m) argmin lives only in the DuckDB oracle).
+    cell=2.0 against ~2.6 average grid spacing forces real escalation
+    rounds, so the doubling path is oracle-covered, not just unit-tested."""
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("point_id"),
+        ((F.col("user_id") % 97).cast("double") * 0.37).alias("lat"),
+        ((F.col("event_id") % 89).cast("double") * 0.41).alias("lon"),
+    )
+    grid = spark.range(200).select(
+        F.col("id").alias("grid_id"),
+        (((F.col("id") * 7) % 103).cast("double") * 0.35).alias("lat"),
+        (((F.col("id") * 13) % 97).cast("double") * 0.39).alias("lon"),
+    )
+    out = weights.nearest_point_join(pts, grid, cell=2.0)
+    return out.select(
+        "point_id", "grid_id",
+        F.round(F.col("nn_dist") + 5e-10, 6).alias("nn_dist"),
+    )
+
+
+# ===========================================================================
 # Checkpoint/resume lineage (SURVEY §2.1 S7, lineage.py + jobs.py)
 # ===========================================================================
 

@@ -134,6 +134,100 @@ def finalize(tier_df: DataFrame) -> DataFrame:
     return tier_df.withColumn("mean", mean).withColumn("std_pop", F.sqrt(var))
 
 
+# ---------------------------------------------------------------------------
+# Reaggregable quantile sketches: fixed-boundary histograms.
+#
+# Exact quantiles don't cascade (SURVEY §7 hard-part (d)); the scalable
+# answer is a sketch column that DOES. A fixed-boundary histogram is chosen
+# over t-digest because (a) merging is an element-wise array sum — exact,
+# order-independent, partial-aggregated like every other tier component;
+# (b) its estimate semantics are deterministic, so a SQL oracle can verify
+# the whole path bit-for-bit (a t-digest's centroids are merge-order-
+# dependent). Accuracy is bounded by bin width — pick bounds per metric
+# domain (log-spaced covers heavy tails).
+# ---------------------------------------------------------------------------
+
+DEFAULT_HIST_BOUNDS = [-64.0, -16.0, -4.0, -1.0, -0.25, 0.0, 0.25, 1.0, 4.0, 16.0, 64.0]
+
+
+def hist_bin(value: F.Column, bounds: list[float]) -> F.Column:
+    """Bin index of ``value``: #{b in bounds : value > b} ∈ [0, len(bounds)];
+    bin 0 ⇔ v ≤ bounds[0], bin k ⇔ bounds[k-1] < v ≤ bounds[k], last bin ⇔
+    v > bounds[-1]. One filter+size over a literal array — codegen'd."""
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    return F.size(F.filter(arr, lambda b: value > b))
+
+
+def rollup_hist(
+    features_long: DataFrame,
+    bounds: list[float] | None = None,
+    tier: str = "1m",
+) -> DataFrame:
+    """Finest tier with a histogram sketch column: (keys, cnt,
+    hist array<long> of len(bounds)+1 bin counts). The hist is built as
+    B+1 conditional-sum aggregates assembled into one array — every one
+    of them map-side partial-aggregated, so the exchange still carries one
+    row per group."""
+    bounds = bounds or DEFAULT_HIST_BOUNDS
+    unit = TIER_SPECS[tier]
+    nbins = len(bounds) + 1
+    b = hist_bin(F.col("value"), bounds)
+    base = features_long.where(F.col("value").isNotNull()).withColumn("_bin", b)
+    sums = [
+        F.sum(F.when(F.col("_bin") == i, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias(f"_h{i}")
+        for i in range(nbins)
+    ]
+    g = base.groupBy(
+        "conv_id", F.date_trunc(unit, F.col("ts")).alias("bucket_ts"), "metric"
+    ).agg(F.count("value").alias("cnt"), *sums)
+    return g.select(
+        "conv_id", "bucket_ts", "metric", "cnt",
+        F.array(*[F.col(f"_h{i}") for i in range(nbins)]).alias("hist"),
+    )
+
+
+def cascade_hist(hist_df: DataFrame, to_tier: str, nbins: int) -> DataFrame:
+    """Coarser tier from a finer hist tier: element-wise array sum (exact,
+    order-independent — integer adds), same partial-agg shape as cascade()."""
+    unit = TIER_SPECS[to_tier]
+    sums = [
+        F.sum(F.element_at("hist", i + 1)).alias(f"_h{i}") for i in range(nbins)
+    ]
+    g = hist_df.groupBy(
+        "conv_id", F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts"), "metric"
+    ).agg(F.sum("cnt").alias("cnt"), *sums)
+    return g.select(
+        "conv_id", "bucket_ts", "metric", "cnt",
+        F.array(*[F.col(f"_h{i}") for i in range(nbins)]).alias("hist"),
+    )
+
+
+def hist_quantile(q: float, bounds: list[float]) -> F.Column:
+    """Estimate of the q-quantile from (cnt, hist): the upper edge of the
+    first bin whose cumulative count reaches ceil(q·cnt); the unbounded
+    last bin clamps to bounds[-1]. Deterministic (oracle-checkable);
+    error ≤ one bin width by construction.
+
+    Expressed as prefix sums over the hist array (O(B²) JVM-side array
+    ops, B ≤ ~32 — negligible next to the shuffle)."""
+    nbins = len(bounds) + 1
+    target = F.ceil(F.lit(float(q)) * F.col("cnt"))
+    prefix = F.transform(
+        F.sequence(F.lit(1), F.lit(nbins)),
+        lambda i: F.aggregate(
+            F.slice(F.col("hist"), F.lit(1), i),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    # 0-based bin index = number of prefixes strictly below the target
+    idx = F.size(F.filter(prefix, lambda p: p < target))
+    edges = F.array(*[F.lit(float(b)) for b in bounds], F.lit(float(bounds[-1])))
+    return F.element_at(edges, F.least(idx, F.lit(nbins - 1)) + 1)
+
+
 def session_rollup(
     df: "DataFrame",
     gap: str = "30 minutes",
