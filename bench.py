@@ -146,10 +146,13 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
         textops.lsh_candidate_pairs(
             textops.minhash_signature(docs, k=4, shingle_n=3), k=4, band_size=2))
     thunks["dedup_exact"] = lambda: count_action(textops.exact_dedup_groups(docs))
-    # bits pinned to 16 to keep the bench workload comparable across rounds
-    # (the operator default is now the production 64-bit width)
+    # bits pinned to 16 to keep the bench workload comparable across rounds;
+    # simhash_pairs_64 measures the production default width (far fewer
+    # band collisions -> the number a real corpus run would see)
     thunks["simhash_pairs"] = lambda: count_action(
         textops.hamming_neighbors(textops.simhash(docs, bits=16), max_dist=3, bits=16))
+    thunks["simhash_pairs_64"] = lambda: count_action(
+        textops.hamming_neighbors(textops.simhash(docs, bits=64), max_dist=3, bits=64))
     thunks["weighted_rollup"] = lambda: count_action(
         eq.QUERIES["ts_weighted_rollup"](spark, sf_dir))
 

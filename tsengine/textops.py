@@ -233,6 +233,11 @@ def simhash(
         id_col, h1.alias("_h1"), h2.alias("_h2"), F.size(h1).alias("_n")
     )
 
+    # Perf note: one scalar aggregate per bit. A single-pass variant with a
+    # struct{array<long> votes} accumulator was tried and is 10-20x SLOWER
+    # — every merge step copies the 60-element vote array per token
+    # (interpreted HOF, O(tokens*bits) array allocations); scalar-long
+    # accumulators per bit stay allocation-free.
     def vote(j: int):
         # factory keeps the merge lambda 2-arg (acc, x) — see perm() above
         return lambda a, x: a + (
