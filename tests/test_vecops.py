@@ -135,3 +135,24 @@ def test_pairwise_topk_join_dropped_metrics(emb):
     _, zero = vecops.pairwise_topk_join(emb, emb, k=3, return_dropped=True)
     zm = zero.collect()[0]
     assert zm["n_buckets_dropped"] == 0 and zm["n_rows_dropped"] == 0
+
+
+def test_ivf_topk_probes_subset_and_finds_neighbors(emb):
+    """IVF with all lists probed == brute force; fewer probes = subset."""
+    q = [float(x) for x in VECS[5]]
+    full = vecops.ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8).toPandas()
+    brute = vecops.cosine_topk(emb, q, k=5).toPandas()
+    # probing every list degenerates to exact brute-force top-k
+    assert list(full["vec_id"]) == list(brute["vec_id"])
+    part = vecops.ivf_topk(emb, q, k=5, n_centroids=8, nprobe=2).toPandas()
+    assert len(part) == 5
+    assert set(part["centroid_id"]).issubset(set(full["centroid_id"]))
+
+
+def test_ivf_assign_ties_lowest_centroid(spark):
+    """Equidistant vector assigns to the lowest centroid id."""
+    rows = [(0, [0.0, 0.0]), (1, [2.0, 0.0]), (2, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(0, [0.0, 0.0]), (1, [2.0, 0.0])]
+    out = {r["vec_id"]: r["centroid_id"] for r in vecops.ivf_assign(df, cents).collect()}
+    assert out[0] == 0 and out[1] == 1 and out[2] == 0  # tie -> centroid 0

@@ -1425,6 +1425,47 @@ def vec_lsh_topk(spark, sf_dir):
 
 
 @q(
+    "vec_ivf_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id <> 0),
+c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT cid FROM c, q
+          ORDER BY sqrt(list_sum(list_transform(range(1, 65),
+                       i -> (cv[i] - qv[i]) * (cv[i] - qv[i])))), cid
+          LIMIT 4),
+assign AS (SELECT e.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY sqrt(list_sum(list_transform(range(1, 65),
+                                   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))),
+                               c.cid) AS rk
+           FROM e CROSS JOIN c),
+a1 AS (SELECT vec_id, cid FROM assign WHERE rk = 1)
+SELECT a1.vec_id, a1.cid::BIGINT AS centroid_id,
+       round(list_cosine_similarity(e.v, q.qv), 5) AS cosine_sim
+FROM a1 JOIN e ON e.vec_id = a1.vec_id, q
+WHERE a1.cid IN (SELECT cid FROM probe)
+ORDER BY list_cosine_similarity(e.v, q.qv) DESC, a1.vec_id
+LIMIT 5
+""",
+)
+def vec_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN — the centroid-bucketed scale path named by
+    the brief next to LSH: deterministic centroid set, scan-speed list
+    assignment (no join), driver-side probe selection, cosine top-k over
+    the probed lists only. The all-pairs assignment join lives solely in
+    the DuckDB oracle."""
+    qv = _query_vec(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    top = vecops.ivf_topk(emb, qv, k=5, n_centroids=16, nprobe=4)
+    return top.select(
+        "vec_id", F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.round("cosine_sim", 5).alias("cosine_sim"),
+    )
+
+
+@q(
     "vec_lsh_multiprobe",
     f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -188,6 +188,93 @@ def pairwise_topk_join(
     return topk
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid set: the ``n_centroids`` lowest-id vectors
+    (a seeded sample — production would run k-means/k-means||, but the
+    IVF probe/assign plumbing is identical whatever produces the
+    centroids, and a deterministic set keeps the whole path
+    oracle-checkable). Dimension-sized driver collect."""
+    rows = embeddings.orderBy(id_col).limit(n_centroids).collect()
+    return [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in rows]
+
+
+def _l2_to(vec: Column, c: list[float]) -> Column:
+    carr = F.array(*[F.lit(float(x)) for x in c])
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF list assignment: each vector gets the id of its L2-nearest
+    centroid (ties → lowest centroid id). A fold of strict-less F.when
+    updates over the (small) centroid list — pure Column exprs, no join,
+    no shuffle; at 100 TB this runs at scan speed and the table is
+    written partitioned by ``centroid_id`` so probes prune partitions."""
+    dv = _as_double(F.col(vec_col))
+    # argmin as array_min over (dist, cid) structs: linear-size expression
+    # with lexicographic tie-break on the lowest centroid id. (A fold of
+    # F.when updates was tried first and is unusable: each level embeds
+    # the previous tree twice -> a 2^n_centroids-node expression that
+    # hangs the analyzer.)
+    pairs = F.array(*[
+        F.struct(_l2_to(dv, c).alias("d"), F.lit(int(cid)).alias("cid"))
+        for cid, c in centroids
+    ])
+    return embeddings.withColumn("centroid_id", F.array_min(pairs)["cid"])
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose inverted list
+    (nearest centroid) is among the ``nprobe`` centroids closest to the
+    query — the centroid-bucketed sibling of ``lsh_topk``. The probe set
+    is computed driver-side from the centroid list; the candidate filter
+    is a pushable IN-predicate on ``centroid_id`` (partition pruning when
+    the table is laid out by centroid)."""
+    import numpy as np
+
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    order = sorted(
+        cents, key=lambda c: (float(np.linalg.norm(qv - np.asarray(c[1]))), c[0])
+    )
+    probe = [cid for cid, _ in order[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    return (
+        assigned.where(F.col("centroid_id").isin(probe))
+        .select(
+            id_col,
+            "centroid_id",
+            cosine(_as_double(F.col(vec_col)), q).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def label_centroid_stats(
     embeddings: DataFrame,
     id_col: str = "vec_id",
