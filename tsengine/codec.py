@@ -38,26 +38,6 @@ _U64 = np.uint64
 # vectorized bit helpers
 # --------------------------------------------------------------------------
 
-def _clz64(x: np.ndarray) -> np.ndarray:
-    """Count leading zeros per uint64 element (64 for zero)."""
-    x = x.astype(_U64, copy=False)
-    cur = x.copy()
-    acc = np.zeros(x.shape, dtype=np.int64)
-    for s in (32, 16, 8, 4, 2, 1):
-        top = cur >> _U64(64 - s)
-        has = top != 0
-        cur = np.where(has, cur, cur << _U64(s))
-        acc = np.where(has, acc, acc + s)
-    return np.where(x == 0, 64, acc)
-
-
-def _ctz64(x: np.ndarray) -> np.ndarray:
-    """Count trailing zeros per uint64 element (64 for zero)."""
-    x = x.astype(_U64, copy=False)
-    lsb = x & (~x + _U64(1))
-    return np.where(x == 0, 64, 63 - _clz64(lsb))
-
-
 def _pack_fixed(vals: np.ndarray, width: int) -> bytes:
     """Pack low ``width`` bits of each uint64 contiguously, MSB-first."""
     if width == 0 or len(vals) == 0:

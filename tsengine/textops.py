@@ -30,9 +30,16 @@ def bucket_cap(
     """Apply a per-bucket row cap and ACCOUNT for what it drops — the
     engine's own "no silent caps" rule. Returns (kept, dropped_metrics)
     where dropped_metrics is a 1-row DataFrame
-    (n_buckets_dropped, n_rows_dropped); at 100 TB scale materializing it
-    is one cheap aggregate over the already-shuffled band table, and a
-    non-zero count is the recall-loss signal a production run must see."""
+    (n_buckets_dropped, n_rows_dropped); a non-zero count is the
+    recall-loss signal a production run must see.
+
+    Cost note: both outputs are lazy plans over the same banded input, so
+    consuming the metrics re-runs the banding scan + count window (one
+    extra pass — the band table is deliberately NOT persisted here; at
+    100 TB pin it yourself before splitting if the double pass matters,
+    or derive n_rows_dropped for free via ``df.observe`` on the kept
+    path: sum(when(_bc > cap, 1)) and sum(when(_bc > cap, 1.0/_bc)) give
+    (rows, buckets) during the main action)."""
     cnt = F.count("*").over(W.partitionBy(*part_cols))
     with_c = bands.withColumn("_bc", cnt)
     kept = with_c.where(F.col("_bc") <= max_bucket).drop("_bc")
@@ -218,12 +225,15 @@ def simhash(
 
     Expressed as one aggregate over the token array per bit — all Column
     exprs. Bits 0-59 come from the first 15 hex chars of the token md5,
-    bits 60-119 from the next 15 — every simhash bit carries real hash
-    signal up to width 120 (a single 60-bit carve would leave the top
-    bits of a 64-wide hash constant-zero). Default 64 = production width;
-    the oracle builds the identical value from the same md5 segments."""
-    if not 1 <= bits <= 120:
-        raise ValueError(f"bits must be in [1, 120], got {bits}")
+    bits 60-63 from the next segment — every simhash bit carries real
+    hash signal at the full width (a single 60-bit carve would leave the
+    top bits of a 64-wide hash constant-zero). Default 64 = production
+    width = the hard maximum: the hash packs into ONE long, and shift
+    amounts ≥ 64 wrap mod 64 on the JVM (silent corruption, not an
+    error), so wider hashes would need a second column. The oracle
+    builds the identical value from the same md5 segments."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     toks = F.array_distinct(tokens(F.col(text_col)))
     h1 = F.transform(toks, _h60)
     h2 = F.transform(

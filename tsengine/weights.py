@@ -193,7 +193,12 @@ def nearest_point_join(
     resolved = None
     c = float(cell)
     for _ in range(max_rounds - 1):
-        best = _nn_round(p, g0, c, point_id, grid_id)
+        # persist each round's argmin: it feeds BOTH the resolved union
+        # and the next round's anti-join, and the tail's driver-side bbox
+        # collect plus the caller's final action would otherwise re-run
+        # every round's join + window from scratch (best is ≤ |points|
+        # rows — cheap to hold, expensive to recompute)
+        best = _nn_round(p, g0, c, point_id, grid_id).persist()
         ok = best.where(F.col("nn_dist") <= c)
         resolved = ok if resolved is None else resolved.unionByName(ok)
         p = p.join(ok.select(point_id), point_id, "left_anti")
@@ -209,12 +214,14 @@ def nearest_point_join(
     pb_ext = p.agg(
         F.min("_pla"), F.max("_pla"), F.min("_plo"), F.max("_plo")
     ).collect()[0]
-    if pb_ext[0] is not None:  # unresolved set non-empty
+    if pb_ext[0] is not None and gb_ext[0] is not None:
         lo_la = min(gb_ext[0], pb_ext[0])
         hi_la = max(gb_ext[1], pb_ext[1])
         lo_lo = min(gb_ext[2], pb_ext[2])
         hi_lo = max(gb_ext[3], pb_ext[3])
         c = max(hi_la - lo_la, hi_lo - lo_lo, c, 1e-9)
+    # an empty grid flows through as an empty tail (no candidates), never
+    # a crash — callers get the points they could resolve (none)
     tail = _nn_round(p, g0, c, point_id, grid_id)
     return tail if resolved is None else resolved.unionByName(tail)
 
