@@ -252,3 +252,16 @@ def test_bucket_cap_dropped_metrics(spark):
     )
     nm = none_dropped.collect()[0]
     assert nm["n_buckets_dropped"] == 0 and nm["n_rows_dropped"] == 0
+
+
+def test_drop_near_dups_greedy_policy(spark):
+    """doc_b of every pair is dropped; chain a-b-c drops both b and c."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "x") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)], "doc_a long, doc_b long"
+    )
+    kept = sorted(r["doc_id"] for r in textops.drop_near_dups(docs, pairs).collect())
+    assert kept == [0, 3, 4]

@@ -1189,6 +1189,34 @@ def text_lsh_pairs(spark, sf_dir):
 
 
 @q(
+    "text_drop_near_dups",
+    f"""
+WITH d AS ({_DOCS2})
+SELECT d.doc_id, length(d.text)::BIGINT AS n_chars
+FROM d
+WHERE d.doc_id NOT IN (
+    SELECT DISTINCT doc_b FROM ({_lsh_pairs_sql()}) p
+)
+""",
+)
+def text_drop_near_dups(spark, sf_dir):
+    """The dedup DECISION stage: near-dup pairs (MinHash-LSH, est Jaccard
+    ≥ 0.5) applied as the greedy keep-lowest-id drop policy — the
+    composition a corpus pipeline actually ships (pairs alone don't
+    dedupe anything). One uniform-keyed anti-join."""
+    docs = _docs2(spark, sf_dir)
+    sigs = textops.minhash_signature(docs, k=4, shingle_n=3)
+    pairs = textops.lsh_candidate_pairs(sigs, k=4, band_size=2).where(
+        F.col("est_jaccard") >= 0.5
+    )
+    kept = textops.drop_near_dups(docs, pairs)
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@q(
     "text_ngram_jaccard",
     f"""
 WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),

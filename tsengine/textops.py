@@ -89,6 +89,24 @@ def drop_exact_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     return docs.join(keep, id_col, "left_semi")
 
 
+def drop_near_dups(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply a near-dup pair list (doc_a < doc_b from any of the pairers:
+    LSH, simhash, n-gram Jaccard, embedding near-dup) as a dedup policy:
+    drop every document that appears as the HIGHER id of some pair — the
+    standard greedy keep-lowest rule used by corpus dedup pipelines.
+
+    One anti-join keyed by doc id (uniform). Note the deliberate semantics
+    on chains a—b—c: b and c are both dropped even though b (the only
+    retained neighbor of c) is itself removed — over-dropping is the safe
+    direction for training data, and exact transitive grouping would need
+    iterative connected components (out of scope; the pair list is the
+    plug-in point)."""
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH near-dedup
 # --------------------------------------------------------------------------
