@@ -265,3 +265,14 @@ def test_drop_near_dups_greedy_policy(spark):
     )
     kept = sorted(r["doc_id"] for r in textops.drop_near_dups(docs, pairs).collect())
     assert kept == [0, 3, 4]
+
+
+def test_dedup_components_transitive(spark):
+    """Chains group transitively to the smallest id; disjoint clusters
+    keep separate labels; isolated docs never appear."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 6)], "doc_a long, doc_b long"
+    )
+    comp = {r["doc_id"]: r["component"]
+            for r in textops.dedup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}

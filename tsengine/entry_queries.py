@@ -1217,6 +1217,42 @@ def text_drop_near_dups(spark, sf_dir):
 
 
 @q(
+    "text_dedup_components",
+    f"""
+WITH RECURSIVE
+p AS (SELECT doc_a, doc_b FROM ({_lsh_pairs_sql()}) q),
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        UNION SELECT doc_b, doc_a FROM p),
+reach(id, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT sym.src, reach.r FROM sym JOIN reach ON reach.id = sym.dst
+)
+SELECT id AS doc_id, min(r)::BIGINT AS component
+FROM reach GROUP BY id
+""",
+)
+def text_dedup_components(spark, sf_dir):
+    """Transitive dedup grouping: connected components over the MinHash-
+    LSH near-dup graph (est Jaccard ≥ 0.5) via iterative min-label
+    propagation — each doc labeled with the smallest id in its dup
+    cluster, chain-exact (a—b—c all share one component, unlike the
+    greedy drop policy). The Spark side is a driver-looped shuffle per
+    round with early stop; the transitive closure lives in the oracle as
+    a recursive CTE."""
+    docs = _docs2(spark, sf_dir)
+    sigs = textops.minhash_signature(docs, k=4, shingle_n=3)
+    pairs = textops.lsh_candidate_pairs(sigs, k=4, band_size=2).where(
+        F.col("est_jaccard") >= 0.5
+    )
+    comp = textops.dedup_components(pairs)
+    return comp.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+@q(
     "text_ngram_jaccard",
     f"""
 WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),

@@ -100,11 +100,64 @@ def drop_near_dups(
     One anti-join keyed by doc id (uniform). Note the deliberate semantics
     on chains a—b—c: b and c are both dropped even though b (the only
     retained neighbor of c) is itself removed — over-dropping is the safe
-    direction for training data, and exact transitive grouping would need
-    iterative connected components (out of scope; the pair list is the
-    plug-in point)."""
+    direction for training data; for chain-exact grouping use
+    ``dedup_components`` and keep one representative per component."""
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
+
+
+def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Transitive near-dup grouping: connected components over the pair
+    graph via iterative min-label propagation — the exact policy
+    ``drop_near_dups`` deliberately approximates. Returns (doc_id,
+    component) where component = the smallest doc id reachable through
+    any chain of pairs; keep one representative per component for
+    chain-exact dedup.
+
+    Shape: a driver-side loop of (join neighbor labels → min → compare),
+    each iteration one shuffle keyed by doc id; converges in
+    O(graph diameter) rounds (near-dup clusters are shallow — dup chains
+    longer than ~20 hops do not occur in practice, and the loop stops
+    early the first round nothing changes). Labels persist per round and
+    unpersist after the next — bounded memory, no lineage blow-up."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new.withColumnRenamed("comp", "new_comp")
+            .join(labels, "id")
+            .where(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 
 # --------------------------------------------------------------------------
