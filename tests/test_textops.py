@@ -254,6 +254,44 @@ def test_bucket_cap_dropped_metrics(spark):
     assert nm["n_buckets_dropped"] == 0 and nm["n_rows_dropped"] == 0
 
 
+def test_bucket_cap_observed_metrics_free(spark):
+    """The Observation path yields the same dropped metrics as the
+    DataFrame path, DURING the kept-side action — no second banding
+    pass."""
+    from pyspark.sql import Observation
+
+    rows = [(i, "b1" if i < 7 else ("b2" if i < 10 else f"u{i}")) for i in range(14)]
+    bands = spark.createDataFrame(rows, "doc_id long, bucket string")
+    obs = Observation()
+    kept, dropped_df = textops.bucket_cap(bands, ["bucket"], 3, observation=obs)
+    kept_rows = kept.count()  # the ONE action; metrics ride along
+    assert kept_rows == 7  # b2 (3 rows, at the cap) + 4 singletons survive
+    got = obs.get
+    want = dropped_df.collect()[0]
+    assert got["n_buckets_dropped"] == want["n_buckets_dropped"] == 1
+    assert got["n_rows_dropped"] == want["n_rows_dropped"] == 7
+
+    # nothing over the cap → explicit zeros from the observation too
+    obs2 = Observation()
+    kept2, _ = textops.bucket_cap(bands, ["bucket"], 100, observation=obs2)
+    assert kept2.count() == 14
+    assert obs2.get["n_buckets_dropped"] == 0
+    assert obs2.get["n_rows_dropped"] == 0
+
+
+def test_dedup_components_nonconvergence_raises(spark):
+    """A chain deeper than max_iter must raise (no silently-partial
+    labels), and a convergent run under the same cap must not."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        textops.dedup_components(chain, max_iter=2)
+    comp = {r["doc_id"]: r["component"]
+            for r in textops.dedup_components(chain, max_iter=10).collect()}
+    assert set(comp.values()) == {0}
+
+
 def test_drop_near_dups_greedy_policy(spark):
     """doc_b of every pair is dropped; chain a-b-c drops both b and c."""
     docs = spark.createDataFrame(

@@ -156,3 +156,63 @@ def test_ivf_assign_ties_lowest_centroid(spark):
     cents = [(0, [0.0, 0.0]), (1, [2.0, 0.0])]
     out = {r["vec_id"]: r["centroid_id"] for r in vecops.ivf_assign(df, cents).collect()}
     assert out[0] == 0 and out[1] == 1 and out[2] == 0  # tie -> centroid 0
+
+
+def test_kmeans_centroids_match_numpy_twin(emb):
+    """Distributed k-means|| + Lloyd must equal the single-process numpy
+    twin bit-for-bit after the shared rounding discipline — init
+    sampling, weighting, and every iteration are deterministic."""
+    got = vecops.kmeans_centroids(
+        emb, n_centroids=4, n_iter=3, init_rounds=2, seed=1
+    )
+    want = vecops.np_kmeans_centroids(
+        list(range(N)), VECS.astype(np.float64),
+        n_centroids=4, n_iter=3, init_rounds=2, seed=1,
+    )
+    assert [cid for cid, _ in got] == [cid for cid, _ in want]
+    for (_, g), (_, w) in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-9)
+    # determinism across runs
+    again = vecops.kmeans_centroids(
+        emb, n_centroids=4, n_iter=3, init_rounds=2, seed=1
+    )
+    assert again == got
+
+
+def test_kmeans_centroids_improve_quantization(emb):
+    """Trained centroids must not quantize worse than the lowest-id
+    placeholder set (sum of rounded distances to nearest centroid)."""
+    def cost(cents):
+        C = np.asarray([c for _, c in cents])
+        X = VECS.astype(np.float64)
+        d = np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(2))
+        return float(np.round(d, 6).min(1).sum())
+
+    trained = vecops.kmeans_centroids(
+        emb, n_centroids=4, n_iter=3, init_rounds=2, seed=1
+    )
+    naive = vecops.ivf_centroids(emb, 4)
+    assert cost(trained) <= cost(naive)
+
+
+def test_ivf_topk_with_trained_centroids(emb):
+    """ivf_topk accepts precomputed (trained) centroids; probing every
+    trained list degenerates to exact brute force."""
+    q = [float(x) for x in VECS[5]]
+    cents = vecops.kmeans_centroids(
+        emb, n_centroids=4, n_iter=2, init_rounds=2, seed=1
+    )
+    full = vecops.ivf_topk(emb, q, k=5, nprobe=4, centroids=cents).toPandas()
+    brute = vecops.cosine_topk(emb, q, k=5).toPandas()
+    assert list(full["vec_id"]) == list(brute["vec_id"])
+
+
+def test_kmeans_empty_and_degenerate(spark):
+    """Empty input -> []; corpus with fewer distinct points than k pads
+    deterministically and still returns k centroid slots."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert vecops.kmeans_centroids(empty, n_centroids=3) == []
+    rows = [(i, [float(i % 2), 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = vecops.kmeans_centroids(df, n_centroids=4, n_iter=2)
+    assert len(cents) == 4

@@ -1529,6 +1529,73 @@ def vec_ivf_topk(spark, sf_dir):
     )
 
 
+def _kmeans_iter_sql() -> str:
+    means = ",\n       ".join(
+        f"round(avg(v[{i + 1}]) + 5e-10, 5) AS m{i + 1}" for i in range(64)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 4),
+d AS (SELECT e.vec_id, e.v, c.cid,
+             round(list_distance(e.v, c.cv), 6) AS dist
+      FROM e CROSS JOIN c),
+a AS (SELECT vec_id, v, cid FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rk FROM d)
+      WHERE rk = 1)
+SELECT cid::BIGINT AS centroid_id, count(*)::BIGINT AS n,
+       {means}
+FROM a GROUP BY cid
+"""
+
+
+@q("vec_kmeans_iter", _kmeans_iter_sql())
+def vec_kmeans_iter(spark, sf_dir):
+    """One full distributed Lloyd iteration — the exact per-iteration
+    machinery of ``vecops.kmeans_centroids`` (scan-speed argmin
+    assignment with rounded-distance ranking, per-dimension means as d
+    scalar partial aggs, shuffle = k rows × d sums) proven against an
+    all-pairs SQL oracle. The iterating driver loop composes this shape
+    verbatim; the full k-means|| pipeline is covered rows-only by
+    ``vec_ivf_kmeans_topk`` plus the numpy-twin parity test."""
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = vecops.ivf_centroids(emb, 4)
+    assigned = vecops.ivf_assign(emb, cents, dist_round=6)
+    mean_aggs = [
+        F.round(
+            F.avg(F.element_at(F.col("embedding"), i + 1).cast("double"))
+            + F.lit(5e-10),
+            5,
+        ).alias(f"m{i + 1}")
+        for i in range(64)
+    ]
+    return assigned.groupBy(
+        F.col("centroid_id").cast("long").alias("centroid_id")
+    ).agg(F.count("*").alias("n"), *mean_aggs)
+
+
+@q("vec_ivf_kmeans_topk")
+def vec_ivf_kmeans_topk(spark, sf_dir):
+    """IVF top-k over TRAINED centroids: k-means|| init (deterministic
+    hash sampling) + distributed Lloyd, then the same probe/assign path
+    as ``vec_ivf_topk``. No SQL oracle — the iterative training loop is
+    not SQL-expressible (driver records the rows-only check); instead the
+    per-iteration machinery is oracle-paired via ``vec_kmeans_iter`` and
+    the end-to-end result is pinned to a numpy twin in
+    tests/test_vecops.py."""
+    qv = _query_vec(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    cents = vecops.kmeans_centroids(
+        emb, n_centroids=8, n_iter=3, init_rounds=2, seed=1
+    )
+    top = vecops.ivf_topk(emb, qv, k=5, nprobe=3, centroids=cents)
+    return top.select(
+        "vec_id",
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.round("cosine_sim", 5).alias("cosine_sim"),
+    )
+
+
 @q(
     "vec_lsh_multiprobe",
     f"""
@@ -1806,7 +1873,7 @@ def ts_emps_lines(spark, sf_dir):
     "ts_normalize_coords",
     """
 WITH pts AS (SELECT event_id,
-                    ((user_id % 181)::DOUBLE - 90.0::DOUBLE) AS lat,
+                    ((event_id % 181)::DOUBLE - 90.0::DOUBLE) AS lat,
                     ((event_id % 360)::DOUBLE) AS lon
              FROM events),
 norm AS (SELECT event_id,
@@ -1823,10 +1890,13 @@ def ts_normalize_coords(spark, sf_dir):
     """P7 + V3: longitude wrap [0,360)→[-180,180), pole nudge off ±90, then
     the pushable bbox range predicate (`ncep_reanalysis/
     timeseries_tools.py:84-89`, `ncep_reanalysis/wind.py:106-116`).
-    Synthetic coordinates hit both poles and the lon wrap boundary."""
+    Synthetic coordinates hit both poles and the lon wrap boundary; lat
+    derives from event_id (not user_id) so the bbox filter is exercised
+    non-vacuously at EVERY scale factor — sf0.001's user_id range only
+    spans [0, 14], which kept lat entirely below the bbox floor."""
     pts = _read(spark, sf_dir, "events").select(
         "event_id",
-        ((F.col("user_id") % 181).cast("double") - 90.0).alias("lat"),
+        ((F.col("event_id") % 181).cast("double") - 90.0).alias("lat"),
         (F.col("event_id") % 360).cast("double").alias("lon"),
     )
     norm = weights.normalize_grid_coords(pts)
@@ -1857,7 +1927,8 @@ def _hist_quantile_sql() -> str:
             cum = " + ".join(f"h{j}" for j in range(i + 1))
             edge = _HB[i] if i < len(_HB) else _HB[-1]
             whens.append(
-                f"WHEN ({cum}) >= ceil({q!r}::DOUBLE * cnt) THEN {edge!r}::DOUBLE"
+                f"WHEN ({cum}) >= ceil({q!r}::DOUBLE * cnt - 1e-9) "
+                f"THEN {edge!r}::DOUBLE"
             )
         return "CASE " + " ".join(whens) + f" ELSE {_HB[-1]!r}::DOUBLE END"
 

@@ -9,16 +9,16 @@ a semicolon-separated text file with the 3-line EMPS header and
 
 Spark shapes: the pivot + row formatting is fully distributed
 (groupBy-pivot + format_string — one shuffle keyed by (key, day), all
-JVM-side); line ordering rides the day column. The per-key file writer
-mirrors the reference's per-area loop and is meant for dimension-sized
-key sets (areas/sites); for corpus-scale fan-out use ``emps_lines``
-directly with ``df.write.partitionBy(key).text`` and prepend headers
-downstream.
+JVM-side); line ordering rides the day column. ``write_emps`` is a
+single ``partitionBy(key).text`` write (headers unioned in as sortable
+rows, one part file per key) — no per-key driver loop, no collect; the
+driver only renames the per-key part files, O(#keys) fs ops.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -79,35 +79,72 @@ def write_emps(
     value_col: str = "value",
 ) -> list[str]:
     """Write one ``<key>.csv`` per series key (≙ the reference's per-area
-    loop). Returns the written paths."""
-    os.makedirs(os.path.abspath(outpath), exist_ok=True)
-    lines = emps_lines(series, key, ts_col, value_col).cache()
-    try:
-        years = (
-            drop_emps_days(series, ts_col)
-            .groupBy(key)
-            .agg(
-                F.countDistinct(F.year(ts_col)).alias("y_num"),
-                F.min(F.year(ts_col)).alias("y_start"),
-            )
+    loop, `timeseries_tools.py:407-454`). Returns the written paths.
+
+    Fully distributed — ONE ``partitionBy(key).text`` write, no per-key
+    driver loop and no data rows through the driver: header lines (the
+    per-key params row included) are unioned onto the day lines with a
+    sort key, the union is hash-repartitioned by ``key`` (each key →
+    exactly one task → exactly one part file) and sorted within
+    partitions by (key, section, day). The writer's required ordering
+    (the partition column) is already satisfied by that sort's prefix,
+    so Spark inserts NO extra sort and row order inside each file is
+    preserved. Driver work is O(#keys) file renames — inherent to the
+    file-per-key contract, independent of data volume.
+
+    Key values must be filesystem-safe (true for conv ids); exotic keys
+    would be Hive-escaped in the staging dir names."""
+    outpath = os.path.abspath(outpath)
+    os.makedirs(outpath, exist_ok=True)
+    clean = drop_emps_days(series, ts_col)
+    params_line = F.concat_ws(
+        "; ",
+        F.count_distinct(F.year(ts_col)).cast("string"),
+        F.min(F.year(ts_col)).cast("string"),
+        *[F.lit(str(x)) for x in (52, 1, 52, 0, 1, 3, "VIND")],
+    )
+    hdr = (
+        clean.groupBy(key)
+        .agg(params_line.alias("_params"))
+        .select(
+            key,
+            F.lit(0).alias("_sec"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("s"), F.lit(HEADER_FIELDS).alias("line")),
+                    F.struct(F.lit(1).alias("s"), F.col("_params").alias("line")),
+                    F.struct(F.lit(2).alias("s"), F.lit(TITLE).alias("line")),
+                )
+            ).alias("h"),
         )
-        meta = {r[key]: (r["y_num"], r["y_start"]) for r in years.collect()}
-        paths = []
-        for k in sorted(meta):
-            y_num, y_start = meta[k]
-            params = "; ".join(
-                str(x) for x in [y_num, y_start, 52, 1, 52, 0, 1, 3, "VIND"]
-            )
-            rows = (
-                lines.where(F.col(key) == k).orderBy("day").select("line").collect()
-            )
-            fname = os.path.join(outpath, f"{k}.csv")
-            with open(fname, "w") as f:
-                for h in (HEADER_FIELDS, params, TITLE):
-                    f.write(h + "\n")
-                for r in rows:
-                    f.write(r["line"] + "\n")
-            paths.append(fname)
-        return paths
-    finally:
-        lines.unpersist()
+        .select(key, "_sec", F.col("h.s").alias("_sub"), F.lit("").alias("_day"), F.col("h.line").alias("line"))
+    )
+    body = emps_lines(series, key, ts_col, value_col).select(
+        key,
+        F.lit(1).alias("_sec"),
+        F.lit(0).alias("_sub"),
+        F.col("day").cast("string").alias("_day"),  # ISO date sorts lexically
+        "line",
+    )
+    staging = os.path.join(outpath, "_spark_staging")
+    (
+        hdr.unionByName(body)
+        .repartition(F.col(key))
+        .sortWithinPartitions(key, "_sec", "_sub", "_day")
+        .select(F.col(key), F.col("line"))
+        .write.mode("overwrite")
+        .partitionBy(key)
+        .text(staging)
+    )
+    paths = []
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith(f"{key}="):
+            continue
+        kval = d.split("=", 1)[1]
+        pdir = os.path.join(staging, d)
+        parts = sorted(f for f in os.listdir(pdir) if f.startswith("part-"))
+        dst = os.path.join(outpath, f"{kval}.csv")
+        os.replace(os.path.join(pdir, parts[0]), dst)
+        paths.append(dst)
+    shutil.rmtree(staging)
+    return paths

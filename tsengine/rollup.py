@@ -213,7 +213,11 @@ def hist_quantile(q: float, bounds: list[float]) -> F.Column:
     Expressed as prefix sums over the hist array (O(B²) JVM-side array
     ops, B ≤ ~32 — negligible next to the shuffle)."""
     nbins = len(bounds) + 1
-    target = F.ceil(F.lit(float(q)) * F.col("cnt"))
+    # -1e-9 before ceil: q·cnt on binary doubles can land a hair ABOVE an
+    # exact integer (0.95·20 = 19.000000000000004 → ceil 20, one order
+    # statistic too high); the epsilon restores integer semantics for any
+    # cnt < ~1e15. The SQL oracle applies the identical nudge.
+    target = F.ceil(F.lit(float(q)) * F.col("cnt") - F.lit(1e-9))
     prefix = F.transform(
         F.sequence(F.lit(1), F.lit(nbins)),
         lambda i: F.aggregate(

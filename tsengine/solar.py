@@ -171,7 +171,12 @@ def rb_factor(slope, delta_phi, h, n, lat, lon) -> Column:
     [0, 10]."""
     theta_z = zenithangle(h, n, lat, lon)
     costh = cos_incidence(slope, delta_phi, theta_z)
-    y = costh / F.cos(theta_z)
+    # explicit guard at cos(theta_z) == 0 (sun exactly on the horizon):
+    # Spark's x/0 yields NULL and least/greatest SKIP nulls, so the clip
+    # would silently turn the ratio into 10.0 while the numpy twin's 0/0
+    # gives NaN — define the edge as 0 on BOTH engines instead
+    cosz = F.cos(theta_z)
+    y = F.when(cosz == F.lit(0.0), F.lit(0.0)).otherwise(costh / cosz)
     ws = hourangle_sunset(n, lat)
     y = F.when(
         (ws < F.lit(30.0 * RAD)) & (theta_z > F.lit(85.0 * RAD)), F.lit(0.0)
@@ -365,7 +370,7 @@ def np_rb_factor(slope, delta_phi, h, n, lat, lon):
     theta_z = np_zenithangle(h, n, lat, lon)
     costh = np_cos_incidence(slope, delta_phi, theta_z)
     with np.errstate(divide="ignore", invalid="ignore"):
-        y = costh / np.cos(theta_z)
+        y = np.where(np.cos(theta_z) == 0.0, 0.0, costh / np.cos(theta_z))
     ws = np_hourangle_sunset(n, lat)
     y = np.where((ws < 30.0 * RAD) & (theta_z > 85.0 * RAD), 0.0, y)
     return np.clip(y, MIN_BEAM_PANEL_RATIO, MAX_BEAM_PANEL_RATIO)

@@ -18,14 +18,17 @@ Design rules:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Observation, Window as W
 from pyspark.sql import functions as F
 
 TOKEN_RE = r"\s+"
 
 
 def bucket_cap(
-    bands: DataFrame, part_cols: list[str], max_bucket: int
+    bands: DataFrame,
+    part_cols: list[str],
+    max_bucket: int,
+    observation: Observation | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Apply a per-bucket row cap and ACCOUNT for what it drops — the
     engine's own "no silent caps" rule. Returns (kept, dropped_metrics)
@@ -33,15 +36,32 @@ def bucket_cap(
     (n_buckets_dropped, n_rows_dropped); a non-zero count is the
     recall-loss signal a production run must see.
 
-    Cost note: both outputs are lazy plans over the same banded input, so
-    consuming the metrics re-runs the banding scan + count window (one
-    extra pass — the band table is deliberately NOT persisted here; at
-    100 TB pin it yourself before splitting if the double pass matters,
-    or derive n_rows_dropped for free via ``df.observe`` on the kept
-    path: sum(when(_bc > cap, 1)) and sum(when(_bc > cap, 1.0/_bc)) give
-    (rows, buckets) during the main action)."""
+    Cost: the DataFrame metrics are a second lazy plan over the same
+    banded input, so consuming THEM re-runs the banding scan + count
+    window. For the free path pass an ``Observation``: it is attached
+    upstream of the cap filter, so the SAME action that consumes ``kept``
+    yields ``observation.get`` = {n_rows_dropped, n_buckets_dropped}
+    with zero extra jobs (n_buckets via Σ 1/_bc over dropped rows — each
+    overfull bucket contributes _bc · (1/_bc) = 1 exactly, rounded to
+    kill fp dust; ``observe`` cannot run COUNT DISTINCT)."""
     cnt = F.count("*").over(W.partitionBy(*part_cols))
     with_c = bands.withColumn("_bc", cnt)
+    if observation is not None:
+        over = F.col("_bc") > max_bucket
+        with_c = with_c.observe(
+            observation,
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(over, F.lit(1.0) / F.col("_bc")).otherwise(F.lit(0.0))
+                    ),
+                    F.lit(0.0),
+                )
+            ).cast("long").alias("n_buckets_dropped"),
+            F.coalesce(
+                F.sum(F.when(over, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            ).cast("long").alias("n_rows_dropped"),
+        )
     kept = with_c.where(F.col("_bc") <= max_bucket).drop("_bc")
     dropped = with_c.where(F.col("_bc") > max_bucket).agg(
         F.count_distinct(*[F.col(c) for c in part_cols]).alias("n_buckets_dropped"),
@@ -114,12 +134,16 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     any chain of pairs; keep one representative per component for
     chain-exact dedup.
 
-    Shape: a driver-side loop of (join neighbor labels → min → compare),
-    each iteration one shuffle keyed by doc id; converges in
-    O(graph diameter) rounds (near-dup clusters are shallow — dup chains
-    longer than ~20 hops do not occur in practice, and the loop stops
-    early the first round nothing changes). Labels persist per round and
-    unpersist after the next — bounded memory, no lineage blow-up."""
+    Shape: a driver-side loop of (join neighbor labels → min), each
+    iteration ONE job and one shuffle keyed by doc id; converges in
+    O(graph diameter) rounds (near-dup clusters are shallow). The
+    changed-label check rides the same job via ``df.observe`` — no
+    second comparison join/count per round. Per the engine's "no silent
+    caps" rule, a chain deeper than ``max_iter`` raises instead of
+    returning partially-propagated labels. The returned DataFrame is
+    localCheckpoint-materialized (lineage truncated, ≤ |doc_ids| rows)
+    and every per-round cache is unpersisted before returning — a
+    long-running session accumulates nothing."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -131,33 +155,48 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("comp", F.col("id"))
         .persist()
     )
+    converged = False
     for _ in range(max_iter):
         nbr = (
             sym.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        obs = Observation()
         new = (
             labels.join(nbr, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                ).alias("comp"),
+            .withColumn(
+                "_new",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))),
             )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.when(F.col("_new") < F.col("comp"), 1).otherwise(0)),
+                    F.lit(0),
+                ).cast("long").alias("changed"),
+            )
+            .select("id", F.col("_new").alias("comp"))
             .persist()
         )
-        changed = (
-            new.withColumnRenamed("comp", "new_comp")
-            .join(labels, "id")
-            .where(F.col("new_comp") != F.col("comp"))
-            .count()
-        )
+        new.count()  # one job: fills the cache AND the observed metric
         labels.unpersist()
         labels = new
-        if changed == 0:
+        if obs.get["changed"] == 0:
+            converged = True
             break
-    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"dedup_components: min-label propagation did not converge in "
+            f"{max_iter} rounds (a dup chain with graph diameter > "
+            f"{max_iter} exists); raise max_iter"
+        )
+    out = labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------

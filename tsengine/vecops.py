@@ -214,28 +214,47 @@ def _l2_to(vec: Column, c: list[float]) -> Column:
     )
 
 
+def nearest_centroid_expr(
+    dv: Column,
+    centroids: list[tuple[int, list[float]]],
+    dist_round: int | None = None,
+) -> Column:
+    """argmin over the centroid list as array_min over (dist, cid)
+    structs: linear-size expression with lexicographic tie-break on the
+    lowest centroid id. (A fold of F.when updates was tried first and is
+    unusable: each level embeds the previous tree twice -> a
+    2^n_centroids-node expression that hangs the analyzer.)
+
+    ``dist_round`` rounds each distance before ranking — cross-engine /
+    cross-twin determinism: two engines summing squares in different
+    orders agree after rounding, and a round-induced tie breaks by cid
+    identically on both."""
+    def d(c: list[float]) -> Column:
+        raw = _l2_to(dv, c)
+        return F.round(raw, dist_round) if dist_round is not None else raw
+
+    pairs = F.array(*[
+        F.struct(d(c).alias("d"), F.lit(int(cid)).alias("cid"))
+        for cid, c in centroids
+    ])
+    return F.array_min(pairs)["cid"]
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dist_round: int | None = None,
 ) -> DataFrame:
     """IVF list assignment: each vector gets the id of its L2-nearest
-    centroid (ties → lowest centroid id). A fold of strict-less F.when
-    updates over the (small) centroid list — pure Column exprs, no join,
+    centroid (ties → lowest centroid id) — pure Column exprs, no join,
     no shuffle; at 100 TB this runs at scan speed and the table is
     written partitioned by ``centroid_id`` so probes prune partitions."""
     dv = _as_double(F.col(vec_col))
-    # argmin as array_min over (dist, cid) structs: linear-size expression
-    # with lexicographic tie-break on the lowest centroid id. (A fold of
-    # F.when updates was tried first and is unusable: each level embeds
-    # the previous tree twice -> a 2^n_centroids-node expression that
-    # hangs the analyzer.)
-    pairs = F.array(*[
-        F.struct(_l2_to(dv, c).alias("d"), F.lit(int(cid)).alias("cid"))
-        for cid, c in centroids
-    ])
-    return embeddings.withColumn("centroid_id", F.array_min(pairs)["cid"])
+    return embeddings.withColumn(
+        "centroid_id", nearest_centroid_expr(dv, centroids, dist_round)
+    )
 
 
 def ivf_topk(
@@ -246,16 +265,19 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only vectors whose inverted list
     (nearest centroid) is among the ``nprobe`` centroids closest to the
     query — the centroid-bucketed sibling of ``lsh_topk``. The probe set
     is computed driver-side from the centroid list; the candidate filter
     is a pushable IN-predicate on ``centroid_id`` (partition pruning when
-    the table is laid out by centroid)."""
+    the table is laid out by centroid). Pass ``centroids`` (e.g. from
+    ``kmeans_centroids``) for production-quality lists; the default
+    lowest-id set keeps the path oracle-checkable."""
     import numpy as np
 
-    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    cents = centroids or ivf_centroids(embeddings, n_centroids, id_col, vec_col)
     qv = np.asarray(query_vec, dtype=np.float64)
     order = sorted(
         cents, key=lambda c: (float(np.linalg.norm(qv - np.asarray(c[1]))), c[0])
@@ -273,6 +295,247 @@ def ivf_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# k-means|| centroid training (the production IVF centroid builder)
+# --------------------------------------------------------------------------
+#
+# Scalable k-means++ (k-means||, Bahmani et al., VLDB 2012) followed by
+# distributed Lloyd iterations. Design constraints honored throughout:
+# - DETERMINISTIC: the init sampling uses a replayable integer hash of the
+#   vector id (not rand()), every distance/mean is rounded to `round_dec`
+#   on every engine/twin, and all argmin ties break on the lowest id —
+#   two runs (or Spark vs the numpy twin) produce identical centroids.
+# - SCALE SHAPE: each init round / Lloyd iteration is ONE scan of the
+#   (persisted, projected) table + a k×d-sized partial aggregate — the
+#   shuffle carries k rows of d partial sums, never the data. Only
+#   centroid-sized sets (≤ oversample·rounds candidates, k centroids)
+#   ever reach the driver.
+
+_HASH_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+_HASH_MUL = 1_315_423_911
+
+
+def _hash_u01(id_expr: Column, salt: int) -> Column:
+    """Deterministic uniform-ish [0,1) from an integer id — replayable in
+    numpy/SQL with plain int64 arithmetic (operands bounded ~1e15, no
+    overflow on any engine)."""
+    h = F.pmod(
+        F.pmod(id_expr.cast("long"), F.lit(1_000_003)) * F.lit(_HASH_MUL)
+        + F.lit(int(salt)),
+        F.lit(_HASH_MOD),
+    )
+    return h.cast("double") / F.lit(float(_HASH_MOD))
+
+
+def _np_hash_u01(ids, salt: int):
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    return ((ids % 1_000_003) * _HASH_MUL + int(salt)) % _HASH_MOD / float(_HASH_MOD)
+
+
+def _min_dist2_expr(dv: Column, centers: list[list[float]]) -> Column:
+    """min over centers of squared L2 distance (no sqrt — the k-means||
+    sampling weight), rounded nowhere: it only feeds a strict-inequality
+    sample test whose threshold is itself derived from these values."""
+    def d2(c: list[float]) -> Column:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(dv, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    return F.array_min(F.array(*[d2(c) for c in centers]))
+
+
+def _np_weighted_lloyd(cand, weights, k: int, iters: int, round_dec: int):
+    """Driver-side weighted k-means over the (small) k-means|| candidate
+    set: init = the k heaviest candidates (ties by candidate order, i.e.
+    discovery order — deterministic), then weighted Lloyd with the same
+    rounding discipline as the distributed phase."""
+    import numpy as np
+
+    cand = np.asarray(cand, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.float64)
+    order = np.lexsort((np.arange(len(cand)), -weights))
+    centers = cand[np.sort(order[:k])].copy()
+    for _ in range(iters):
+        d = np.linalg.norm(cand[:, None, :] - centers[None, :, :], axis=2)
+        assign = np.argmin(np.round(d, round_dec), axis=1)
+        new = centers.copy()
+        for j in range(len(centers)):
+            m = assign == j
+            if weights[m].sum() > 0:
+                new[j] = np.round(
+                    (cand[m] * weights[m, None]).sum(0) / weights[m].sum(),
+                    round_dec,
+                )
+        if np.array_equal(new, centers):
+            break
+        centers = new
+    return [list(map(float, c)) for c in centers]
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 4,
+    init_rounds: int = 3,
+    oversample: int | None = None,
+    seed: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dec: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """k-means|| init + distributed Lloyd; returns [(0..k-1, center)] for
+    ``ivf_assign`` / ``ivf_topk``. See the block comment above for the
+    determinism and scale contracts; per-dim means aggregate as d scalar
+    partial sums (map-side combine, k×d bytes shuffled per iteration)."""
+    k = int(n_centroids)
+    ell = oversample or 2 * k
+    emb = embeddings.select(
+        F.col(id_col).cast("long").alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).persist()
+    try:
+        first = emb.orderBy("_id").limit(1).collect()
+        if not first:
+            return []
+        d = len(first[0]["_v"])
+        centers: list[list[float]] = [[float(x) for x in first[0]["_v"]]]
+        for r in range(init_rounds):
+            d2 = _min_dist2_expr(F.col("_v"), centers)
+            tot = emb.agg(F.sum(d2)).collect()[0][0]
+            if not tot or tot <= 0:
+                break  # every point sits on a center already
+            u = _hash_u01(F.col("_id"), seed * 7_919 + r)
+            cand = (
+                emb.where(u * F.lit(float(tot)) < F.lit(float(ell)) * d2)
+                .orderBy("_id")
+                .collect()
+            )
+            centers.extend([[float(x) for x in row["_v"]] for row in cand])
+        if len(centers) <= k:
+            # degenerate corpus (fewer distinct regions than k): pad from
+            # lowest-id vectors, preserving determinism
+            pad = emb.orderBy("_id").limit(k).collect()
+            seen = {tuple(c) for c in centers}
+            for row in pad:
+                v = [float(x) for x in row["_v"]]
+                if tuple(v) not in seen:
+                    centers.append(v)
+                    seen.add(tuple(v))
+                if len(centers) >= k:
+                    break
+        # weight candidates by their basin size (one scan), then reduce
+        # to k centers driver-side — the candidate set is O(ell·rounds)
+        enum = [(i, c) for i, c in enumerate(centers)]
+        wrows = (
+            emb.withColumn(
+                "_c", nearest_centroid_expr(F.col("_v"), enum, round_dec)
+            )
+            .groupBy("_c")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        wmap = {r["_c"]: r["n"] for r in wrows}
+        weights = [wmap.get(i, 0) for i in range(len(centers))]
+        centers_k = _np_weighted_lloyd(centers, weights, k, 8, round_dec)
+
+        cents = [(i, c) for i, c in enumerate(centers_k)]
+        mean_aggs = [
+            F.round(F.avg(F.element_at(F.col("_v"), i + 1)), round_dec).alias(f"m{i}")
+            for i in range(d)
+        ]
+        for _ in range(n_iter):
+            rows = (
+                emb.withColumn(
+                    "_c", nearest_centroid_expr(F.col("_v"), cents, round_dec)
+                )
+                .groupBy("_c")
+                .agg(*mean_aggs)
+                .collect()
+            )
+            got = {r["_c"]: [float(r[f"m{i}"]) for i in range(d)] for r in rows}
+            new = [(i, got.get(i, c)) for i, c in cents]  # empty list keeps center
+            if new == cents:
+                break
+            cents = new
+        return cents
+    finally:
+        emb.unpersist()
+
+
+def np_kmeans_centroids(
+    ids,
+    vecs,
+    n_centroids: int = 8,
+    n_iter: int = 4,
+    init_rounds: int = 3,
+    oversample: int | None = None,
+    seed: int = 1,
+    round_dec: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Single-process numpy twin of ``kmeans_centroids`` — same hash
+    sampling, same rounding, same tie-breaks; the distributed run must
+    match it bit-for-bit (after round_dec) on identical input."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    X = np.asarray(vecs, dtype=np.float64)
+    if len(ids) == 0:
+        return []
+    order = np.argsort(ids, kind="stable")
+    ids, X = ids[order], X[order]
+    k = int(n_centroids)
+    ell = oversample or 2 * k
+    centers = [list(map(float, X[0]))]
+    for r in range(init_rounds):
+        C = np.asarray(centers)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2).min(1)
+        tot = d2.sum()
+        if tot <= 0:
+            break
+        u = _np_hash_u01(ids, seed * 7_919 + r)
+        mask = u * tot < ell * d2
+        centers.extend([list(map(float, v)) for v in X[mask]])
+    if len(centers) <= k:
+        seen = {tuple(c) for c in centers}
+        for v in X[:k]:
+            t = tuple(map(float, v))
+            if t not in seen:
+                centers.append(list(t))
+                seen.add(t)
+            if len(centers) >= k:
+                break
+    C = np.asarray(centers)
+    dists = np.round(
+        np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(2)), round_dec
+    )
+    assign = np.argmin(dists, axis=1)
+    weights = np.bincount(assign, minlength=len(centers)).astype(float)
+    centers_k = _np_weighted_lloyd(centers, weights, k, 8, round_dec)
+    cents = [(i, c) for i, c in enumerate(centers_k)]
+    for _ in range(n_iter):
+        C = np.asarray([c for _, c in cents])
+        dists = np.round(
+            np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(2)), round_dec
+        )
+        assign = np.argmin(dists, axis=1)
+        new = []
+        for i, c in cents:
+            m = assign == i
+            if m.any():
+                new.append((i, [float(x) for x in np.round(X[m].mean(0), round_dec)]))
+            else:
+                new.append((i, c))
+        if new == cents:
+            break
+        cents = new
+    return cents
 
 
 def label_centroid_stats(

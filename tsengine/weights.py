@@ -193,15 +193,20 @@ def nearest_point_join(
     resolved = None
     c = float(cell)
     for _ in range(max_rounds - 1):
-        # persist each round's argmin: it feeds BOTH the resolved union
-        # and the next round's anti-join, and the tail's driver-side bbox
-        # collect plus the caller's final action would otherwise re-run
-        # every round's join + window from scratch (best is ≤ |points|
-        # rows — cheap to hold, expensive to recompute)
+        # persist each round's argmin (it feeds BOTH the resolved union
+        # and the next round's anti-join), materialize those two
+        # consumers as eager localCheckpoints (≤ |points| rows each,
+        # lineage truncated so later actions never re-run the round's
+        # join + window), then unpersist the round's cache immediately —
+        # a long-running session holds only the checkpointed survivors,
+        # not every round's candidate table
         best = _nn_round(p, g0, c, point_id, grid_id).persist()
-        ok = best.where(F.col("nn_dist") <= c)
+        ok = best.where(F.col("nn_dist") <= c).localCheckpoint(eager=True)
+        p = p.join(ok.select(point_id), point_id, "left_anti").localCheckpoint(
+            eager=True
+        )
+        best.unpersist()
         resolved = ok if resolved is None else resolved.unionByName(ok)
-        p = p.join(ok.select(point_id), point_id, "left_anti")
         c *= 2.0
     # final round: cell = the combined bounding-box spread, which makes the
     # 3x3 neighborhood PROVABLY cover every grid point for every remaining
