@@ -1,0 +1,128 @@
+"""temporal.py unit tests against hand-computed / pandas oracles."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tsengine import temporal
+
+
+def _ts(h, m=0, s=0):
+    return datetime(2024, 3, 1, h, m, s)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    left_rows = [
+        ("a", 1, _ts(9, 0)),
+        ("a", 2, _ts(10, 0)),   # exact tie with a right row
+        ("a", 3, _ts(10, 30)),
+        ("a", 4, _ts(15, 0)),   # match exists but out of tolerance
+        ("b", 5, _ts(9, 0)),    # key with no right rows at all
+    ]
+    right_rows = [
+        ("a", _ts(8, 0), 1.0),
+        ("a", _ts(10, 0), 2.0),
+    ]
+    left = spark.createDataFrame(left_rows, "conv_id string, event_id long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "conv_id string, ts timestamp, ref double")
+    got = (
+        temporal.asof_join(left, right, tolerance_s=3600)
+        .orderBy("event_id")
+        .collect()
+    )
+    want = {
+        1: (_ts(8, 0), 1.0),     # 9:00 -> 8:00 within 1 h
+        2: (_ts(10, 0), 2.0),    # exact timestamp tie matches
+        3: (_ts(10, 0), 2.0),
+        4: (None, None),         # latest right is 10:00, 5 h stale
+        5: (None, None),         # no right rows for key b
+    }
+    assert {r["event_id"]: (r["ts_asof"], r["ref_asof"]) for r in got} == want
+
+    # cross-check the no-tolerance variant against pandas merge_asof
+    got_all = temporal.asof_join(left, right).toPandas()
+    lp = pd.DataFrame(left_rows, columns=["conv_id", "event_id", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["conv_id", "ts", "ref"]).sort_values("ts")
+    exp = pd.merge_asof(lp, rp, on="ts", by="conv_id", direction="backward")
+    exp = exp.set_index("event_id")["ref"]
+    got_map = got_all.set_index("event_id")["ref_asof"]
+    for eid in exp.index:
+        e, g = exp[eid], got_map[eid]
+        assert (pd.isna(e) and pd.isna(g)) or e == g
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        ("a", 1, _ts(9, 0, 0)),
+        ("a", 2, _ts(9, 10, 0)),   # 600 s -> same session
+        ("a", 3, _ts(9, 40, 0)),   # exactly gap (1800 s) -> SAME session
+        ("a", 4, _ts(10, 11, 0)),  # 1860 s -> new session
+        ("b", 5, _ts(9, 0, 0)),    # separate key restarts numbering
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, event_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in temporal.sessionize(df, gap_s=1800, tiebreak="event_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+    stats = {
+        (r["conv_id"], r["session_id"]): (r["duration_s"], r["n_rows"])
+        for r in temporal.session_stats(df, 1800, tiebreak="event_id").collect()
+    }
+    assert stats[("a", 1)] == (2400, 3)
+    assert stats[("a", 2)] == (0, 1)
+    assert stats[("b", 1)] == (0, 1)
+
+
+def test_sessionize_duplicate_timestamps_stable(spark):
+    """Tied timestamps share a session and the running index is stable
+    under the tiebreak column."""
+    rows = [("a", i, _ts(9, 0, 0)) for i in range(4)] + [("a", 9, _ts(11, 0, 0))]
+    df = spark.createDataFrame(rows, "conv_id string, event_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in temporal.sessionize(df, 1800, tiebreak="event_id").collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1, 9: 2}
+
+
+def test_counter_increase_reset_semantics(spark):
+    rows = [
+        ("a", 1, _ts(9), 10),
+        ("a", 2, _ts(10), 25),   # +15
+        ("a", 3, _ts(11), 5),    # reset -> increase = 5
+        ("a", 4, _ts(12), 5),    # flat -> 0
+        ("b", 9, _ts(9), 7),     # first sample of key -> absolute value
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, event_id long, ts timestamp, counter long")
+    got = {
+        r["event_id"]: (r["increase"], r["is_reset"])
+        for r in temporal.counter_increase(df, tiebreak="event_id").collect()
+    }
+    assert got == {
+        1: (10.0, 0),
+        2: (15.0, 0),
+        3: (5.0, 1),
+        4: (0.0, 0),
+        9: (7.0, 0),
+    }
+
+
+def test_asof_join_plan_has_single_exchange(spark):
+    """The union-and-carry as-of join must cost one shuffle keyed by the
+    series key — never a cartesian/range join."""
+    left = spark.createDataFrame(
+        [("a", 1, _ts(9))], "conv_id string, event_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(8), 1.0)], "conv_id string, ts timestamp, ref double"
+    )
+    plan = (
+        temporal.asof_join(left, right)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

@@ -54,7 +54,12 @@ CHECKS = {
     ),
     "broadcast_join": lambda p: "BroadcastHashJoin" in p,
     "pushed_filters": lambda p: "PushedFilters: [" in p and "PushedFilters: []" not in p,
-    "single_exchange": lambda p: p.count("Exchange") <= 1,
+    # formatted explain prints every node twice (tree row + details
+    # section) — count numbered node headers "(N) Exchange", not raw
+    # substring hits, or a clean 1-exchange plan double-counts to 2
+    "single_exchange": lambda p: len(
+        __import__("re").findall(r"\(\d+\) Exchange", p)
+    ) <= 1,
     # a plan that survives 100 TB never falls back to an all-pairs join
     "no_cartesian": lambda p: (
         "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
@@ -114,6 +119,32 @@ def main() -> None:
     # side) — the check here is partial agg on the daily rollup + codegen
     audit("solar tilted daily (F5/F6/F10 + renorm)",
           eq.QUERIES["ts_tilted_daily"](spark, sf), ["partial_agg", "codegen"])
+
+    # temporal alignment ops: the as-of join must never degrade to an
+    # inequality/cartesian join, and the window chains must ride ONE
+    # key-partitioned exchange (the groupBys on (key, session_id) reuse
+    # the conv_id hash partitioning — subset clustering)
+    from tsengine import temporal
+
+    hourly = (
+        ev.where(F.col("metric") == "click")
+        .groupBy("conv_id", F.date_trunc("hour", "ts").alias("ts"))
+        .agg(F.round(F.avg("value"), 4).alias("ref_v"))
+    )
+    audit("asof join (union+carry)",
+          temporal.asof_join(ev.select("conv_id", "event_id", "ts"), hourly),
+          ["no_cartesian"])
+    audit("sessionize + stats",
+          temporal.session_stats(
+              ev.select("conv_id", "ts", "event_id"), 1800, tiebreak="event_id"),
+          ["single_exchange", "no_cartesian"])
+    audit("counter rate",
+          eq.QUERIES["ts_counter_rate"](spark, sf), ["single_exchange"])
+
+    # k-means assignment is scan-speed: no shuffle, no join
+    cents = vecops.ivf_centroids(emb, 4)
+    audit("kmeans assign (scan-speed argmin)",
+          vecops.ivf_assign(emb, cents, dist_round=6), ["single_exchange"])
 
     # broadcast check: config-dim join in the curve transform
     from tsengine import synth

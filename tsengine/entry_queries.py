@@ -24,7 +24,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tsengine import (
@@ -38,6 +38,7 @@ from tsengine import (
     multimodal,
     rollup,
     solar,
+    temporal,
     textops,
     vecops,
     weights,
@@ -2328,6 +2329,124 @@ def ts_tilted_daily(spark, sf_dir):
         F.round(F.col("hhd") + 5e-10, 4).alias("hhd"),
         F.round(F.col("h_total") + 5e-10, 4).alias("h_total"),
     )
+
+
+# ===========================================================================
+# Time-alignment operators (tsengine/temporal.py): as-of join,
+# sessionization, counter-reset rates
+# ===========================================================================
+
+@q(
+    "ts_sessionize",
+    f"""
+WITH ev AS ({_EV}),
+x AS (SELECT conv_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
+s AS (SELECT conv_id, ts,
+        sum(is_new) OVER (PARTITION BY conv_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+      FROM x)
+SELECT conv_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       date_diff('second', min(ts), max(ts))::BIGINT AS duration_s,
+       count(*)::BIGINT AS n_rows
+FROM s GROUP BY 1, 2
+""",
+)
+def ts_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min silence opens a new session) +
+    per-session envelope — lag boundary flag, running-sum session index,
+    one groupBy; a single key-partitioned shuffle end to end. The SQL
+    oracle's inner running sum may ORDER BY ts alone because is_new = 0
+    on every tied row (delta 0 ≤ gap), so tie order cannot move a
+    boundary; the lag pass still needs the event_id tie-break for a
+    stable delta sequence."""
+    ev = _events_long(spark, sf_dir)
+    return temporal.session_stats(
+        ev.select("conv_id", "ts", "event_id"),
+        gap_s=1800,
+        tiebreak="event_id",
+    ).select(
+        "conv_id", "session_id", "session_start", "session_end",
+        "duration_s", "n_rows",
+    )
+
+
+@q(
+    "ts_asof_join",
+    f"""
+WITH ev AS ({_EV}),
+r AS (SELECT conv_id, date_trunc('hour', ts) AS ts, round(avg(value), 4) AS ref_v
+      FROM ev WHERE metric = 'click' GROUP BY 1, 2),
+l AS (SELECT conv_id, event_id, ts FROM ev)
+SELECT l.conv_id, l.event_id, l.ts,
+       CASE WHEN r.ts IS NOT NULL
+             AND date_diff('second', r.ts, l.ts) <= 7200 THEN r.ts END
+         AS ts_asof,
+       CASE WHEN r.ts IS NOT NULL
+             AND date_diff('second', r.ts, l.ts) <= 7200 THEN r.ref_v END
+         AS ref_v_asof
+FROM l ASOF LEFT JOIN r ON l.conv_id = r.conv_id AND l.ts >= r.ts
+""",
+)
+def ts_asof_join(spark, sf_dir):
+    """As-of join: every event picks up the most recent hourly
+    click-rollup value at-or-before its timestamp (2 h tolerance) — the
+    union-and-carry plan from ``temporal.asof_join`` (one shuffle + one
+    sorted window, no inequality join), checked against DuckDB's native
+    ASOF LEFT JOIN. Events in conversations/hours with no click activity
+    exercise the no-match and out-of-tolerance null paths."""
+    ev = _events_long(spark, sf_dir)
+    hourly = (
+        ev.where(F.col("metric") == "click")
+        .groupBy("conv_id", F.date_trunc("hour", "ts").alias("ts"))
+        .agg(F.round(F.avg("value"), 4).alias("ref_v"))
+    )
+    left = ev.select("conv_id", "event_id", "ts")
+    return temporal.asof_join(left, hourly, tolerance_s=7200)
+
+
+@q(
+    "ts_counter_rate",
+    f"""
+WITH ev AS ({_EV}),
+c AS (SELECT conv_id, ts, event_id,
+        (sum(event_id % 97) OVER (PARTITION BY conv_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) % 1000)::BIGINT
+          AS counter
+      FROM ev),
+d AS (SELECT *, lag(counter) OVER (PARTITION BY conv_id
+                                   ORDER BY ts, event_id) AS prev FROM c)
+SELECT conv_id, event_id, counter,
+       (CASE WHEN prev IS NULL THEN counter
+             WHEN counter < prev THEN counter
+             ELSE counter - prev END)::DOUBLE AS increase,
+       (CASE WHEN prev IS NOT NULL AND counter < prev
+             THEN 1 ELSE 0 END)::BIGINT AS is_reset
+FROM d
+""",
+)
+def ts_counter_rate(spark, sf_dir):
+    """Prometheus-style ``increase`` with counter-reset detection over a
+    synthetic per-conversation cumulative counter (integer running sum
+    mod 1000 — exact on every engine, resets at each wrap): a drop means
+    restart, so the post-reset absolute value is the increase. All
+    window passes share one (conv, ts, event_id) sort."""
+    ev = _events_long(spark, sf_dir)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ctr = ev.select(
+        "conv_id", "ts", "event_id",
+        (F.sum(F.col("event_id") % 97).over(w) % 1000)
+        .cast("long").alias("counter"),
+    )
+    out = temporal.counter_increase(ctr, tiebreak="event_id")
+    return out.select("conv_id", "event_id", "counter", "increase", "is_reset")
 
 
 # ===========================================================================

@@ -1,0 +1,188 @@
+"""Time-alignment operators: as-of join, sessionization, counter rates.
+
+No direct reference analog (rewemo consumes pre-aligned hourly grids); these
+are the alignment primitives any series engine needs the moment two streams
+with different clocks meet — the temporal siblings of the spatial
+nearest-neighbour joins in `tsengine/weights.py`.
+
+Scale shapes (the whole point — none of these is a join explosion):
+- ``asof_join``: the union-and-carry trick. Right rows are tagged and
+  unioned with left rows, ONE shuffle keyed by the series key sorts the
+  merged stream, and ``last_value(ignoreNulls)`` carries the most recent
+  right value forward onto each left row. Cost = one exchange + one sort,
+  independent of how many right rows precede a left row (a per-row
+  "latest earlier" range join would be quadratic in the worst case).
+- ``sessionize``: two window passes over the same (key, ts) sort — a
+  boundary flag via ``lag``, then a running sum of flags as the session
+  index. One shuffle, reused by both windows (same partitioning+ordering).
+- ``counter_increase``: ``lag`` + positive-delta sum with Prometheus
+  reset semantics (a drop means the counter restarted; the post-reset
+  absolute value IS the increase since the reset).
+
+Skew note: all three partition their windows by the series key, so a
+mega-conversation serializes within one task — same trade as every
+per-series window in this engine; pre-split mega keys with the salted
+chunk machinery (`features.derive_features_chunked`) when a single series
+outgrows a task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "conv_id",
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_s: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the most recent right row at-or-before
+    its timestamp (per ``on`` key) — the standard as-of join (DuckDB
+    ``ASOF JOIN``, pandas ``merge_asof``), built as a union + sorted
+    window carry instead of an inequality join.
+
+    Right rows order BEFORE left rows at identical timestamps (a quote at
+    exactly t matches an event at t). The right side must be unique per
+    (key, ts) — dedupe upstream (tier rollups already are); with
+    duplicate right timestamps "the" latest row is undefined in any
+    engine. ``tolerance_s`` nulls the carried values when the matched
+    right row is older than the tolerance.
+    Returns all left columns plus ``<col><suffix>`` for each value column
+    and ``<ts_col><suffix>`` (the matched right timestamp, null when no
+    match / out of tolerance)."""
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, ts_col)
+    ]
+    lhs = left.select(
+        "*",
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("timestamp").alias("_rts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+    )
+    rhs_cols = [F.col(on), F.col(ts_col)]
+    rhs = right.select(
+        *rhs_cols,
+        F.lit(0).alias("_side"),
+        F.col(ts_col).alias("_rts"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    # align schemas: left keeps its own payload columns; right rows carry
+    # nulls there (they are filtered back out after the carry)
+    for c in left.columns:
+        if c not in (on, ts_col):
+            rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    merged = lhs.unionByName(rhs.select(*lhs.columns))
+    w = (
+        W.partitionBy(on)
+        .orderBy(ts_col, "_side")  # right (0) sorts before left (1) at ties
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = merged.select(
+        "*",
+        F.last("_rts", ignorenulls=True).over(w).alias("_mts"),
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_mv_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.where(F.col("_side") == 1)
+    in_tol = (
+        F.lit(True)
+        if tolerance_s is None
+        else (
+            F.unix_timestamp(ts_col) - F.unix_timestamp("_mts")
+            <= F.lit(int(tolerance_s))
+        )
+    )
+    keep = F.col("_mts").isNotNull() & in_tol
+    out = out.select(
+        *left.columns,
+        F.when(keep, F.col("_mts")).alias(f"{ts_col}{suffix}"),
+        *[
+            F.when(keep, F.col(f"_mv_{c}")).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    gap_s: int,
+    on: str = "conv_id",
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: rows of a key whose neighbors are within
+    ``gap_s`` seconds share a session; a silence strictly longer than the
+    gap opens a new one. Adds ``session_id`` (1-based per key, in time
+    order). Pass ``tiebreak`` (a unique column, e.g. turn_idx) when
+    timestamps can repeat: the lag-then-running-sum pair must see ONE
+    total order, or the two window passes could disagree on which tied
+    row is "first" and skew every session id after it."""
+    order = [ts_col] if tiebreak is None else [ts_col, tiebreak]
+    w = W.partitionBy(on).orderBy(*order)
+    delta = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w))
+    is_new = F.when(
+        delta.isNull() | (delta > F.lit(int(gap_s))), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    gap_s: int,
+    on: str = "conv_id",
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-session envelope: start/end/duration/row count. One extra
+    groupBy on (key, session_id) — same key partitioning the sessionize
+    shuffle already established."""
+    s = sessionize(df, gap_s, on, ts_col, tiebreak)
+    return s.groupBy(on, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).cast("long").alias("duration_s"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def counter_increase(
+    df: DataFrame,
+    on: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "counter",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-row increase of a monotonic-except-resets counter (Prometheus
+    ``increase`` semantics): delta to the previous sample, except a DROP
+    means the counter restarted — the post-reset absolute value is the
+    increase since the reset. The first sample of a key contributes its
+    absolute value (counter born at 0). Adds ``increase`` (double) and
+    ``is_reset`` (1 on reset rows, 0 otherwise; first row is not a
+    reset). ``tiebreak``: see ``sessionize`` — required for a stable
+    delta sequence when timestamps repeat."""
+    order = [ts_col] if tiebreak is None else [ts_col, tiebreak]
+    w = W.partitionBy(on).orderBy(*order)
+    prev = F.lag(value_col).over(w)
+    cur = F.col(value_col)
+    inc = (
+        F.when(prev.isNull(), cur)
+        .when(cur < prev, cur)
+        .otherwise(cur - prev)
+    )
+    return df.withColumn("increase", inc.cast("double")).withColumn(
+        "is_reset",
+        F.when(prev.isNotNull() & (cur < prev), F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
