@@ -108,3 +108,64 @@ def test_streaming_latency_matches_batch(spark, tmp_path):
     pd.testing.assert_series_equal(
         got["latency_s"], batch["latency_s"], check_names=False, rtol=1e-9
     )
+
+
+def test_streaming_sessions_merge_across_batches(spark, tmp_path):
+    """A session whose events arrive in DIFFERENT micro-batches must merge
+    into one window; the drained complete-mode state must equal the batch
+    session_window result on the same rows."""
+    from datetime import datetime
+
+    rows_b1 = [
+        ("a", datetime(2024, 3, 1, 9, 0), 1.0),
+        ("a", datetime(2024, 3, 1, 9, 20), 2.0),   # open session a1
+        ("b", datetime(2024, 3, 1, 9, 0), 5.0),
+    ]
+    rows_b2 = [
+        ("a", datetime(2024, 3, 1, 9, 40), 3.0),   # extends a1 (20 min gap)
+        ("a", datetime(2024, 3, 1, 12, 0), 4.0),   # new session a2
+    ]
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    sch = "conv_id string, ts timestamp, value double"
+    spark.createDataFrame(rows_b1, sch).coalesce(1).write.parquet(f"{flat}/f0")
+    spark.createDataFrame(rows_b2, sch).coalesce(1).write.parquet(f"{flat}/f1")
+    import glob
+    import shutil
+
+    files = str(tmp_path / "files")
+    os.makedirs(files)
+    for i, f in enumerate(sorted(glob.glob(f"{flat}/f*/part-*.parquet"))):
+        shutil.copy(f, f"{files}/{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files)
+    )
+    sess = streaming.streaming_sessions(stream, gap="30 minutes", watermark="0 seconds")
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_merge_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["conv_id"], r["session_start"]): (r["session_end"], r["n_rows"], r["sum_v"])
+        for r in spark.table("sess_merge_mem").collect()
+    }
+    batch = (
+        spark.createDataFrame(rows_b1 + rows_b2, sch)
+        .groupBy("conv_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .select("conv_id", F.col("w.start").alias("st"), F.col("w.end").alias("en"), "n", "s")
+    )
+    want = {
+        (r["conv_id"], r["st"]): (r["en"], r["n"], r["s"]) for r in batch.collect()
+    }
+    assert got == want
+    # the cross-batch merge specifically: session a1 spans 9:00-10:10
+    a1 = got[("a", datetime(2024, 3, 1, 9, 0))]
+    assert a1 == (datetime(2024, 3, 1, 10, 10), 3, 6.0)

@@ -2340,13 +2340,13 @@ def ts_tilted_daily(spark, sf_dir):
     "ts_sessionize",
     f"""
 WITH ev AS ({_EV}),
-x AS (SELECT conv_id, ts,
+x AS (SELECT conv_id, ts, event_id,
         CASE WHEN lag(ts) OVER w IS NULL
              OR date_diff('second', lag(ts) OVER w, ts) > 1800
              THEN 1 ELSE 0 END AS is_new
       FROM ev WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
 s AS (SELECT conv_id, ts,
-        sum(is_new) OVER (PARTITION BY conv_id ORDER BY ts
+        sum(is_new) OVER (PARTITION BY conv_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
       FROM x)
 SELECT conv_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
@@ -2358,11 +2358,10 @@ FROM s GROUP BY 1, 2
 def ts_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min silence opens a new session) +
     per-session envelope — lag boundary flag, running-sum session index,
-    one groupBy; a single key-partitioned shuffle end to end. The SQL
-    oracle's inner running sum may ORDER BY ts alone because is_new = 0
-    on every tied row (delta 0 ≤ gap), so tie order cannot move a
-    boundary; the lag pass still needs the event_id tie-break for a
-    stable delta sequence."""
+    one groupBy; a single key-partitioned shuffle end to end. BOTH window
+    passes order by (ts, event_id): a row tied on ts with a boundary row
+    (is_new = 1) would otherwise land before or after it arbitrarily in
+    the running sum and inherit the wrong session."""
     ev = _events_long(spark, sf_dir)
     return temporal.session_stats(
         ev.select("conv_id", "ts", "event_id"),
@@ -2371,6 +2370,90 @@ def ts_sessionize(spark, sf_dir):
     ).select(
         "conv_id", "session_id", "session_start", "session_end",
         "duration_s", "n_rows",
+    )
+
+
+_SESSION_WINDOW_SQL = f"""
+WITH ev AS ({_EV}),
+x AS (SELECT conv_id, ts, event_id, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+             OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+             THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
+s AS (SELECT conv_id, ts, value,
+        sum(is_new) OVER (PARTITION BY conv_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+      FROM x)
+SELECT conv_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*)::BIGINT AS n_rows,
+       round(sum(value), 4) AS sum_v
+FROM s GROUP BY conv_id, sid
+"""
+
+
+@q("ts_session_window", _SESSION_WINDOW_SQL)
+def ts_session_window(spark, sf_dir):
+    """Spark's NATIVE session_window operator (batch mode) against the
+    lag/running-sum sessionization oracle: session_window merges events
+    whose [t, t+gap) spans overlap, so a new session opens at
+    delta >= gap (vs the strict > of ``temporal.sessionize`` — both
+    rules are pinned by their own oracles) and session_end is the last
+    event + gap."""
+    ev = _events_long(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "conv_id",
+            F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_rows",
+            "sum_v",
+        )
+    )
+
+
+@q("ts_streaming_sessionize", _SESSION_WINDOW_SQL)
+def ts_streaming_sessionize(spark, sf_dir):
+    """The SAME session windows maintained statefully on a stream
+    (streaming.streaming_sessions) and drained with availableNow — the
+    drained state must match the batch/SQL sessionization exactly.
+    Session-window streaming aggregations reject update mode (sessions
+    merge, so prior emissions can't be keyed stably); complete mode here,
+    append + watermark on a production run."""
+    from tsengine import streaming as streaming_mod
+
+    sch = _read(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    long = stream.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    sess = streaming_mod.streaming_sessions(long, "30 minutes", "10 minutes")
+    qname = "ts_streaming_sessions_mem"
+    sq = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(qname).select(
+        "conv_id", "session_start", "session_end", "n_rows",
+        F.round("sum_v", 4).alias("sum_v"),
     )
 
 

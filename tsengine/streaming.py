@@ -99,6 +99,38 @@ def streaming_tier_long(long: DataFrame, watermark: str = "10 minutes") -> DataF
     )
 
 
+def streaming_sessions(
+    long: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    value_col: str = "value",
+) -> DataFrame:
+    """Native session windows on a live stream: Spark's
+    ``F.session_window`` merges events whose [t, t+gap) windows overlap
+    into one growing session per key — the streaming twin of
+    ``temporal.sessionize`` (boundary semantics differ by one epsilon:
+    session_window closes at delta >= gap, the batch lag-rule at
+    delta > gap; both are oracle-pinned). State per key = the open
+    session's envelope; the watermark bounds how long a session can stay
+    open for late data. Output: one row per closed session with
+    start/end (end = last event + gap) and algebraic aggregates."""
+    return (
+        long.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(value_col).alias("sum_v"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_rows",
+            "sum_v",
+        )
+    )
+
+
 LATENCY_OUT = "conv_id string, turn_idx int, ts timestamp, latency_s double"
 LATENCY_STATE = "last_ts double, last_idx int"
 
