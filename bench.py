@@ -159,10 +159,21 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
     thunks["knn_cosine"] = lambda: count_action(vecops.cosine_topk(emb, qv, k=10))
+
+    # round-4 temporal alignment pack (keys appended, never renamed)
+    thunks["asof_join"] = lambda: count_action(
+        eq.QUERIES["ts_asof_join"](spark, sf_dir))
+    thunks["sessionize"] = lambda: count_action(
+        eq.QUERIES["ts_sessionize"](spark, sf_dir))
+    thunks["counter_rate"] = lambda: count_action(
+        eq.QUERIES["ts_counter_rate"](spark, sf_dir))
     return thunks
 
 
 WARM_DIR = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+
+
+HEADLINE_PASSES = int(os.environ.get("SPARK_GRAFT_HEADLINE_PASSES", "2"))
 
 
 def headline_queries(spark) -> dict[str, float]:
@@ -171,10 +182,16 @@ def headline_queries(spark) -> dict[str, float]:
     if os.path.isdir(WARM_DIR):
         for thunk in _headline_thunks(spark, WARM_DIR).values():
             thunk()
-    qs = {}
-    for name, thunk in _headline_thunks(spark, SF_DIR).items():
-        sec, _ = timed(thunk)
-        qs[name] = round(sec, 3)
+    # min over PASSES full sweeps: the host shows sporadic multi-second
+    # preemption bursts (see BASELINE.md), and a single timed pass lets
+    # one burst masquerade as a per-operator regression — the same
+    # min-of-k policy the pipeline levels already use
+    qs: dict[str, float] = {}
+    thunks = _headline_thunks(spark, SF_DIR)
+    for _ in range(max(HEADLINE_PASSES, 1)):
+        for name, thunk in thunks.items():
+            sec, _ = timed(thunk)
+            qs[name] = min(qs.get(name, float("inf")), round(sec, 3))
     return qs
 
 

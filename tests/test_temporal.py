@@ -126,3 +126,32 @@ def test_asof_join_plan_has_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_session_window_boundary_matches_sessionize(spark):
+    """Pin Spark's session_window boundary rule empirically: an event
+    EXACTLY gap after its predecessor MERGES (touching windows), i.e. a
+    new session opens only at delta > gap — the same rule as
+    temporal.sessionize. The entry oracles encode this; if a Spark
+    upgrade flips it, this test fails before the oracles drift."""
+    rows = [
+        ("a", 1, _ts(9, 0, 0)),
+        ("a", 2, _ts(9, 30, 0)),   # exactly 1800 s -> must merge
+        ("a", 3, _ts(10, 0, 1)),   # 1801 s -> new session
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, event_id long, ts timestamp")
+    native = (
+        df.groupBy("conv_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("conv_id", F.col("w.start").alias("st"), "n")
+        .collect()
+    )
+    assert {(r["st"], r["n"]) for r in native} == {
+        (_ts(9, 0, 0), 2),
+        (_ts(10, 0, 1), 1),
+    }
+    lag_rule = {
+        r["event_id"]: r["session_id"]
+        for r in temporal.sessionize(df, 1800, tiebreak="event_id").collect()
+    }
+    assert lag_rule == {1: 1, 2: 1, 3: 2}

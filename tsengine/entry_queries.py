@@ -2377,7 +2377,7 @@ _SESSION_WINDOW_SQL = f"""
 WITH ev AS ({_EV}),
 x AS (SELECT conv_id, ts, event_id, value,
         CASE WHEN lag(ts) OVER w IS NULL
-             OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+             OR date_diff('second', lag(ts) OVER w, ts) > 1800
              THEN 1 ELSE 0 END AS is_new
       FROM ev WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
 s AS (SELECT conv_id, ts, value,
@@ -2395,11 +2395,11 @@ FROM s GROUP BY conv_id, sid
 @q("ts_session_window", _SESSION_WINDOW_SQL)
 def ts_session_window(spark, sf_dir):
     """Spark's NATIVE session_window operator (batch mode) against the
-    lag/running-sum sessionization oracle: session_window merges events
-    whose [t, t+gap) spans overlap, so a new session opens at
-    delta >= gap (vs the strict > of ``temporal.sessionize`` — both
-    rules are pinned by their own oracles) and session_end is the last
-    event + gap."""
+    lag/running-sum sessionization oracle. Boundary semantics pinned
+    EMPIRICALLY (tests/test_temporal.py): Spark merges TOUCHING windows —
+    an event exactly ``gap`` after its predecessor joins the session, so
+    a new session opens only at delta > gap, the same rule as
+    ``temporal.sessionize``; session_end = last event + gap."""
     ev = _events_long(spark, sf_dir)
     return (
         ev.groupBy(

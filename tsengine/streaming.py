@@ -107,10 +107,10 @@ def streaming_sessions(
 ) -> DataFrame:
     """Native session windows on a live stream: Spark's
     ``F.session_window`` merges events whose [t, t+gap) windows overlap
-    into one growing session per key — the streaming twin of
-    ``temporal.sessionize`` (boundary semantics differ by one epsilon:
-    session_window closes at delta >= gap, the batch lag-rule at
-    delta > gap; both are oracle-pinned). State per key = the open
+    OR touch into one growing session per key — the streaming twin of
+    ``temporal.sessionize``, including the boundary rule (an event
+    exactly ``gap`` after its predecessor merges; a new session opens
+    only at delta > gap — pinned by test). State per key = the open
     session's envelope; the watermark bounds how long a session can stay
     open for late data. Output: one row per closed session with
     start/end (end = last event + gap) and algebraic aggregates."""
