@@ -155,3 +155,29 @@ def test_session_window_boundary_matches_sessionize(spark):
         for r in temporal.sessionize(df, 1800, tiebreak="event_id").collect()
     }
     assert lag_rule == {1: 1, 2: 1, 3: 2}
+
+
+def test_ewma_matches_pandas(spark):
+    """Spark ewma (applyInPandas recursion) equals a hand-rolled numpy
+    recursion and pandas ewm on the same rows."""
+    import numpy as np
+
+    vals = [10.0, 20.0, 5.0, 0.0, 40.0]
+    rows = [("a", i, _ts(9, i), v) for i, v in enumerate(vals)] + [
+        ("b", 9, _ts(9, 0), 100.0)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, event_id long, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in temporal.ewma(df, alpha=0.25, tiebreak="event_id").collect()
+    }
+    s, a = vals[0], 0.25
+    want = {}
+    for i, v in enumerate(vals):
+        s = v if i == 0 else (1 - a) * s + a * v
+        want[i] = s
+    want[9] = 100.0
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)

@@ -2492,6 +2492,42 @@ def ts_asof_join(spark, sf_dir):
 
 
 @q(
+    "ts_ewma",
+    f"""
+WITH ev AS ({_EV}),
+r AS (SELECT conv_id, event_id, value,
+             row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id)
+               - 1 AS rn
+      FROM ev),
+z AS (SELECT conv_id, event_id, rn,
+             CASE WHEN rn = 0 THEN value
+                  ELSE 0.25::DOUBLE * power(0.75::DOUBLE, -rn) * value
+             END AS zv
+      FROM r),
+c AS (SELECT conv_id, event_id, rn,
+             sum(zv) OVER (PARTITION BY conv_id ORDER BY rn
+                           ROWS UNBOUNDED PRECEDING) AS cz
+      FROM z)
+SELECT conv_id, event_id,
+       round(power(0.75::DOUBLE, rn) * cz + 5e-10, 4) AS ewma
+FROM c
+""",
+)
+def ts_ewma(spark, sf_dir):
+    """Per-conversation exponential smoothing (alpha = 0.25, recursive
+    ``temporal.ewma`` over applyInPandas) against the closed-form SQL
+    oracle s_t = (1-a)^t·[x_0 + a·Σ(1-a)^(-i)·x_i] — the recursion and
+    the prefix-sum form must agree to 4 decimals (safe: ≤ 99 rows per
+    conversation keeps (1-a)^(-t) finite)."""
+    ev = _events_long(spark, sf_dir).select("conv_id", "ts", "event_id", "value")
+    out = temporal.ewma(ev, alpha=0.25, tiebreak="event_id")
+    return out.select(
+        "conv_id", "event_id",
+        F.round(F.col("ewma") + F.lit(5e-10), 4).alias("ewma"),
+    )
+
+
+@q(
     "ts_counter_rate",
     f"""
 WITH ev AS ({_EV}),

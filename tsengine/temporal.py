@@ -158,6 +158,50 @@ def session_stats(
     )
 
 
+def ewma(
+    df: DataFrame,
+    alpha: float,
+    on: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Recursive exponential smoothing per key:
+    s_0 = x_0, s_t = (1-alpha)·s_{t-1} + alpha·x_t (pandas
+    ``ewm(adjust=False)`` semantics) — THE order-dependent recursion a
+    window aggregate cannot express without O(n²) per-row weight sums.
+    Adds ``ewma`` (double).
+
+    Implementation: ``applyInPandas`` — one shuffle keyed by ``on``,
+    Arrow-batched, the recursion runs in pandas' C ewm kernel. This is
+    the documented legitimate use of the Python path (per-key recursive
+    state); everything stateless stays JVM-side. Nulls in ``value_col``
+    must be filtered/filled upstream (pandas decays weights across gaps,
+    SQL closed forms skip them — the two disagree on nulls).
+
+    Oracle note: s_t has the closed form
+    (1-a)^t · [x_0 + a·Σ_{i=1..t} (1-a)^{-i} x_i], expressible as a
+    prefix sum over row_number — valid while (1-a)^{-t} stays in double
+    range (t ≲ 2500 at alpha=0.25); the recursion itself has no such
+    limit."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    order = [ts_col] if tiebreak is None else [ts_col, tiebreak]
+    # a FRESH StructType: StructType.add mutates in place, and df.schema
+    # hands back the DataFrame's cached schema object — mutating it makes
+    # df.columns grow an "ewma" that doesn't exist yet
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("ewma", DoubleType())]
+    )
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        pdf["ewma"] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(on).applyInPandas(fn, schema=out_schema)
+
+
 def counter_increase(
     df: DataFrame,
     on: str = "conv_id",
