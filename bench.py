@@ -58,14 +58,16 @@ def count_action(df):
     return df.select(F.count("*")).collect()[0][0]
 
 
-def synth_setup(spark) -> str:
+def synth_setup(spark, n_convs: int = 0, mega: int = 0) -> str:
     """Materialize the synthetic transcripts table (the 'Iceberg table' the
     engine ingests). NOT part of the measured pipeline — generation is the
     data source, not the engine. Deterministic (seed 42) and keyed by size,
     so alternating worker subprocesses reuse one materialization."""
-    raw = f"/tmp/tsengine_bench_raw_{N_CONVS}_{MEGA}"
+    n_convs = n_convs or N_CONVS
+    mega = mega or MEGA
+    raw = f"/tmp/tsengine_bench_raw_{n_convs}_{mega}"
     if not os.path.exists(f"{raw}/_SUCCESS"):
-        t = synth.generate_transcripts(spark, n_convs=N_CONVS, mega_turns=MEGA)
+        t = synth.generate_transcripts(spark, n_convs=n_convs, mega_turns=mega)
         t.write.mode("overwrite").parquet(raw)
     return raw
 
@@ -274,6 +276,31 @@ def main() -> None:
     sec_small, sec_big = best[small], best[big]
     queries[f"pipeline_local{small}"] = round(sec_small, 3)
     queries[f"pipeline_local{big}"] = round(sec_big, 3)
+
+    # -- part 3: 2x-input spill guard at local[big] ------------------------
+    # Re-evidences the worst-stage heap sizing EVERY round, not as a
+    # one-time anecdote: the 2x input (~35 M turns) is the scenario where
+    # an undersized heap made the wide-rollup hash agg spill and run 3x
+    # slower (BASELINE.md "Memory sizing fix found at 2x input"). One
+    # measured pass; regression bar is ~170 s.
+    if os.environ.get("SPARK_GRAFT_BENCH_2X", "1") == "1":
+        spark = get_spark(app_name="bench-gen2x", master=f"local[{CPUS}]")
+        synth_setup(spark, N_CONVS * 2, MEGA * 2)  # pre-generate at full cores
+        stop_spark()
+        env2x = dict(
+            os.environ,
+            SPARK_GRAFT_BENCH_CONVS=str(N_CONVS * 2),
+            SPARK_GRAFT_BENCH_MEGA=str(MEGA * 2),
+        )
+        out2x = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pipeline", str(big)],
+            capture_output=True, text=True, check=True, env=env2x,
+        )
+        r2x = json.loads(out2x.stdout.strip().splitlines()[-1])
+        queries[f"pipeline_2x_local{big}"] = r2x["sec"]
+        derived["turns_2x"] = r2x["turns"]
+        derived["rolled_points_2x"] = r2x["pts"]
+        derived[f"turns_2x_per_sec_local{big}"] = round(r2x["turns"] / r2x["sec"], 1)
 
     derived["turns"] = n_turns
     derived["rolled_points"] = n_pts

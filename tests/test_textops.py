@@ -279,6 +279,48 @@ def test_bucket_cap_observed_metrics_free(spark):
     assert obs2.get["n_rows_dropped"] == 0
 
 
+def test_pairer_observed_metrics_passthrough(spark):
+    """Both pair generators forward ``observation`` to their bucket cap:
+    consuming the pairs fills the drop metrics in the same action, and
+    the numbers equal the DataFrame-path metrics.
+
+    The corpus keeps one surviving near-dup pair alongside the capped
+    mega-cluster: if the cap emptied the ENTIRE result, AQE's
+    empty-relation propagation would skip the observed branch and the
+    metric would never fire (documented bucket_cap caveat — the metrics
+    DataFrame is the fallback for that degenerate case)."""
+    from pyspark.sql import Observation
+
+    rows = [(i, "same same same text", "x") for i in range(20)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta", "x"),
+        (101, "alpha beta gamma delta epsilon zetb", "x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    sim = textops.simhash(docs, bits=16)
+    obs = Observation()
+    pairs, dropped = textops.hamming_neighbors(
+        sim, max_dist=3, bits=16, max_bucket=5,
+        return_dropped=True, observation=obs,
+    )
+    assert pairs.count() == 1  # the one action; (100, 101) survives
+    want = dropped.collect()[0]
+    assert obs.get["n_buckets_dropped"] == want["n_buckets_dropped"] == 4
+    assert obs.get["n_rows_dropped"] == want["n_rows_dropped"]
+
+    sigs = textops.minhash_signature(docs, k=4, shingle_n=2)
+    obs2 = Observation()
+    lsh_pairs, lsh_dropped = textops.lsh_candidate_pairs(
+        sigs, k=4, band_size=2, max_bucket=5,
+        return_dropped=True, observation=obs2,
+    )
+    assert lsh_pairs.count() == 1
+    lw = lsh_dropped.collect()[0]
+    assert obs2.get["n_buckets_dropped"] == lw["n_buckets_dropped"] == 2
+    assert obs2.get["n_rows_dropped"] == lw["n_rows_dropped"] == 40
+
+
 def test_dedup_components_nonconvergence_raises(spark):
     """A chain deeper than max_iter must raise (no silently-partial
     labels), and a convergent run under the same cap must not."""

@@ -43,7 +43,13 @@ def bucket_cap(
     yields ``observation.get`` = {n_rows_dropped, n_buckets_dropped}
     with zero extra jobs (n_buckets via Σ 1/_bc over dropped rows — each
     overfull bucket contributes _bc · (1/_bc) = 1 exactly, rounded to
-    kill fp dust; ``observe`` cannot run COUNT DISTINCT)."""
+    kill fp dust; ``observe`` cannot run COUNT DISTINCT).
+
+    Caveat: if the consuming query collapses to an empty relation BEFORE
+    scanning the observed branch (AQE empty-relation propagation when the
+    cap drops everything), the observation never fires and ``.get``
+    raises — fall back to the metrics DataFrame for that degenerate
+    case."""
     cnt = F.count("*").over(W.partitionBy(*part_cols))
     with_c = bands.withColumn("_bc", cnt)
     if observation is not None:
@@ -243,6 +249,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     max_bucket: int | None = None,
     return_dropped: bool = False,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Band the signature (k/band_size bands of band_size rows), bucket-join
     within bands, emit candidate pairs (a<b) with the signature-estimated
@@ -261,7 +268,9 @@ def lsh_candidate_pairs(
     mega-cluster is still found via its other bands or is trivially exact-dup
     material). None = no cap (the oracle-checkable default). With
     ``return_dropped=True`` the result is (pairs, dropped_metrics) where
-    dropped_metrics counts capped buckets/rows — caps are never silent."""
+    dropped_metrics counts capped buckets/rows — caps are never silent.
+    Pass ``observation`` to receive the same drop counts from the SAME
+    action that consumes the pairs (zero extra jobs; see ``bucket_cap``)."""
     n_bands = k // band_size
     sigs = sigs.where(F.col("sig_0").isNotNull())
     bands = sigs.select(
@@ -289,8 +298,16 @@ def lsh_candidate_pairs(
     ).select(id_col, *[f"sig_{i}" for i in range(k)], "band.band_idx", "band.bucket")
 
     dropped = None
+    bands_b = bands
     if max_bucket is not None:
-        bands, dropped = bucket_cap(bands, ["band_idx", "bucket"], max_bucket)
+        # observe only the LEFT side of the self-join: one CollectMetrics
+        # node per query (Spark rejects/duplicates a same-named metrics
+        # node appearing in both join branches); the left scan sees every
+        # banded row, so the drop counts are complete.
+        bands, dropped = bucket_cap(
+            bands, ["band_idx", "bucket"], max_bucket, observation=observation
+        )
+        bands_b, _ = bucket_cap(bands_b, ["band_idx", "bucket"], max_bucket)
 
     left = bands.select(
         F.col(id_col).alias("doc_a"),
@@ -298,7 +315,7 @@ def lsh_candidate_pairs(
         "band_idx",
         "bucket",
     )
-    right = bands.select(
+    right = bands_b.select(
         F.col(id_col).alias("doc_b"),
         *[F.col(f"sig_{i}").alias(f"b_sig_{i}") for i in range(k)],
         "band_idx",
@@ -380,6 +397,7 @@ def hamming_neighbors(
     id_col: str = "doc_id",
     max_bucket: int | None = None,
     return_dropped: bool = False,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Pairs within Hamming distance ≤ max_dist of each other's simhash —
     EXACT result via pigeonhole banding, never an all-pairs join.
@@ -413,13 +431,18 @@ def hamming_neighbors(
     ).select("_id", "_h", "bd.band_idx", "bd.band_bits")
 
     dropped = None
+    bands_b = bands
     if max_bucket is not None:
-        bands, dropped = bucket_cap(bands, ["band_idx", "band_bits"], max_bucket)
+        # observe only one self-join side — see lsh_candidate_pairs
+        bands, dropped = bucket_cap(
+            bands, ["band_idx", "band_bits"], max_bucket, observation=observation
+        )
+        bands_b, _ = bucket_cap(bands_b, ["band_idx", "band_bits"], max_bucket)
 
     a = bands.select(
         F.col("_id").alias("doc_a"), F.col("_h").alias("h_a"), "band_idx", "band_bits"
     )
-    b = bands.select(
+    b = bands_b.select(
         F.col("_id").alias("doc_b"), F.col("_h").alias("h_b"), "band_idx", "band_bits"
     )
     dist = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
