@@ -1,0 +1,75 @@
+"""anomaly.py unit tests against hand-computed oracles."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+
+from tsengine import anomaly
+
+
+def _ts(d, h=0):
+    return datetime(2024, 3, d, h)
+
+
+def test_mad_outliers_flags_spike_not_masked(spark):
+    # nine quiet points + one huge spike: classic case where mean/std
+    # masks the spike but MAD flags it
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 1000.0]
+    rows = [("a", "m", float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "conv_id string, metric string, value double")
+    got = anomaly.mad_outliers(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    med = float(np.median(vals))
+    mad = float(np.median(np.abs(np.array(vals) - med)))
+    assert r["n"] == 10
+    assert r["med"] == round(med, 6)
+    assert r["mad"] == round(mad, 6)
+    # only the 1000.0 point exceeds 3 * 1.4826 * MAD
+    assert r["n_outliers"] == 1
+
+    # sanity: plain 3-sigma would NOT flag it... (std is dragged to ~313)
+    assert abs(1000.0 - np.mean(vals)) < 3 * np.std(vals)
+
+
+def test_mad_outliers_constant_series(spark):
+    # all-constant series: MAD 0, any deviation at all is an outlier
+    rows = [("c", "m", 5.0)] * 6 + [("c", "m", 5.1)]
+    df = spark.createDataFrame(rows, "conv_id string, metric string, value double")
+    r = anomaly.mad_outliers(df).collect()[0]
+    assert r["mad"] == 0.0 and r["med"] == 5.0 and r["n_outliers"] == 1
+
+
+def test_lagged_corr_detects_shifted_linear_relation(spark):
+    # b at minute t+1 = 2 * a at minute t  ->  corr exactly 1 at lag 1
+    rows = []
+    for i, v in enumerate([1.0, 3.0, 2.0, 5.0, 4.0]):
+        rows.append(("k1", "a", _ts(1, 0).replace(minute=i), v))
+        rows.append(("k1", "b", _ts(1, 0).replace(minute=i + 1), 2 * v))
+    # k2: metric a constant -> zero variance -> dropped
+    for i in range(4):
+        rows.append(("k2", "a", _ts(1, 0).replace(minute=i), 7.0))
+        rows.append(("k2", "b", _ts(1, 0).replace(minute=i + 1), float(i)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double"
+    )
+    got = anomaly.lagged_corr(df, "a", "b", lag_buckets=1, bucket="minute", bucket_s=60)
+    out = {r["conv_id"]: r for r in got.collect()}
+    assert set(out) == {"k1"}          # degenerate k2 dropped
+    assert out["k1"]["n_aligned"] == 5
+    assert out["k1"]["xcorr"] == 1.0
+
+
+def test_lagged_corr_zero_at_no_relation(spark):
+    # anti-correlated at lag 1: b(t+1) = -a(t)
+    rows = []
+    for i, v in enumerate([1.0, 4.0, 2.0, 8.0]):
+        rows.append(("k", "a", _ts(1, 0).replace(minute=i), v))
+        rows.append(("k", "b", _ts(1, 0).replace(minute=i + 1), -v))
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double"
+    )
+    got = anomaly.lagged_corr(df, "a", "b", lag_buckets=1, bucket="minute", bucket_s=60)
+    assert got.collect()[0]["xcorr"] == -1.0

@@ -55,3 +55,50 @@ def test_fingerprint_invalidates(spark, tmp_path):
     jobs.run_pipeline(spark, tr, out, n_buckets=2, fingerprint="fpB")
     assert log.metrics().count() == 8
     assert log.completed_units("pipeline", "chunks", "fpB") == {"bucket=0", "bucket=1"}
+
+
+def test_cap_metrics_recorded_as_lineage_rows(spark, tmp_path):
+    # VERDICT r3 item 8: a dedup job's recall-loss counters become
+    # first-class status='metric' rows in the lineage table
+    from pyspark.sql import Observation
+
+    from tsengine import textops
+
+    # one overfull cluster (dropped by the cap, feeds the metrics) plus
+    # one under-cap cluster (keeps the result non-empty, so AQE cannot
+    # collapse the observed branch — the documented degenerate case)
+    docs = spark.createDataFrame(
+        [(i, "the same text body repeated " * 3) for i in range(10)]
+        + [(100 + i, "a completely different story here " * 3) for i in range(3)],
+        "doc_id long, text string",
+    )
+    sim = textops.simhash(docs, bits=16)
+    obs = Observation("cap")
+    pairs = textops.hamming_neighbors(
+        sim, max_dist=1, bits=16, max_bucket=4, observation=obs
+    )
+    n_pairs = pairs.count()  # one action drives both result and metrics
+    log = LineageLog(spark, str(tmp_path / "dedup"))
+    log.record_metrics("dedupjob", "hamming_neighbors", obs.get)
+
+    m = log.metrics().where("status = 'metric'")
+    got = {r["unit"]: r["rows_out"] for r in m.collect()}
+    assert set(got) == {"metric:n_buckets_dropped", "metric:n_rows_dropped"}
+    # the 10-doc cluster overflows cap 4 -> real drops recorded
+    assert got["metric:n_rows_dropped"] > 0
+    # cap bit: only the 3-doc cluster pairs survive, not the C(10,2) clique
+    assert 0 < n_pairs < 45
+
+    # metric rows must NOT confuse the resume scheduler
+    assert log.completed_units("dedupjob", "hamming_neighbors", None) == set()
+
+    # DataFrame fallback path (bucket_cap's dropped metrics frame)
+    sim2 = textops.simhash(docs, bits=16)
+    kept, dropped = textops.hamming_neighbors(
+        sim2, max_dist=1, bits=16, max_bucket=4, return_dropped=True
+    )
+    log.record_metrics("dedupjob2", "hamming_neighbors", dropped)
+    m2 = log.metrics().where(
+        "status = 'metric' AND job_id = 'dedupjob2'"
+    )
+    assert m2.count() == 2

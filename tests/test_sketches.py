@@ -1,0 +1,70 @@
+"""sketches.py unit tests: HLL determinism, merge ≡ rebuild, accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tsengine import sketches
+
+
+def _ids(spark, n, group="g", start=0):
+    return spark.range(start, start + n).select(
+        F.lit(group).alias("grp"), F.col("id").cast("string").alias("uid")
+    )
+
+
+def test_hll_merge_equals_rebuild(spark):
+    # THE reaggregability property the tier cascade relies on:
+    # merge(sketch(part1), sketch(part2)) == sketch(part1 ∪ part2),
+    # including overlapping parts (union, not sum)
+    part1 = _ids(spark, 400, start=0)
+    part2 = _ids(spark, 400, start=300)  # 100-id overlap
+    whole = part1.unionByName(part2)
+
+    r1 = sketches.hll_registers(part1, "uid", ["grp"])
+    r2 = sketches.hll_registers(part2, "uid", ["grp"])
+    merged = sketches.hll_merge(r1.unionByName(r2), ["grp"])
+    direct = sketches.hll_registers(whole, "uid", ["grp"])
+
+    m = {(r["bucket"],): r["rho"] for r in merged.collect()}
+    d = {(r["bucket"],): r["rho"] for r in direct.collect()}
+    assert m == d  # registers bit-identical, not just estimates close
+
+    em = sketches.hll_estimate(merged, ["grp"]).collect()[0]["hll_est"]
+    ed = sketches.hll_estimate(direct, ["grp"]).collect()[0]["hll_est"]
+    assert em == ed
+
+
+def test_hll_estimate_accuracy(spark):
+    # m=64 -> typical relative error 1.04/sqrt(64) ~ 13%; allow 3 sigma
+    n = 700
+    est = sketches.hll_distinct(_ids(spark, n), "uid", ["grp"]).collect()[0][
+        "hll_est"
+    ]
+    assert abs(est - n) / n < 0.40
+
+
+def test_hll_small_range_linear_counting(spark):
+    # tiny cardinality hits the linear-counting branch and is near-exact
+    est = sketches.hll_distinct(_ids(spark, 5), "uid", ["grp"]).collect()[0][
+        "hll_est"
+    ]
+    assert abs(est - 5) < 1.0
+
+
+def test_hll_deterministic_and_duplicate_insensitive(spark):
+    df = _ids(spark, 300)
+    dup = df.unionByName(df).unionByName(df)  # 3x duplicated rows
+    e1 = sketches.hll_distinct(df, "uid", ["grp"]).collect()[0]["hll_est"]
+    e2 = sketches.hll_distinct(dup, "uid", ["grp"]).collect()[0]["hll_est"]
+    e3 = sketches.hll_distinct(df, "uid", ["grp"]).collect()[0]["hll_est"]
+    assert e1 == e2 == e3
+
+
+def test_hll_groups_independent(spark):
+    df = _ids(spark, 200, group="a").unionByName(_ids(spark, 200, group="b"))
+    single = sketches.hll_distinct(_ids(spark, 200, group="a"), "uid", ["grp"])
+    both = sketches.hll_distinct(df, "uid", ["grp"])
+    sa = single.collect()[0]["hll_est"]
+    ba = {r["grp"]: r["hll_est"] for r in both.collect()}
+    assert ba["a"] == sa == ba["b"]  # same ids -> same registers per group

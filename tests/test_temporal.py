@@ -181,3 +181,34 @@ def test_ewma_matches_pandas(spark):
     want[9] = 100.0
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_concurrency_peaks_hand_case(spark):
+    # day 1: three intervals, two overlap fully, the third touches the
+    # first's end exactly (inclusive ends -> counts as overlap of 2);
+    # peak 2 is reached earliest at 9:30
+    rows = [
+        ("d1", _ts(9, 0), _ts(10, 0)),
+        ("d1", _ts(9, 30), _ts(9, 45)),   # inside the first -> live 2
+        ("d1", _ts(10, 0), _ts(11, 0)),   # starts AT first's end -> live 2
+        ("d2", _ts(9, 0), _ts(9, 10)),    # lone interval -> peak 1
+    ]
+    df = spark.createDataFrame(
+        rows, "day string, start_ts timestamp, end_ts timestamp"
+    )
+    got = {
+        r["day"]: (r["peak_concurrent"], r["peak_ts"])
+        for r in temporal.concurrency_peaks(df, group_col="day").collect()
+    }
+    assert got["d1"] == (2, _ts(9, 30))
+    assert got["d2"] == (1, _ts(9, 0))
+
+
+def test_concurrency_peaks_stacked(spark):
+    # N nested intervals -> peak N at the innermost start
+    rows = [("d", _ts(9, i), _ts(10, 0)) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "day string, start_ts timestamp, end_ts timestamp"
+    )
+    r = temporal.concurrency_peaks(df, group_col="day").collect()[0]
+    assert (r["peak_concurrent"], r["peak_ts"]) == (5, _ts(9, 4))

@@ -1,0 +1,134 @@
+"""Robust anomaly statistics: MAD outlier scoring, lagged cross-metric
+correlation.
+
+No direct reference analog (rewemo validates inputs structurally, not
+statistically — `tsengine/validate.py` covers that side); these are the
+statistical QA operators a production series store runs over every tier:
+"which series have outliers" and "does metric A lead metric B".
+
+Scale shapes:
+- ``mad_outliers``: two groupBy passes + two joins, ALL keyed by the same
+  (series key) — after the first shuffle every later exchange reuses the
+  partitioning (co-located joins, no re-shuffle of the big side).
+- ``lagged_corr``: per-bucket pre-aggregation FIRST (the volume reducer),
+  then an integer-shifted equi-join on (key, bucket) and one corr() agg —
+  never a row-level self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# scale factor making MAD a consistent sigma estimator for normal data
+MAD_SIGMA = 1.4826
+
+
+def mad_outliers(
+    df: DataFrame,
+    on: tuple[str, ...] = ("conv_id", "metric"),
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-series robust outlier summary: median, MAD (median absolute
+    deviation), and the count of points with
+    |v − median| > k · 1.4826 · MAD — the robust 3-sigma rule. Unlike
+    mean/std, a single huge spike cannot drag the threshold up and mask
+    itself (breakdown point 50% vs 0%).
+
+    Medians are exact interpolated percentiles (``percentile(v, 0.5)`` ≙
+    DuckDB ``median``). Returns one row per series:
+    (key..., n, med, mad, n_outliers). An all-constant series has MAD 0 —
+    any deviation at all is then flagged, which is the correct reading
+    for gauges that are supposed to be flat."""
+    v = F.col(value_col)
+    keys = list(on)
+    med = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    dev = df.join(med, keys).withColumn("_adev", F.abs(v - F.col("_med")))
+    mad = dev.groupBy(*keys).agg(
+        F.expr("percentile(_adev, 0.5)").alias("_mad")
+    )
+    thresh = F.lit(float(k)) * F.lit(MAD_SIGMA) * F.col("_mad")
+    return (
+        dev.join(mad, keys)
+        .groupBy(*keys)
+        .agg(
+            F.count(v).alias("n"),
+            F.round(F.first("_med"), 6).alias("med"),
+            F.round(F.first("_mad"), 6).alias("mad"),
+            F.sum(F.when(F.col("_adev") > thresh, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+def lagged_corr(
+    df: DataFrame,
+    metric_a: str,
+    metric_b: str,
+    lag_buckets: int = 1,
+    bucket: str = "minute",
+    bucket_s: int = 60,
+    on: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    metric_col: str = "metric",
+) -> DataFrame:
+    """Per-key Pearson correlation between metric A at bucket t and
+    metric B at bucket t + lag — "do errors now predict latency next
+    minute". Positive lag means A leads B.
+
+    Both metrics are bucket-averaged first (irregular events never align
+    row-for-row), then joined on an integer-microsecond shifted bucket
+    key — exact arithmetic, no interval math at join time.
+
+    Pearson is computed from raw moments (n, Σa, Σb, Σab, Σa², Σb²) with
+    an explicit zero-denominator guard rather than ``F.corr``: under
+    Spark 4's default ANSI mode the corr aggregate THROWS DIVIDE_BY_ZERO
+    on a zero-variance group — one constant series would kill the whole
+    job — and the guarded-moment form also gives the oracle an identical
+    formula to mirror. Degenerate keys (zero variance either side, < 2
+    aligned buckets) yield NULL and are dropped. corr is rounded to 5 dp
+    — the moment sums are summation-order sensitive across engines."""
+    us = 1_000_000
+    # .cast: unix_micros rejects the TIMESTAMP_NTZ the parquet tables carry
+    b = F.unix_micros(F.date_trunc(bucket, F.col(ts_col)).cast("timestamp"))
+
+    def side(metric: str, alias: str) -> DataFrame:
+        return (
+            df.where(F.col(metric_col) == metric)
+            .groupBy(F.col(on), b.alias("bucket_us"))
+            .agg(F.avg(value_col).alias(alias))
+        )
+
+    a = side(metric_a, "va")
+    bb = side(metric_b, "vb").withColumn(
+        "bucket_us", F.col("bucket_us") - F.lit(lag_buckets * bucket_s * us)
+    )
+    joined = a.join(bb, [on, "bucket_us"])
+    out = joined.groupBy(on).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("va").alias("_sa"),
+        F.sum("vb").alias("_sb"),
+        F.sum(F.col("va") * F.col("vb")).alias("_sab"),
+        F.sum(F.col("va") * F.col("va")).alias("_saa"),
+        F.sum(F.col("vb") * F.col("vb")).alias("_sbb"),
+    )
+    n, sa, sb = F.col("_n"), F.col("_sa"), F.col("_sb")
+    var_a = n * F.col("_saa") - sa * sa
+    var_b = n * F.col("_sbb") - sb * sb
+    num = n * F.col("_sab") - sa * sb
+    c = F.when(
+        (var_a > 0) & (var_b > 0), num / F.sqrt(var_a * var_b)
+    )
+    return (
+        out.select(
+            on,
+            F.col("_n").cast("long").alias("n_aligned"),
+            F.round(c, 5).alias("xcorr"),
+        )
+        .where(F.col("xcorr").isNotNull())
+    )

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tsengine import (
+    anomaly,
     chunks,
     curves,
     disagg,
@@ -36,7 +37,9 @@ from tsengine import (
     gapfill,
     indicators,
     multimodal,
+    rolling,
     rollup,
+    sketches,
     solar,
     temporal,
     textops,
@@ -2566,6 +2569,445 @@ def ts_counter_rate(spark, sf_dir):
     )
     out = temporal.counter_increase(ctr, tiebreak="event_id")
     return out.select("conv_id", "event_id", "counter", "increase", "is_reset")
+
+
+# ===========================================================================
+# Round-4 pack: rolling windows, anomaly stats, sketches, concurrency
+# ===========================================================================
+
+@q(
+    "ts_rolling_1h",
+    f"""
+WITH ev AS ({_EV})
+SELECT conv_id, metric, event_id,
+       (count(value) OVER w)::BIGINT AS roll_cnt,
+       round((avg(value) OVER w) + 5e-10, 4) AS roll_avg,
+       max(value) OVER w AS roll_max
+FROM ev
+WINDOW w AS (PARTITION BY conv_id, metric ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def ts_rolling_1h(spark, sf_dir):
+    """Trailing 1 h time-range aggregate per series on the INTEGER
+    microsecond axis (`rolling.rolling_agg`) — sub-second events at a
+    window edge land identically in both engines because the frame bound
+    is exact integer arithmetic, not truncated seconds. roll_avg gets the
+    +5e-10 nudge both sides: the two engines accumulate the frame in
+    different orders (Spark re-scans the frame, DuckDB segment-trees it),
+    so the 4-dp round must not sit on an ulp edge."""
+    ev = _events_long(spark, sf_dir)
+    out = rolling.rolling_agg(ev, window_s=3600)
+    return out.select(
+        "conv_id", "metric", "event_id",
+        F.col("roll_cnt").cast("long").alias("roll_cnt"),
+        F.round(F.col("roll_avg") + F.lit(5e-10), 4).alias("roll_avg"),
+        "roll_max",
+    )
+
+
+@q(
+    "ts_ltob_downsample",
+    f"""
+WITH ev AS ({_EV}),
+p AS (SELECT conv_id, metric, ts, event_id, value,
+             date_trunc('hour', ts) AS bucket_ts,
+             epoch_us(ts)::DOUBLE AS x, value::DOUBLE AS y,
+             lag(epoch_us(ts)::DOUBLE)  OVER w AS xp,
+             lag(value::DOUBLE)         OVER w AS yp,
+             lead(epoch_us(ts)::DOUBLE) OVER w AS xn,
+             lead(value::DOUBLE)        OVER w AS yn
+      FROM ev
+      WINDOW w AS (PARTITION BY conv_id, metric ORDER BY ts)),
+a AS (SELECT *,
+             coalesce(abs((xp - xn) * (y - yp) - (xp - x) * (yn - yp)),
+                      1e308) AS area
+      FROM p),
+r AS (SELECT *, row_number() OVER (PARTITION BY conv_id, metric, bucket_ts
+                                   ORDER BY area DESC, ts) AS rk
+      FROM a)
+SELECT conv_id, metric, bucket_ts, ts, event_id, value FROM r WHERE rk = 1
+""",
+)
+def ts_ltob_downsample(spark, sf_dir):
+    """Largest-Triangle-One-Bucket downsampling (`rolling.ltob_downsample`):
+    one shape-preserving point per (series, hour). The triangle-area
+    expression is written in ONE association order and mirrored verbatim
+    in the oracle, so the per-bucket argmax agrees on exact doubles —
+    no rounding anywhere in the selection path."""
+    ev = _events_long(spark, sf_dir)
+    out = rolling.ltob_downsample(ev, bucket="hour")
+    return out.select(
+        "conv_id", "metric", "bucket_ts", "ts", "event_id", "value"
+    )
+
+
+@q(
+    "ts_staleness",
+    f"""
+WITH ev AS ({_EV}),
+qv AS (SELECT conv_id, metric, ts, event_id,
+              floor(value / 10.0)::BIGINT AS value_q
+       FROM ev),
+d AS (SELECT *,
+             lag(value_q) OVER (PARTITION BY conv_id, metric
+                                ORDER BY ts) AS prev
+      FROM qv),
+c AS (SELECT *,
+             max(CASE WHEN prev IS NULL OR value_q <> prev THEN ts END)
+               OVER (PARTITION BY conv_id, metric ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS change_ts
+      FROM d)
+SELECT conv_id, metric, event_id, value_q,
+       (epoch_us(ts) - epoch_us(change_ts))::BIGINT AS stale_us
+FROM c
+""",
+)
+def ts_staleness(spark, sf_dir):
+    """Stuck-gauge detection (`rolling.staleness`): exact integer
+    microseconds since the quantized series value last changed (the raw
+    doubles never repeat, so the entry quantizes to floor(v/10) to create
+    real plateaus). 0 marks change-points; long plateaus accumulate real
+    staleness. lag + running max over one (series, ts) sort."""
+    ev = _events_long(spark, sf_dir)
+    qv = ev.select(
+        "conv_id", "metric", "ts", "event_id",
+        F.floor(F.col("value") / 10.0).cast("long").alias("value_q"),
+    )
+    out = rolling.staleness(qv, value_col="value_q")
+    return out.select("conv_id", "metric", "event_id", "value_q", "stale_us")
+
+
+@q(
+    "ts_outlier_mad",
+    f"""
+WITH ev AS ({_EV}),
+med AS (SELECT conv_id, metric, median(value) AS med
+        FROM ev GROUP BY 1, 2),
+dev AS (SELECT ev.conv_id, ev.metric, ev.value,
+               abs(ev.value - med.med) AS adev, med.med
+        FROM ev JOIN med USING (conv_id, metric)),
+mad AS (SELECT conv_id, metric, median(adev) AS mad
+        FROM dev GROUP BY 1, 2)
+SELECT d.conv_id, d.metric,
+       count(*)::BIGINT AS n,
+       round(first(d.med), 6) AS med,
+       round(first(m.mad), 6) AS mad,
+       sum(CASE WHEN d.adev > 3.0::DOUBLE * 1.4826::DOUBLE * m.mad
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM dev d JOIN mad m USING (conv_id, metric)
+GROUP BY 1, 2
+""",
+)
+def ts_outlier_mad(spark, sf_dir):
+    """Robust per-series outlier summary (`anomaly.mad_outliers`):
+    median / MAD / count beyond the robust 3-sigma fence
+    (|v − med| > 3 · 1.4826 · MAD). Exact interpolated medians both
+    sides (Spark ``percentile`` ≙ DuckDB ``median``); every join keyed
+    by the series key the first shuffle already established."""
+    ev = _events_long(spark, sf_dir)
+    return anomaly.mad_outliers(ev)
+
+
+@q(
+    "ts_xcorr_lag",
+    f"""
+WITH ev AS ({_EV}),
+a AS (SELECT conv_id, epoch_us(date_trunc('day', ts)) AS bucket_us,
+             avg(value) AS va
+      FROM ev WHERE metric = 'click' GROUP BY 1, 2),
+b AS (SELECT conv_id,
+             epoch_us(date_trunc('day', ts)) - 86400000000 AS bucket_us,
+             avg(value) AS vb
+      FROM ev WHERE metric = 'error' GROUP BY 1, 2),
+j AS (SELECT a.conv_id, a.va, b.vb
+      FROM a JOIN b USING (conv_id, bucket_us)),
+m AS (SELECT conv_id, count(*)::DOUBLE AS n,
+             sum(va) AS sa, sum(vb) AS sb,
+             sum(va * vb) AS sab, sum(va * va) AS saa,
+             sum(vb * vb) AS sbb
+      FROM j GROUP BY 1),
+c AS (SELECT conv_id, n::BIGINT AS n_aligned,
+             CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+                  THEN (n * sab - sa * sb)
+                       / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+             END AS xc
+      FROM m)
+SELECT conv_id, n_aligned, round(xc, 5) AS xcorr
+FROM c WHERE xc IS NOT NULL
+""",
+)
+def ts_xcorr_lag(spark, sf_dir):
+    """Lead-lag correlation (`anomaly.lagged_corr`): per conversation,
+    Pearson corr between today's mean click value and TOMORROW's mean
+    error value (lag = 1 day) — bucket-aggregate first, then an
+    integer-microsecond shifted equi-join, never a row-level self-join.
+    Pearson comes from guarded raw moments (never ``corr``: Spark 4 ANSI
+    corr throws on zero variance), the SQL mirroring the identical
+    formula; degenerate keys are NULLed and dropped on both engines."""
+    ev = _events_long(spark, sf_dir)
+    return anomaly.lagged_corr(
+        ev, "click", "error", lag_buckets=1, bucket="day", bucket_s=86400
+    )
+
+
+@q(
+    "ts_hll_distinct",
+    """
+WITH ev AS (SELECT date_trunc('day', ts) AS day, user_id::VARCHAR AS uid
+            FROM events),
+h AS (SELECT day, ('0x'||substr(md5(uid),1,15))::BIGINT AS h FROM ev),
+b AS (SELECT day, h % 64 AS bucket,
+             55 - length(ltrim(bin(h // 64), '0')) AS rho
+      FROM h),
+r AS (SELECT day, bucket, max(rho) AS rho FROM b GROUP BY 1, 2),
+s AS (SELECT day, sum(1::BIGINT << (55 - rho))::BIGINT AS ps,
+             count(*)::BIGINT AS np
+      FROM r GROUP BY 1),
+e AS (SELECT day, ps + (64 - np) * (1::BIGINT << 55) AS tot,
+             64 - np AS zeros
+      FROM s),
+est AS (SELECT day,
+        CASE WHEN (0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE)
+                   / tot::DOUBLE <= 160.0::DOUBLE AND zeros > 0
+             THEN 64.0::DOUBLE * ln(64.0::DOUBLE / zeros::DOUBLE)
+             ELSE (0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE)
+                   / tot::DOUBLE END AS est
+        FROM e),
+x AS (SELECT date_trunc('day', ts) AS day,
+             count(DISTINCT user_id)::BIGINT AS n_exact
+      FROM events GROUP BY 1)
+SELECT x.day, x.n_exact, round(est.est, 2) AS hll_est
+FROM x JOIN est USING (day)
+""",
+)
+def ts_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-users-per-day
+    (`sketches.hll_distinct`, m = 64, md5-hashed): registers, the
+    integer-exact indicator sum, and the linear-counting small-range
+    branch all reproduce bit-identically in SQL — the reaggregable
+    cardinality sketch the retention tiers can carry (merge ≡ rebuild,
+    proven in tests/test_sketches.py). n_exact rides along to show the
+    sketch error."""
+    events = _read(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    est = sketches.hll_distinct(
+        events.select(day, F.col("user_id")), "user_id", ["day"]
+    )
+    exact = events.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.join(est, "day").select("day", "n_exact", "hll_est")
+
+
+@q(
+    "ts_concurrency",
+    f"""
+WITH ev AS ({_EV}),
+iv AS (SELECT conv_id, date_trunc('day', ts) AS day,
+              min(ts) AS start_ts, max(ts) AS end_ts
+       FROM ev GROUP BY 1, 2),
+d AS (SELECT day, start_ts AS ts, 1 AS delta FROM iv
+      UNION ALL
+      SELECT day, end_ts AS ts, -1 AS delta FROM iv),
+r AS (SELECT day, ts,
+             sum(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS live
+      FROM d),
+p AS (SELECT *, row_number() OVER (PARTITION BY day
+                                   ORDER BY live DESC, ts) AS rk
+      FROM r)
+SELECT day, live::BIGINT AS peak_concurrent, ts AS peak_ts
+FROM p WHERE rk = 1
+""",
+)
+def ts_concurrency(spark, sf_dir):
+    """Peak concurrent conversations per day (`temporal.concurrency_peaks`):
+    conversation-day activity envelopes swept as +1/−1 deltas with a
+    per-day running sum — the window partitions by day, so the sort
+    parallelizes across days (no global ordering). Output is
+    permutation-invariant under timestamp ties (docstring proof in the
+    operator)."""
+    ev = _events_long(spark, sf_dir)
+    iv = ev.groupBy(
+        "conv_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    return temporal.concurrency_peaks(iv, group_col="day")
+
+
+@q(
+    "ts_top3_convs_daily",
+    f"""
+WITH ev AS ({_EV}),
+c AS (SELECT date_trunc('day', ts) AS day, conv_id,
+             count(*)::BIGINT AS n_events
+      FROM ev GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY day
+                                   ORDER BY n_events DESC, conv_id) AS rank
+      FROM c)
+SELECT day, conv_id, n_events, rank::BIGINT AS rank FROM r WHERE rank <= 3
+""",
+)
+def ts_top3_convs_daily(spark, sf_dir):
+    """Top-3 busiest conversations per day: partial-agg count (map-side
+    combine) then a per-day top-k window — rank ties break to the lowest
+    conv_id so the cut is deterministic. At scale the window input is the
+    already-aggregated (day, conv) table, not raw events."""
+    ev = _events_long(spark, sf_dir)
+    c = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), F.col("conv_id")
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("day").orderBy(
+        F.col("n_events").desc(), F.col("conv_id")
+    )
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("day", "conv_id", F.col("n_events").cast("long").alias("n_events"), "rank")
+    )
+
+
+def _sketch_error_sql() -> str:
+    # mirrors _hist_quantile_sql's sketch path, joined against exact
+    # per-hour order statistics, rolled up to a per-metric error report
+    bounds_sql = ", ".join(f"{b!r}::DOUBLE" for b in _HB)
+    bin_expr = f"len(list_filter([{bounds_sql}], b -> value > b))"
+    hsums = ", ".join(
+        f"sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END)::BIGINT AS h{i}"
+        for i in range(_NB)
+    )
+
+    def est(q: float) -> str:
+        whens = []
+        for i in range(_NB):
+            cum = " + ".join(f"h{j}" for j in range(i + 1))
+            edge = _HB[i] if i < len(_HB) else _HB[-1]
+            whens.append(
+                f"WHEN ({cum}) >= ceil({q!r}::DOUBLE * cnt - 1e-9) "
+                f"THEN {edge!r}::DOUBLE"
+            )
+        return "CASE " + " ".join(whens) + f" ELSE {_HB[-1]!r}::DOUBLE END"
+
+    def vbin(v: str) -> str:
+        return f"len(list_filter([{bounds_sql}], b -> {v} > b))"
+
+    def edge_of(v: str) -> str:
+        return (
+            f"list_extract([{bounds_sql}], least({vbin(v)}, {len(_HB) - 1}) + 1)"
+        )
+
+    def interior_err(v: str, p: str) -> str:
+        return (
+            f"CASE WHEN {vbin(v)} BETWEEN 1 AND {len(_HB) - 1} "
+            f"THEN {p} - {v} END"
+        )
+
+    return f"""
+WITH ev AS ({_EV}),
+vv AS (SELECT conv_id, metric, date_trunc('hour', ts) AS bucket_ts, value
+       FROM ev WHERE value IS NOT NULL),
+rk AS (SELECT *,
+              row_number() OVER (PARTITION BY conv_id, bucket_ts, metric
+                                 ORDER BY value) AS rn,
+              count(*) OVER (PARTITION BY conv_id, bucket_ts, metric) AS cnt
+       FROM vv),
+ex AS (SELECT conv_id, bucket_ts, metric,
+              max(CASE WHEN rn = ceil(0.5::DOUBLE * cnt - 1e-9)
+                       THEN value END) AS v50,
+              max(CASE WHEN rn = ceil(0.95::DOUBLE * cnt - 1e-9)
+                       THEN value END) AS v95
+       FROM rk GROUP BY 1, 2, 3),
+b AS (SELECT conv_id, ts, metric, value, {bin_expr} AS bin FROM ev
+      WHERE value IS NOT NULL),
+t1m AS (SELECT conv_id, date_trunc('minute', ts) AS bucket_ts, metric,
+               count(*)::BIGINT AS cnt, {hsums}
+        FROM b GROUP BY 1, 2, 3),
+t1h AS (SELECT conv_id, date_trunc('hour', bucket_ts) AS bucket_ts, metric,
+               sum(cnt)::BIGINT AS cnt,
+               {", ".join(f"sum(h{i})::BIGINT AS h{i}" for i in range(_NB))}
+        FROM t1m GROUP BY 1, 2, 3),
+sk AS (SELECT conv_id, bucket_ts, metric,
+              {est(0.5)} AS p50, {est(0.95)} AS p95
+       FROM t1h),
+j AS (SELECT ex.metric, ex.v50, ex.v95, sk.p50, sk.p95
+      FROM ex JOIN sk USING (conv_id, bucket_ts, metric))
+SELECT metric,
+       count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN p50 = {edge_of("v50")} THEN 1 ELSE 0 END)::BIGINT
+         AS ok_p50,
+       sum(CASE WHEN p95 = {edge_of("v95")} THEN 1 ELSE 0 END)::BIGINT
+         AS ok_p95,
+       round(max({interior_err("v50", "p50")}), 6) AS max_err_p50,
+       round(max({interior_err("v95", "p95")}), 6) AS max_err_p95
+FROM j GROUP BY 1
+"""
+
+
+@q("ts_sketch_error", _sketch_error_sql())
+def ts_sketch_error(spark, sf_dir):
+    """Sketch-vs-exact quantile error audit: per metric, compares the
+    cascaded 1m→1h histogram sketch's p50/p95 against the EXACT per-hour
+    order statistics (same ceil(q·cnt) rank definition), reporting
+
+    - ok_pXX: groups where the sketch resolved the exactly-correct bin
+      (the theorem says ALL of them — the estimate is the upper edge of
+      the bin containing the true order statistic, so ok == n_groups);
+    - max_err_pXX: worst estimate−exact gap over interior bins, finite
+      and < that bin's width by construction (unbounded outer bins are
+      excluded from the max; bin membership itself is still audited).
+
+    The "error ≤ one bin width" claim from `rollup.hist_quantile` is
+    thereby evidenced as DATA on every run, not just asserted — and the
+    whole audit (exact side included) is plain SQL, so the oracle checks
+    the checker."""
+    ev = _events_long(spark, sf_dir).where(F.col("value").isNotNull())
+    vv = ev.select(
+        "conv_id", "metric",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"), "value",
+    )
+    wp = Window.partitionBy("conv_id", "bucket_ts", "metric")
+    rk = vv.select(
+        "*",
+        F.row_number().over(wp.orderBy("value")).alias("rn"),
+        F.count("*").over(wp).alias("cnt"),
+    )
+
+    def _target(q: float):
+        return F.ceil(F.lit(q) * F.col("cnt") - F.lit(1e-9))
+
+    ex = rk.groupBy("conv_id", "bucket_ts", "metric").agg(
+        F.max(F.when(F.col("rn") == _target(0.5), F.col("value"))).alias("v50"),
+        F.max(F.when(F.col("rn") == _target(0.95), F.col("value"))).alias("v95"),
+    )
+    h1h = rollup.cascade_hist(rollup.rollup_hist(ev, _HB, "1m"), "1h", _NB)
+    sk = h1h.select(
+        "conv_id", "bucket_ts", "metric",
+        rollup.hist_quantile(0.5, _HB).alias("p50"),
+        rollup.hist_quantile(0.95, _HB).alias("p95"),
+    )
+    j = ex.join(sk, ["conv_id", "bucket_ts", "metric"])
+
+    edges = F.array(*[F.lit(float(x)) for x in _HB])
+
+    def _edge_of(v):
+        k = rollup.hist_bin(F.col(v), _HB)
+        return F.element_at(edges, F.least(k, F.lit(len(_HB) - 1)) + 1)
+
+    def _interior_err(v, p):
+        k = rollup.hist_bin(F.col(v), _HB)
+        return F.when(
+            (k >= 1) & (k <= len(_HB) - 1), F.col(p) - F.col(v)
+        )
+
+    return j.groupBy("metric").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("p50") == _edge_of("v50"), 1).otherwise(0))
+        .cast("long").alias("ok_p50"),
+        F.sum(F.when(F.col("p95") == _edge_of("v95"), 1).otherwise(0))
+        .cast("long").alias("ok_p95"),
+        F.round(F.max(_interior_err("v50", "p50")), 6).alias("max_err_p50"),
+        F.round(F.max(_interior_err("v95", "p95")), 6).alias("max_err_p95"),
+    )
 
 
 # ===========================================================================

@@ -91,6 +91,32 @@ class LineageLog:
     def metrics(self) -> DataFrame:
         return self.spark.read.schema(LINEAGE).parquet(self.path)
 
+    def record_metrics(
+        self, job_id: str, stage: str, values: dict | DataFrame
+    ) -> None:
+        """Persist named counters as first-class ``status='metric'`` rows
+        (unit = counter name, rows_out = value) — the sink for the
+        engine's "caps are never silent" rule: a long-running dedup job
+        records its `bucket_cap` dropped-bucket/row counts here, so
+        recall loss shows up in ``metrics()`` next to throughput instead
+        of dying with the driver log.
+
+        ``values`` is either the dict an ``Observation.get`` yields or a
+        1-row metrics DataFrame (e.g. `textops.bucket_cap`'s fallback) —
+        the latter is collected (it is a single aggregate row by
+        construction)."""
+        if isinstance(values, DataFrame):
+            row = values.collect()[0]
+            values = row.asDict()
+        for name, val in values.items():
+            self.record(
+                job_id,
+                stage,
+                f"metric:{name}",
+                rows_out=int(val) if val is not None else None,
+                status="metric",
+            )
+
 
 def run_unit(
     log: LineageLog,

@@ -1,0 +1,142 @@
+"""Rolling-window operators: time-range aggregates, visualization
+downsampling, staleness tracking.
+
+No direct reference analog (rewemo consumes fixed hourly grids where a
+"rolling 24 h mean" is just 24 rows); on an irregular event stream these
+need true RANGE windows. The temporal siblings of the tier rollups in
+`tsengine/rollup.py` — same per-series partitioning, but sliding instead
+of tumbling.
+
+Parity rule: the time axis is INTEGER microseconds (`unix_micros` here,
+`epoch_us` in the DuckDB oracles) — second-truncating `unix_timestamp`
+would silently misplace sub-second events at a window edge, and a DOUBLE
+epoch reintroduces ulp edges. Integer range frames are exact in both
+engines.
+
+Scale shapes:
+- ``rolling_agg``: ONE shuffle keyed by the series key; the range frame
+  is evaluated in a single sorted pass per partition (Spark keeps a
+  sliding frame buffer bounded by the window's row span, not the
+  partition). Mega-series serialize within a task — same trade as every
+  per-series window here; pre-split with the chunk machinery if a single
+  series outgrows a task.
+- ``ltob_downsample``: lag/lead + per-bucket argmax — two window passes
+  over the same (key, ts) sort, one shuffle.
+- ``staleness``: lag + running max — same single-sort shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+US = 1_000_000
+
+
+def _us(col):
+    # integer microsecond epoch; the cast makes unix_micros accept the
+    # TIMESTAMP_NTZ the parquet tables carry (identity under the engine's
+    # mandatory UTC session timezone)
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def rolling_agg(
+    df: DataFrame,
+    window_s: int,
+    on: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing time-range aggregate per series: for every event, the
+    count / mean / max over [t − window, t] (inclusive both ends — the
+    integer-microsecond frame makes "inclusive" exact, not an ulp
+    accident).
+
+    Returns the input plus ``roll_cnt`` / ``roll_avg`` / ``roll_max``.
+    ``roll_avg`` is deliberately UNROUNDED — callers needing hash-stable
+    output round once at the edge (double-rounding a pre-rounded mean
+    against a direct-rounding oracle mismatches at 6-dp boundaries)."""
+    w = (
+        W.partitionBy(*on)
+        .orderBy(_us(F.col(ts_col)))
+        .rangeBetween(-window_s * US, 0)
+    )
+    return df.select(
+        "*",
+        F.count(value_col).over(w).alias("roll_cnt"),
+        F.avg(value_col).over(w).alias("roll_avg"),
+        F.max(value_col).over(w).alias("roll_max"),
+    )
+
+
+def ltob_downsample(
+    df: DataFrame,
+    bucket: str = "hour",
+    on: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Largest-Triangle-One-Bucket visualization downsampling: keep, per
+    (series, time bucket), the point forming the largest triangle with
+    its immediate stream neighbors — the shape-preserving alternative to
+    avg/first downsampling (Steinarsson 2013, the non-iterative LTOB
+    variant of LTTB; LTTB's selected-previous-point recursion is not
+    expressible as a window and buys little at one point per bucket).
+
+    Series endpoints (null lag/lead) get an effectively-infinite area so
+    the first and last raw points always survive — the invariant chart
+    consumers rely on. Ties (equal area) break to the earliest point.
+
+    The area formula is written in ONE association order and mirrored
+    verbatim in the SQL oracle: identical operands + identical order =
+    identical doubles, so the per-bucket argmax agrees exactly."""
+    order_cols = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    wseq = W.partitionBy(*on).orderBy(*order_cols)
+    x = _us(F.col(ts_col)).cast("double")
+    y = F.col(value_col).cast("double")
+    xp, yp = F.lag(x).over(wseq), F.lag(y).over(wseq)
+    xn, yn = F.lead(x).over(wseq), F.lead(y).over(wseq)
+    area = F.abs((xp - xn) * (y - yp) - (xp - x) * (yn - yp))
+    pts = df.select(
+        "*",
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        F.coalesce(area, F.lit(1e308)).alias("_area"),
+    )
+    wpick = W.partitionBy(*on, "bucket_ts").orderBy(
+        F.col("_area").desc(), *order_cols
+    )
+    return (
+        pts.withColumn("_rk", F.row_number().over(wpick))
+        .where(F.col("_rk") == 1)
+        .drop("_rk", "_area")
+    )
+
+
+def staleness(
+    df: DataFrame,
+    on: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per event: microseconds since the series value last CHANGED — the
+    "stale sensor" detector (a gauge stuck at 3.7 for six hours is a
+    failure mode gap-detection can't see, because the rows keep coming).
+
+    A row is a change-point when its value differs from its predecessor
+    (the first row of a series is one by definition). ``stale_us`` is an
+    exact integer; 0 marks the change-points themselves. One sorted pass:
+    lag + running max over the change timestamps."""
+    order_cols = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    wseq = W.partitionBy(*on).orderBy(*order_cols)
+    wrun = wseq.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = F.lag(F.col(value_col)).over(wseq)
+    changed = prev.isNull() | (F.col(value_col) != prev)
+    change_ts = F.when(changed, F.col(ts_col))
+    return df.select(
+        "*",
+        (
+            _us(F.col(ts_col)) - _us(F.max(change_ts).over(wrun))
+        ).alias("stale_us"),
+    )

@@ -230,3 +230,59 @@ def counter_increase(
         "is_reset",
         F.when(prev.isNotNull() & (cur < prev), F.lit(1)).otherwise(F.lit(0)).cast("long"),
     )
+
+
+def concurrency_peaks(
+    intervals: DataFrame,
+    group_col: str = "day",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """Peak interval concurrency per group via the classic sweep line:
+    each interval contributes (+1 at start, −1 after end), a running sum
+    over the time-ordered deltas is the live count, and the max of that
+    running sum is the peak — "how many conversations were open at once".
+    Intervals are inclusive on both ends: a start at exactly another
+    interval's end overlaps it (+1 sorts before −1 at equal timestamps).
+
+    Returns (group, peak_concurrent, peak_ts) — peak_ts the EARLIEST
+    instant the peak is reached. The window partitions by ``group_col``
+    (callers slice intervals per day/bucket), so the sort parallelizes
+    across groups instead of one global ordering — the 100 TB shape.
+
+    Determinism: with several same-signed deltas at one timestamp their
+    intra-tie order is arbitrary, but the running sum after the tie set
+    — and therefore the group max and its (tied) timestamp — is
+    permutation-invariant, so (peak, peak_ts) is stable even though
+    row-level prefix sums are not."""
+    deltas = intervals.select(
+        F.col(group_col),
+        F.col(start_col).alias("ts"),
+        F.lit(1).alias("delta"),
+    ).unionByName(
+        intervals.select(
+            F.col(group_col),
+            F.col(end_col).alias("ts"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    wrun = (
+        W.partitionBy(group_col)
+        .orderBy(F.col("ts"), F.col("delta").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = deltas.select(
+        group_col, "ts", F.sum("delta").over(wrun).alias("live")
+    )
+    wpick = W.partitionBy(group_col).orderBy(
+        F.col("live").desc(), F.col("ts").asc()
+    )
+    return (
+        running.withColumn("_rk", F.row_number().over(wpick))
+        .where(F.col("_rk") == 1)
+        .select(
+            group_col,
+            F.col("live").cast("long").alias("peak_concurrent"),
+            F.col("ts").alias("peak_ts"),
+        )
+    )
