@@ -68,3 +68,56 @@ def test_hll_groups_independent(spark):
     sa = single.collect()[0]["hll_est"]
     ba = {r["grp"]: r["hll_est"] for r in both.collect()}
     assert ba["a"] == sa == ba["b"]  # same ids -> same registers per group
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _freq_df(spark, pairs, group="g"):
+    rows = [(group, str(uid)) for uid, n in pairs for _ in range(n)]
+    return spark.createDataFrame(rows, "grp string, uid string")
+
+
+def test_cms_never_underestimates_and_exact_when_sparse(spark):
+    pairs = [(1, 50), (2, 30), (3, 5), (4, 1)]
+    df = _freq_df(spark, pairs)
+    cells = sketches.cms_build(df, "uid", ["grp"])
+    keys = spark.createDataFrame(
+        [("g", str(u)) for u, _ in pairs], "grp string, uid string"
+    )
+    got = {
+        r["uid"]: r["cms_est"]
+        for r in sketches.cms_query(cells, keys, "uid", ["grp"]).collect()
+    }
+    truth = {str(u): n for u, n in pairs}
+    for uid, n in truth.items():
+        assert got[uid] >= n           # CMS contract: never under
+    # 4 keys in 4x256 cells: collisions essentially impossible -> exact
+    assert got == truth
+
+
+def test_cms_merge_is_additive(spark):
+    d1 = _freq_df(spark, [(1, 10), (2, 5)])
+    d2 = _freq_df(spark, [(1, 7), (3, 4)])
+    whole = d1.unionByName(d2)
+    merged = sketches.cms_merge(
+        sketches.cms_build(d1, "uid", ["grp"]).unionByName(
+            sketches.cms_build(d2, "uid", ["grp"])
+        ),
+        ["grp"],
+    )
+    direct = sketches.cms_build(whole, "uid", ["grp"])
+    m = {(r["row"], r["col"]): r["cnt"] for r in merged.collect()}
+    d = {(r["row"], r["col"]): r["cnt"] for r in direct.collect()}
+    assert m == d
+
+
+def test_cms_absent_key_estimates_near_zero(spark):
+    df = _freq_df(spark, [(i, 2) for i in range(20)])
+    cells = sketches.cms_build(df, "uid", ["grp"])
+    keys = spark.createDataFrame([("g", "never-seen")], "grp string, uid string")
+    est = sketches.cms_query(cells, keys, "uid", ["grp"]).collect()[0]["cms_est"]
+    # min-over-4-rows of 40 counts in 256 cols: w.h.p. one row is empty
+    assert est <= 2

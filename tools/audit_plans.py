@@ -159,6 +159,39 @@ def main() -> None:
           curves.apply_curve_transform(wide, cfg, curve),
           ["broadcast_join"])
 
+    # round-4 pack: candles are one map-side-combined shuffle; CUSUM and
+    # rolling windows ride ONE key-partitioned sort; the bucketed interval
+    # join must never degrade to BroadcastNestedLoop (the naive range-join
+    # plan it exists to replace); CMS cells are a partial-agg groupBy
+    from tsengine import rolling, sketches
+
+    # min_by/max_by argmin buffers compile to SortAggregate in Spark 4 —
+    # no hash-agg codegen exists for them (struct-min is identical), but
+    # the partial (map-side) aggregate still reduces the exchange to one
+    # row per group, which is the property that matters at 100 TB
+    audit("ohlc candles", rollup.ohlc(ev, tier="1h"),
+          ["partial_agg", "single_exchange"])
+    audit("cusum (closed form)",
+          temporal.cusum(ev, k=55.0, tiebreak="event_id"),
+          ["single_exchange"])
+    audit("rolling 1h range window", rolling.rolling_agg(ev, 3600),
+          ["single_exchange"])
+    iv = (
+        ev.where(F.col("metric") == "error")
+        .groupBy("conv_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    audit("interval join (bucketed range join)",
+          temporal.interval_join(
+              ev.where(F.col("metric") == "click").select("conv_id", "event_id", "ts"),
+              iv, keys=("conv_id",), bucket_s=21600),
+          ["no_cartesian"])
+    audit("cms cells",
+          sketches.cms_build(
+              ev.select(F.date_trunc("day", "ts").alias("day"),
+                        F.col("conv_id").alias("uid")), "uid", ["day"]),
+          ["partial_agg", "codegen"])
+
 
 if __name__ == "__main__":
     main()

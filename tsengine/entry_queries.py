@@ -3011,6 +3011,185 @@ def ts_sketch_error(spark, sf_dir):
 
 
 # ===========================================================================
+# Round-4 pack 2: OHLC candles, interval join, CUSUM, count-min sketch
+# ===========================================================================
+
+_OHLC_SQL = f"""
+WITH ev AS ({_EV}),
+r AS (SELECT conv_id, metric, date_trunc('{{unit}}', ts) AS bucket_ts, value,
+             row_number() OVER (PARTITION BY conv_id, metric,
+                                             date_trunc('{{unit}}', ts)
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY conv_id, metric,
+                                             date_trunc('{{unit}}', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM ev WHERE value IS NOT NULL)
+SELECT conv_id, metric, bucket_ts,
+       max(CASE WHEN ra = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rd = 1 THEN value END) AS close,
+       count(*)::BIGINT AS cnt
+FROM r GROUP BY 1, 2, 3
+"""
+
+
+@q("ts_ohlc_1h", _OHLC_SQL.format(unit="hour"))
+def ts_ohlc_1h(spark, sf_dir):
+    """Hourly OHLC candles (`rollup.ohlc`): open/close via min_by/max_by
+    over the (ts, event_id) struct — deterministic argmin/argmax with NO
+    window sort, one map-side-combined shuffle. The oracle takes the
+    row_number road to the same four values."""
+    ev = _events_long(spark, sf_dir)
+    out = rollup.ohlc(ev, tier="1h")
+    return out.select(
+        "conv_id", "metric", "bucket_ts", "open", "high", "low", "close",
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+@q("ts_ohlc_1d_cascade", _OHLC_SQL.format(unit="day"))
+def ts_ohlc_1d_cascade(spark, sf_dir):
+    """Daily candles CASCADED from hourly ones (`rollup.cascade_ohlc`) —
+    open of the earliest sub-bucket / close of the latest / min-max merge
+    — checked against the oracle computing daily candles DIRECTLY from
+    raw events: merge ≡ rebuild, the same reaggregability proof the
+    cnt/sum tier cascade entries make."""
+    ev = _events_long(spark, sf_dir)
+    out = rollup.cascade_ohlc(rollup.ohlc(ev, tier="1h"), "1d")
+    return out.select(
+        "conv_id", "metric", "bucket_ts", "open", "high", "low", "close",
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+@q(
+    "ts_interval_join",
+    f"""
+WITH ev AS ({_EV}),
+iv AS (SELECT conv_id, date_trunc('day', ts) AS day,
+              min(ts) AS start_ts, max(ts) AS end_ts
+       FROM ev WHERE metric = 'error' GROUP BY 1, 2),
+pts AS (SELECT conv_id, event_id, ts, value FROM ev WHERE metric = 'click')
+SELECT p.conv_id, p.event_id, p.ts, p.value, i.day, i.start_ts, i.end_ts
+FROM pts p JOIN iv i
+  ON p.conv_id = i.conv_id AND p.ts >= i.start_ts AND p.ts <= i.end_ts
+""",
+)
+def ts_interval_join(spark, sf_dir):
+    """Point-in-interval join (`temporal.interval_join`): click events
+    against per-day error-activity envelopes. Spark plans a naive range
+    join as BroadcastNestedLoopJoin (O(points·intervals) per key); the
+    operator buckets both sides onto a 6 h grid so the plan is a plain
+    equi-join with bounded fan-out + exact edge predicate. The oracle IS
+    the naive range join — fine at DuckDB test scale, the thing being
+    replaced at 100 TB."""
+    ev = _events_long(spark, sf_dir)
+    iv = (
+        ev.where(F.col("metric") == "error")
+        .groupBy("conv_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    pts = ev.where(F.col("metric") == "click").select(
+        "conv_id", "event_id", "ts", "value"
+    )
+    return temporal.interval_join(pts, iv, keys=("conv_id",), bucket_s=21600)
+
+
+@q(
+    "ts_cusum",
+    f"""
+WITH ev AS ({_EV}),
+p AS (SELECT conv_id, metric, event_id, ts,
+             sum(value - 55.0::DOUBLE) OVER (
+               PARTITION BY conv_id, metric ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS pf
+      FROM ev),
+c AS (SELECT conv_id, metric, event_id,
+             round(pf - least(0.0::DOUBLE, min(pf) OVER (
+               PARTITION BY conv_id, metric ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)), 6) AS cusum
+      FROM p)
+SELECT conv_id, metric, event_id, cusum,
+       (CASE WHEN cusum > 500.0::DOUBLE THEN 1 ELSE 0 END)::BIGINT AS alarm
+FROM c
+""",
+)
+def ts_cusum(spark, sf_dir):
+    """One-sided CUSUM drift detector (`temporal.cusum`): the
+    S_t = max(0, S_{{t-1}} + (x_t − k)) recursion run as its closed form
+    P_t − min(0, running-min P) — two window passes over one sort, no
+    iteration/UDF. k = 55, alarm threshold h = 500. Both engines
+    accumulate the prefix sum left-to-right over the identical
+    (ts, event_id) order, so the doubles agree; 6-dp round at the edge."""
+    ev = _events_long(spark, sf_dir)
+    out = temporal.cusum(ev, k=55.0, h=500.0, tiebreak="event_id")
+    return out.select("conv_id", "metric", "event_id", "cusum", "alarm")
+
+
+@q(
+    "ts_cms_topk",
+    """
+WITH ev AS (SELECT date_trunc('day', ts) AS day, user_id::VARCHAR AS uid
+            FROM events),
+rows_t AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(r)),
+cells AS (SELECT day, r,
+                 ('0x'||substr(md5(r::VARCHAR||'|'||uid),1,15))::BIGINT % 256
+                   AS col,
+                 count(*)::BIGINT AS cnt
+          FROM ev CROSS JOIN rows_t GROUP BY 1, 2, 3),
+exact AS (SELECT day, uid, count(*)::BIGINT AS n_exact FROM ev GROUP BY 1, 2),
+top3 AS (SELECT day, uid, n_exact FROM
+           (SELECT *, row_number() OVER (PARTITION BY day
+                                         ORDER BY n_exact DESC, uid) AS rk
+            FROM exact) WHERE rk <= 3),
+addr AS (SELECT t.day, t.uid, t.n_exact, r.r,
+                ('0x'||substr(md5(r.r::VARCHAR||'|'||t.uid),1,15))::BIGINT % 256
+                  AS col
+         FROM top3 t CROSS JOIN rows_t r),
+est AS (SELECT a.day, a.uid, a.n_exact,
+               min(coalesce(c.cnt, 0))::BIGINT AS cms_est
+        FROM addr a LEFT JOIN cells c
+          ON a.day = c.day AND a.r = c.r AND a.col = c.col
+        GROUP BY 1, 2, 3)
+SELECT day, uid, n_exact, cms_est,
+       (CASE WHEN cms_est >= n_exact THEN 1 ELSE 0 END)::BIGINT
+         AS ok_overcount
+FROM est
+""",
+)
+def ts_cms_topk(spark, sf_dir):
+    """Count-min sketch frequency audit (`sketches.cms_build/cms_query`,
+    d=4 × w=256, md5-salted rows): per day, the exact top-3 users' true
+    counts next to their CMS estimates. ok_overcount evidences the CMS
+    contract (estimate ≥ truth, never under) as data; the cell table and
+    the min-over-rows estimator reproduce bit-identically in SQL. Like
+    the HLL, cells merge across days by plain summation — the tier-
+    cascade-compatible frequency sketch."""
+    events = _read(spark, sf_dir, "events")
+    ev = events.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    cells = sketches.cms_build(ev, "uid", ["day"])
+    exact = ev.groupBy("day", "uid").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    w = Window.partitionBy("day").orderBy(F.col("n_exact").desc(), "uid")
+    top3 = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .drop("rk")
+    )
+    est = sketches.cms_query(cells, top3.select("day", "uid"), "uid", ["day"])
+    return top3.join(est, ["day", "uid"]).select(
+        "day", "uid", "n_exact", "cms_est",
+        F.when(F.col("cms_est") >= F.col("n_exact"), 1)
+        .otherwise(0).cast("long").alias("ok_overcount"),
+    )
+
+
+# ===========================================================================
 # Flagship entry
 # ===========================================================================
 

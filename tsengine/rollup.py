@@ -264,3 +264,79 @@ def session_rollup(
             "cnt", "sum", "min", "max",
         )
     )
+
+
+def ohlc(
+    df: DataFrame,
+    tier: str = "1h",
+    on: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str | None = "event_id",
+) -> DataFrame:
+    """OHLC candle downsample: per (keys, bucket) the opening value
+    (earliest event), high, low, and closing value (latest event) — the
+    financial-chart tier every series UI wants, and like every other tier
+    component it is REAGGREGABLE: 1h candles merge into 1d candles by
+    keeping the open of the earliest/close of the latest sub-bucket and
+    min/max of high/low (see ``cascade_ohlc``).
+
+    open/close use ``min_by``/``max_by`` over the (ts, seq) struct —
+    deterministic even under timestamp ties because ``seq_col`` is unique
+    per series (pass ``seq_col=None`` for streams whose timestamps are
+    already unique per series, e.g. the transcript feature stream). One
+    groupBy = one map-side-combined shuffle; no window sort at all
+    (cheaper than first_value/last_value, which would force a
+    per-partition ordering).
+
+    Physical note: argmin aggregates (min_by or struct-min alike) compile
+    to SortAggregate in Spark 4 — no hash-agg codegen exists for their
+    buffers — but the PARTIAL aggregate still runs map-side, so the
+    exchange carries one row per group; that is the 100 TB property, and
+    `tools/audit_plans.py` pins it."""
+    unit = TIER_SPECS[tier]
+    key = (
+        F.struct(F.col(ts_col), F.col(seq_col))
+        if seq_col is not None
+        else F.col(ts_col)
+    )
+    v = F.col(value_col)
+    return (
+        df.where(v.isNotNull())
+        .groupBy(
+            *on, F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts")
+        )
+        .agg(
+            F.min_by(v, key).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, key).alias("close"),
+            F.count(v).alias("cnt"),
+        )
+    )
+
+
+def cascade_ohlc(
+    candles: DataFrame,
+    to_tier: str = "1d",
+    on: tuple[str, ...] = ("conv_id", "metric"),
+) -> DataFrame:
+    """Coarser candles from finer ones WITHOUT re-reading raw data:
+    open = open of the earliest sub-bucket, close = close of the latest,
+    high/low = max/min — the OHLC merge algebra (associative, so it
+    cascades through arbitrarily many tiers like cnt/sum/min/max).
+    bucket_ts is unique per (keys, sub-bucket), so min_by/max_by on it is
+    deterministic without a sequence column."""
+    unit = TIER_SPECS[to_tier]
+    return (
+        candles.groupBy(
+            *on, F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts")
+        )
+        .agg(
+            F.min_by("open", "bucket_ts").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "bucket_ts").alias("close"),
+            F.sum("cnt").alias("cnt"),
+        )
+    )

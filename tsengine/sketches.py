@@ -100,3 +100,93 @@ def hll_distinct(
     return hll_estimate(
         hll_registers(df, value_col, group_cols), group_cols
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: the FREQUENCY sibling of the HLL above (HLL → how many
+# distinct, CMS → how often each). Same design rules: md5-derived hashes so
+# every cell reproduces bit-identically in SQL, and a merge that is a plain
+# column sum — CMS(day1) + CMS(day2) ≡ CMS(day1 ∪ day2), so the retention
+# tiers can carry per-day sketches and answer "how often did key X appear
+# last quarter" without rescanning raw data. Estimate = min over the d rows
+# (Cormode & Muthukrishnan 2005): always ≥ the true count, over by at most
+# εN with probability 1−δ (ε = e/w ≈ 1.06%, δ = e^−d ≈ 1.8% at d=4, w=256).
+# ---------------------------------------------------------------------------
+
+CMS_D = 4    # hash rows
+CMS_W = 256  # columns per row; d·w = 1024 cells/group ceiling
+
+
+def _cms_col(value, row: int):
+    # row-salted 60-bit md5 carve % w; oracle:
+    #   ('0x'||substr(md5(<row>||'|'||x),1,15))::BIGINT % 256
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(row)), F.lit("|"), value)), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % CMS_W
+
+
+def cms_build(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group CMS cells: (group..., row, col, cnt), non-zero cells only
+    (absent ≡ 0). One union of d cheap projections and ONE groupBy — the
+    shuffle carries ≤ d·w rows per group regardless of input size, with
+    map-side partial aggregation doing the heavy counting."""
+    v = F.col(value_col).cast("string")
+    parts = [
+        df.select(
+            *group_cols,
+            F.lit(r).alias("row"),
+            _cms_col(v, r).alias("col"),
+        )
+        for r in range(CMS_D)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(*group_cols, "row", "col").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def cms_merge(cells: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge cell sets (e.g. daily → monthly): element-wise sum — the
+    lossless CMS union (counts are additive per cell)."""
+    return cells.groupBy(*group_cols, "row", "col").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_query(
+    cells: DataFrame,
+    keys: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Point-estimate counts for each (group, key) in ``keys``: min over
+    the d rows of the addressed cell (missing cell = 0). ``keys`` is a
+    small lookup table (the candidates being audited), so the per-row
+    address join broadcasts it; the output carries ``cms_est``.
+
+    Estimator contract: cms_est ≥ true count always (cells only ever
+    over-count by collision), within εN w.h.p. — the inequality is
+    asserted as data by the `ts_cms_topk` oracle entry."""
+    v = F.col(value_col).cast("string")
+    addressed = None
+    for r in range(CMS_D):
+        a = keys.select(
+            *group_cols,
+            F.col(value_col),
+            F.lit(r).alias("row"),
+            _cms_col(v, r).alias("col"),
+        )
+        addressed = a if addressed is None else addressed.unionByName(a)
+    joined = addressed.join(cells, [*group_cols, "row", "col"], "left")
+    return joined.groupBy(*group_cols, value_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cms_est")
+    )

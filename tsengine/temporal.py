@@ -286,3 +286,109 @@ def concurrency_peaks(
             F.col("ts").alias("peak_ts"),
         )
     )
+
+
+def cusum(
+    df: DataFrame,
+    k: float,
+    h: float | None = None,
+    on: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """One-sided CUSUM drift detector per series: the recursion
+    S_t = max(0, S_{t−1} + (x_t − k)) reformulated CLOSED-FORM as
+
+        S_t = P_t − min(0, min_{j≤t} P_j),   P_t = Σ_{i≤t} (x_i − k)
+
+    (the running-min absorbs every restart-at-zero), so the whole
+    detector is two window passes over ONE (key, ts) sort — prefix sum +
+    running min — with no iteration, no UDF, and no per-row state. The
+    same trick as `ewma`'s closed form: a scan-recursion becomes a
+    prefix reformulation Catalyst can pipeline.
+
+    Determinism: both engines evaluate the prefix sum left-to-right over
+    the identical sort, so the doubles agree operation-for-operation;
+    ``cusum`` is still rounded (6 dp) at the edge. With ``h`` set, rows
+    also get ``alarm`` = 1 where S_t > h (drift alarm)."""
+    order_cols = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    wseq = (
+        W.partitionBy(*on)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = F.sum(F.col(value_col) - F.lit(float(k))).over(wseq)
+    base = df.withColumn("_p", p)
+    runmin = F.min("_p").over(
+        W.partitionBy(*on)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = F.col("_p") - F.least(F.lit(0.0), runmin)
+    out = base.withColumn("cusum", F.round(s, 6)).drop("_p")
+    if h is not None:
+        out = out.withColumn(
+            "alarm",
+            F.when(F.col("cusum") > F.lit(float(h)), 1).otherwise(0).cast("long"),
+        )
+    return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: tuple[str, ...] = ("conv_id",),
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join (events × incident/maintenance windows)
+    without a range-join cross product: both sides are bucketed onto a
+    fixed time grid — an interval explodes to the buckets it spans
+    (``sequence``), a point maps to exactly one bucket — then a plain
+    equi-join on (keys..., bucket) prefilters candidates and the exact
+    ``start ≤ ts ≤ end`` predicate (inclusive both ends) finishes the
+    job. Result: inner join of every point with every interval covering
+    it (a point inside two overlapping windows yields two rows).
+
+    Scale shape: shuffle keyed by (keys, bucket) with bounded fan-out —
+    an interval contributes span/bucket_s + 1 rows, so pick ``bucket_s``
+    near the typical interval length (fan-out ~2). Without this, Spark
+    plans a range join as BroadcastNestedLoopJoin — O(|points|·|intervals|)
+    per key. Bucket arithmetic is integer microseconds (exact edges).
+
+    The one shape to avoid at 100 TB is a month-long interval at
+    bucket_s=60 (43 200 buckets per row); clamp pathological spans
+    upstream or raise bucket_s — the fan-out is Σ spans/bucket_s, fully
+    predictable from the interval table alone."""
+    us = 1_000_000
+    bs = bucket_s * us
+    p_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    pb = points.withColumn("_bucket", F.floor(p_us / F.lit(bs)))
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(F.floor(s_us / F.lit(bs)), F.floor(e_us / F.lit(bs)))
+        ),
+    )
+    cond = [F.col(f"p.{c}") == F.col(f"i.{c}") for c in keys] + [
+        F.col("p._bucket") == F.col("i._bucket"),
+        F.col(f"p.{ts_col}") >= F.col(f"i.{start_col}"),
+        F.col(f"p.{ts_col}") <= F.col(f"i.{end_col}"),
+    ]
+    pcols = [F.col(f"p.{c}") for c in points.columns]
+    icols = [
+        F.col(f"i.{c}")
+        for c in intervals.columns
+        if c not in keys and c != "_bucket"
+    ]
+    return (
+        pb.alias("p")
+        .join(ib.alias("i"), cond, "inner")
+        .select(*pcols, *icols)
+        .drop("_bucket")
+    )
