@@ -169,3 +169,58 @@ def test_streaming_sessions_merge_across_batches(spark, tmp_path):
     # the cross-batch merge specifically: session a1 spans 9:00-10:10
     a1 = got[("a", datetime(2024, 3, 1, 9, 0))]
     assert a1 == (datetime(2024, 3, 1, 10, 10), 3, 6.0)
+
+
+def test_streaming_cusum_matches_batch_across_batches(spark, tmp_path):
+    """CUSUM state carried across micro-batches (maxFilesPerTrigger=1)
+    must reproduce the batch closed-form operator on the same rows,
+    including a restart-at-zero straddling the batch boundary."""
+    from datetime import datetime
+
+    from tsengine import temporal
+
+    def _r(m, eid, v):
+        return ("a", "m1", eid, datetime(2024, 3, 1, 9, m), v)
+
+    rows_b1 = [_r(0, 1, 10.0), _r(1, 2, 10.0), _r(2, 3, -50.0)]   # dips negative
+    rows_b2 = [_r(3, 4, 10.0), _r(4, 5, 7.0), _r(5, 6, -3.0)]     # rebuilds
+    sch = "conv_id string, metric string, event_id long, ts timestamp, value double"
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    spark.createDataFrame(rows_b1, sch).coalesce(1).write.parquet(f"{flat}/f0")
+    spark.createDataFrame(rows_b2, sch).coalesce(1).write.parquet(f"{flat}/f1")
+    import glob
+    import shutil
+
+    files = str(tmp_path / "files")
+    os.makedirs(files)
+    for i, f in enumerate(sorted(glob.glob(f"{flat}/f*/part-*.parquet"))):
+        shutil.copy(f, f"{files}/{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(files)
+    )
+    q = (
+        streaming.streaming_cusum(stream, k=2.0)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: r["cusum"] for r in spark.table("cusum_mem").collect()
+    }
+
+    batch_df = spark.createDataFrame(rows_b1 + rows_b2, sch)
+    want = {
+        r["event_id"]: r["cusum"]
+        for r in temporal.cusum(batch_df, k=2.0, tiebreak="event_id").collect()
+    }
+    assert set(got) == set(want)
+    for eid in want:
+        assert abs(got[eid] - want[eid]) < 1e-6, (eid, got[eid], want[eid])
+    # hand-check the restart: 8+8=16, then max(0,16-52)=0, then 8, 13, 8
+    assert [want[i] for i in range(1, 7)] == [8.0, 16.0, 0.0, 8.0, 13.0, 8.0]

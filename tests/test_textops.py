@@ -356,3 +356,34 @@ def test_dedup_components_transitive(spark):
     comp = {r["doc_id"]: r["component"]
             for r in textops.dedup_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_bm25_ranks_rare_distinctive_term_first(spark):
+    # "zebra" appears only in doc 1 (rare -> high idf); "common" is in
+    # every doc (df = N -> idf = ln(1 + 0.5/(N+0.5)) ~ 0) and must rank
+    # below it despite equal tf
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra zebra common alpha"),
+            (2, "common beta beta"),
+            (3, "common gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    from tsengine.textops import bm25_terms
+
+    out = bm25_terms(docs, top_t=2)
+    top = {
+        r["doc_id"]: r["term"]
+        for r in out.where(F.col("rank") == 1).collect()
+    }
+    assert top[1] == "zebra"
+    assert top[2] == "beta"
+    assert top[3] == "gamma"
+    # scores positive for rare terms, and every doc returns <= top_t rows
+    rows = out.collect()
+    assert all(r["score"] > 0 for r in rows if r["term"] != "common")
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_doc.values())

@@ -3189,6 +3189,44 @@ def ts_cms_topk(spark, sf_dir):
     )
 
 
+@q(
+    "text_bm25_topk",
+    f"""
+WITH tok AS (SELECT doc_id, unnest({{toks}}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+                 (SELECT sum(tf) FROM tf)::BIGINT AS total_tokens),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+sc AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+              ln(1.0::DOUBLE + (s.n_docs - dft.df + 0.5::DOUBLE)
+                               / (dft.df + 0.5::DOUBLE))
+              * ((tf.tf * 2.2::DOUBLE)
+                 / (tf.tf + 1.2::DOUBLE
+                    * (0.25::DOUBLE + 0.75::DOUBLE
+                       * (dl.dl / (s.total_tokens::DOUBLE
+                                   / s.n_docs::DOUBLE))))) AS score
+       FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN stats s),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+      FROM sc)
+SELECT doc_id, rank::BIGINT AS rank, term, round(score, 6) AS score, tf, df
+FROM r WHERE rank <= 3
+""".format(toks=_TOKS),
+)
+def text_bm25_topk(spark, sf_dir):
+    """Top-3 BM25 terms per document (`textops.bm25_terms`, k1=1.2,
+    b=0.75): the keyword-salience member of the text battery. All counts
+    (tf, df, dl, N) are exact integers, so both engines push identical
+    doubles through the one mirrored formula; equal-score ties break by
+    term. The raw-volume shuffle is the (doc, term) tf groupBy — df and
+    dl are reaggregations of the tf table, corpus stats a broadcast
+    scalar."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return textops.bm25_terms(docs, top_t=3)
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================

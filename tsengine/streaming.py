@@ -218,3 +218,76 @@ def start_tier_sink(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+CUSUM_OUT = "conv_id string, metric string, event_id long, ts timestamp, cusum double"
+CUSUM_STATE = "s double, last_ts_us long, last_eid long"
+
+
+def streaming_cusum(stream: DataFrame, k: float) -> DataFrame:
+    """Stateful streaming CUSUM per (conv_id, metric) — the live twin of
+    `temporal.cusum` (same drift statistic, same restart-at-zero
+    semantics), via applyInPandasWithState.
+
+    State = (current S, last (ts, event_id) order key): three scalars, so
+    state size is O(active series), independent of stream length. Within
+    a batch the group sorts by (ts, event_id); rows at or below the
+    state's last key are late stragglers and are DROPPED (batch backfill
+    is authoritative for reordered history — the engine's standard
+    lambda-split policy).
+
+    Per batch the recursion runs as the SAME closed form the batch
+    operator uses, generalized to a carry-in S0:
+
+        S_t = Q_t − min(−S0, min_{0≤j≤t} Q_j),  Q = cumsum(x − k), Q_0=0
+
+    (batch boundaries re-associate the prefix sums, so an availableNow
+    drain matches the batch operator to fp-noise, not bit-exactly — the
+    parity test bounds the drift at 1e-6)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    kf = float(k)
+
+    def fn(key, pdfs, state: GroupState):
+        conv_id, metric = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        s0, last_ts_us, last_eid = (
+            state.get if state.exists else (0.0, -(1 << 62), -(1 << 62))
+        )
+        ts_us = rows["ts"].astype("int64").to_numpy()  # ns since epoch
+        ts_us = ts_us // 1000
+        eid = rows["event_id"].to_numpy()
+        fresh = (ts_us > last_ts_us) | ((ts_us == last_ts_us) & (eid > last_eid))
+        rows, ts_us, eid = rows[fresh], ts_us[fresh], eid[fresh]
+        if not len(rows):
+            return
+        q = np.cumsum(rows["value"].to_numpy() - kf)
+        runmin = np.minimum(np.minimum.accumulate(q), 0.0)
+        s = q - np.minimum(runmin, -s0)
+        state.update((float(s[-1]), int(ts_us[-1]), int(eid[-1])))
+        yield pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "metric": metric,
+                "event_id": eid,
+                "ts": rows["ts"].to_numpy(),
+                "cusum": np.round(s, 6),
+            }
+        )
+
+    return (
+        stream.select("conv_id", "metric", "event_id", "ts", "value")
+        .groupBy("conv_id", "metric")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=CUSUM_OUT,
+            stateStructType=CUSUM_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

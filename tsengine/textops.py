@@ -690,3 +690,66 @@ def fingerprint(docs: DataFrame, window: int = 4, text_col: str = "text", id_col
     sh = shingles(F.col(text_col), window)
     fp = F.array_min(F.transform(sh, _h60))
     return docs.select(id_col, fp.alias("fingerprint"))
+
+
+def bm25_terms(
+    docs: DataFrame,
+    top_t: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``top_t`` BM25-scored terms per document (Robertson/Sparck
+    Jones Okapi BM25 — the classic probabilistic relevance function) —
+    the keyword-extraction / salience operator of the text-analysis
+    battery; no reference analog (rewemo has no text).
+
+        idf(t)  = ln(1 + (N − df_t + 0.5) / (df_t + 0.5))
+        score   = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Scale shape: explode → tf groupBy keyed (doc, term) — the only
+    raw-volume shuffle — then df/dl reaggregations of the ALREADY
+    aggregated tf table (term- resp. doc-keyed, each ≥10× smaller), a
+    term-keyed join (AQE broadcasts it when the vocabulary is small) and
+    a scalar corpus-stats broadcast. Top-t is a per-doc rank window over
+    the scored tf table, never over raw tokens.
+
+    Determinism: tf/df/dl/N are exact integers; avgdl = Σdl / N divides
+    two exact integers, so every engine sees identical doubles through
+    the one formula (association order mirrored verbatim in the SQL
+    oracle); equal-score ties (same tf, df, dl) break by term. Scores
+    round to 6 dp at the edge."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    stats = docs.agg(F.count("*").cast("long").alias("n_docs")).crossJoin(
+        tf.agg(F.sum("tf").cast("long").alias("total_tokens"))
+    )
+    sc = (
+        tf.join(dft, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * (F.col("dl") / avgdl)
+    )
+    score = idf * ((F.col("tf") * F.lit(float(k1) + 1.0)) / denom)
+    w = W.partitionBy(id_col).orderBy(F.desc("_score"), F.col("term"))
+    return (
+        sc.withColumn("_score", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_t)
+        .select(
+            id_col, "rank", "term",
+            F.round(F.col("_score"), 6).alias("score"), "tf", "df",
+        )
+    )
