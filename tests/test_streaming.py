@@ -196,7 +196,13 @@ def test_streaming_cusum_matches_batch_across_batches(spark, tmp_path):
     files = str(tmp_path / "files")
     os.makedirs(files)
     for i, f in enumerate(sorted(glob.glob(f"{flat}/f*/part-*.parquet"))):
-        shutil.copy(f, f"{files}/{i:03d}.parquet")
+        dst = f"{files}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        # FileStreamSource orders micro-batches by modification time; the
+        # two copies land within mtime resolution, so pin strictly
+        # increasing mtimes or batch order (and thus which rows the
+        # stale-drop policy keeps) is nondeterministic
+        os.utime(dst, (1000000000 + i, 1000000000 + i))
 
     stream = (
         spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(files)

@@ -121,8 +121,16 @@ def lagged_corr(
     var_a = n * F.col("_saa") - sa * sa
     var_b = n * F.col("_sbb") - sb * sb
     num = n * F.col("_sab") - sa * sb
+    # RELATIVE variance floor, not > 0: n·Σx² − (Σx)² cancels ~16 digits
+    # for a series hovering at a large mean, and the fp residue's sign
+    # depends on summation order — a strict > 0 would let one engine emit
+    # a numerically meaningless corr while the other drops the key. Any
+    # variance below 1e-12 of the raw second moment is fp dust → NULL on
+    # both engines (mirrored verbatim in the SQL oracle).
     c = F.when(
-        (var_a > 0) & (var_b > 0), num / F.sqrt(var_a * var_b)
+        (var_a > F.lit(1e-12) * (n * F.col("_saa")))
+        & (var_b > F.lit(1e-12) * (n * F.col("_sbb"))),
+        num / F.sqrt(var_a * var_b),
     )
     return (
         out.select(

@@ -2345,7 +2345,7 @@ def ts_tilted_daily(spark, sf_dir):
 WITH ev AS ({_EV}),
 x AS (SELECT conv_id, ts, event_id,
         CASE WHEN lag(ts) OVER w IS NULL
-             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
              THEN 1 ELSE 0 END AS is_new
       FROM ev WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
 s AS (SELECT conv_id, ts,
@@ -2364,7 +2364,10 @@ def ts_sessionize(spark, sf_dir):
     one groupBy; a single key-partitioned shuffle end to end. BOTH window
     passes order by (ts, event_id): a row tied on ts with a boundary row
     (is_new = 1) would otherwise land before or after it arbitrarily in
-    the running sum and inherit the wrong session."""
+    the running sum and inherit the wrong session. The gap decision is
+    integer-microsecond exact on both engines (epoch_us ≙ unix_micros) —
+    a 1800.4 s silence splits; second-truncating arithmetic would merge
+    it and diverge from the native session_window twin."""
     ev = _events_long(spark, sf_dir)
     return temporal.session_stats(
         ev.select("conv_id", "ts", "event_id"),
@@ -2380,7 +2383,7 @@ _SESSION_WINDOW_SQL = f"""
 WITH ev AS ({_EV}),
 x AS (SELECT conv_id, ts, event_id, value,
         CASE WHEN lag(ts) OVER w IS NULL
-             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
              THEN 1 ELSE 0 END AS is_new
       FROM ev WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
 s AS (SELECT conv_id, ts, value,
@@ -2469,10 +2472,10 @@ r AS (SELECT conv_id, date_trunc('hour', ts) AS ts, round(avg(value), 4) AS ref_
 l AS (SELECT conv_id, event_id, ts FROM ev)
 SELECT l.conv_id, l.event_id, l.ts,
        CASE WHEN r.ts IS NOT NULL
-             AND date_diff('second', r.ts, l.ts) <= 7200 THEN r.ts END
+             AND epoch_us(l.ts) - epoch_us(r.ts) <= 7200000000 THEN r.ts END
          AS ts_asof,
        CASE WHEN r.ts IS NOT NULL
-             AND date_diff('second', r.ts, l.ts) <= 7200 THEN r.ref_v END
+             AND epoch_us(l.ts) - epoch_us(r.ts) <= 7200000000 THEN r.ref_v END
          AS ref_v_asof
 FROM l ASOF LEFT JOIN r ON l.conv_id = r.conv_id AND l.ts >= r.ts
 """,
@@ -2728,7 +2731,8 @@ m AS (SELECT conv_id, count(*)::DOUBLE AS n,
              sum(vb * vb) AS sbb
       FROM j GROUP BY 1),
 c AS (SELECT conv_id, n::BIGINT AS n_aligned,
-             CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+             CASE WHEN n * saa - sa * sa > 1e-12 * (n * saa)
+                   AND n * sbb - sb * sb > 1e-12 * (n * sbb)
                   THEN (n * sab - sa * sb)
                        / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
              END AS xc

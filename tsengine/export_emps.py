@@ -143,6 +143,15 @@ def write_emps(
         kval = d.split("=", 1)[1]
         pdir = os.path.join(staging, d)
         parts = sorted(f for f in os.listdir(pdir) if f.startswith("part-"))
+        # repartition(key) guarantees one task -> one part file per key;
+        # fail LOUDLY if a config (e.g. spark.sql.files.maxRecordsPerFile)
+        # split the write — renaming only parts[0] would silently drop the
+        # rest of the key's rows, and an empty dir means a torn write
+        if len(parts) != 1:
+            raise RuntimeError(
+                f"EMPS staging for {key}={kval} has {len(parts)} part files "
+                "(expected exactly 1); refusing to emit a partial export"
+            )
         dst = os.path.join(outpath, f"{kval}.csv")
         os.replace(os.path.join(pdir, parts[0]), dst)
         paths.append(dst)

@@ -33,8 +33,12 @@ ALPHA = 0.709  # alpha_64, Flajolet et al. 2007 Table/eq. for m = 64
 
 
 def _h60(col):
-    # 60-bit md5 carve; oracle: ('0x'||substr(md5(x),1,15))::BIGINT
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    # the engine-wide 60-bit md5 carve — ONE definition, shared with the
+    # text pipeline, so the parity-critical hash cannot drift per module;
+    # oracle: ('0x'||substr(md5(x),1,15))::BIGINT
+    from tsengine.textops import _h60 as _textops_h60
+
+    return _textops_h60(col)
 
 
 def hll_registers(

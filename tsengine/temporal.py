@@ -91,12 +91,17 @@ def asof_join(
         ],
     )
     out = carried.where(F.col("_side") == 1)
+    # microsecond-exact staleness test: unix_timestamp TRUNCATES to whole
+    # seconds, which lets a match up to 1 s beyond the tolerance slip
+    # through (e.g. 7200.9 s stale passing a 7200 s tolerance when the
+    # second-floors differ by exactly 7200)
     in_tol = (
         F.lit(True)
         if tolerance_s is None
         else (
-            F.unix_timestamp(ts_col) - F.unix_timestamp("_mts")
-            <= F.lit(int(tolerance_s))
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(F.col("_mts").cast("timestamp"))
+            <= F.lit(int(tolerance_s) * 1_000_000)
         )
     )
     keep = F.col("_mts").isNotNull() & in_tol
@@ -124,12 +129,19 @@ def sessionize(
     order). Pass ``tiebreak`` (a unique column, e.g. turn_idx) when
     timestamps can repeat: the lag-then-running-sum pair must see ONE
     total order, or the two window passes could disagree on which tied
-    row is "first" and skew every session id after it."""
+    row is "first" and skew every session id after it.
+
+    The gap decision is INTEGER-MICROSECOND exact (a 1800.4 s silence IS
+    longer than a 1800 s gap) — the same rule Spark's native
+    session_window applies, so the two sessionizers agree on sub-second
+    data; second-truncating unix_timestamp would merge such pairs."""
     order = [ts_col] if tiebreak is None else [ts_col, tiebreak]
     w = W.partitionBy(on).orderBy(*order)
-    delta = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w))
+    tsu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.unix_micros(F.lag(ts_col).over(w).cast("timestamp"))
+    delta = tsu - prev
     is_new = F.when(
-        delta.isNull() | (delta > F.lit(int(gap_s))), F.lit(1)
+        delta.isNull() | (delta > F.lit(int(gap_s) * 1_000_000)), F.lit(1)
     ).otherwise(F.lit(0))
     return df.withColumn(
         "session_id",
@@ -389,6 +401,5 @@ def interval_join(
     return (
         pb.alias("p")
         .join(ib.alias("i"), cond, "inner")
-        .select(*pcols, *icols)
-        .drop("_bucket")
+        .select(*pcols, *icols)  # pcols predates _bucket; icols filters it
     )

@@ -277,7 +277,14 @@ def ivf_topk(
     lowest-id set keeps the path oracle-checkable."""
     import numpy as np
 
-    cents = centroids or ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    # `is not None`, not `or`: an empty centroid list from a degenerate
+    # training run must surface as an error downstream, not silently fall
+    # back to untrained lowest-id centroids
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    )
     qv = np.asarray(query_vec, dtype=np.float64)
     order = sorted(
         cents, key=lambda c: (float(np.linalg.norm(qv - np.asarray(c[1]))), c[0])
@@ -338,8 +345,11 @@ def _np_hash_u01(ids, salt: int):
 
 def _min_dist2_expr(dv: Column, centers: list[list[float]]) -> Column:
     """min over centers of squared L2 distance (no sqrt — the k-means||
-    sampling weight), rounded nowhere: it only feeds a strict-inequality
-    sample test whose threshold is itself derived from these values."""
+    sampling weight). Itself unrounded; the CONSUMER rounds the derived
+    sampling threshold ell·d2/tot to 9 dp before comparing against the
+    hash uniform, because tot's summation-order error is independent of
+    an individual d2's and an unrounded strict compare could flip a
+    candidate between this path and the numpy twin."""
     def d2(c: list[float]) -> Column:
         carr = F.array(*[F.lit(float(x)) for x in c])
         return F.aggregate(
@@ -362,6 +372,13 @@ def _np_weighted_lloyd(cand, weights, k: int, iters: int, round_dec: int):
     weights = np.asarray(weights, dtype=np.float64)
     order = np.lexsort((np.arange(len(cand)), -weights))
     centers = cand[np.sort(order[:k])].copy()
+    if len(centers) < k:
+        # fewer candidates than k (corpus with < k distinct vectors):
+        # pad by cycling existing centers so the k-slot contract holds —
+        # duplicate centroids are harmless downstream (argmin ties break
+        # to the lowest centroid id, so duplicates just sit empty)
+        pad = [centers[i % len(centers)] for i in range(k - len(centers))]
+        centers = np.vstack([centers, pad])
     for _ in range(iters):
         d = np.linalg.norm(cand[:, None, :] - centers[None, :, :], axis=2)
         assign = np.argmin(np.round(d, round_dec), axis=1)
@@ -412,11 +429,15 @@ def kmeans_centroids(
             if not tot or tot <= 0:
                 break  # every point sits on a center already
             u = _hash_u01(F.col("_id"), seed * 7_919 + r)
-            cand = (
-                emb.where(u * F.lit(float(tot)) < F.lit(float(ell)) * d2)
-                .orderBy("_id")
-                .collect()
-            )
+            # the threshold ell·d2/tot is rounded (9 dp) before the
+            # strict compare: tot and d2 carry summation-order ulps that
+            # differ between this path and the numpy twin, and an
+            # unrounded `u·tot < ell·d2` could flip a candidate's
+            # inclusion on one side only — after which the entire
+            # centroid set diverges. u's granularity is ~1e-15, so the
+            # 9-dp round dominates any ulp noise on both sides.
+            thr = F.round(F.lit(float(ell)) * d2 / F.lit(float(tot)), 9)
+            cand = emb.where(u < thr).orderBy("_id").collect()
             centers.extend([[float(x) for x in row["_v"]] for row in cand])
         if len(centers) <= k:
             # degenerate corpus (fewer distinct regions than k): pad from
@@ -500,7 +521,8 @@ def np_kmeans_centroids(
         if tot <= 0:
             break
         u = _np_hash_u01(ids, seed * 7_919 + r)
-        mask = u * tot < ell * d2
+        # mirrors the distributed path's 9-dp-rounded threshold compare
+        mask = u < np.round(ell * d2 / tot, 9)
         centers.extend([list(map(float, v)) for v in X[mask]])
     if len(centers) <= k:
         seen = {tuple(c) for c in centers}
