@@ -1046,9 +1046,7 @@ def text_token_stats(spark, sf_dir):
 
 _STOP_EN = "[" + ", ".join(f"'{w}'" for w in textops.STOPWORDS["en"]) + "]"
 
-@q(
-    "text_quality",
-    f"""
+_QUALITY_SQL = f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
 c AS (SELECT doc_id,
         LEAST(length(text)::DOUBLE / 500.0::DOUBLE, 1.0::DOUBLE) AS len_score,
@@ -1080,8 +1078,10 @@ SELECT doc_id,
            + 0.2::DOUBLE * (1.0::DOUBLE - LEAST(symbol_ratio * 4, 1.0::DOUBLE)),
              6) AS quality
 FROM c
-""",
-)
+"""
+
+
+@q("text_quality", _QUALITY_SQL)
 def text_quality(spark, sf_dir):
     qd = textops.quality_score(_read(spark, sf_dir, "documents"))
     return qd.select(
@@ -3229,6 +3229,71 @@ def text_bm25_topk(spark, sf_dir):
     scalar."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return textops.bm25_terms(docs, top_t=3)
+
+
+@q(
+    "text_corpus_clean",
+    f"""
+WITH d AS ({_DOCS2}),
+w AS (SELECT min(doc_id) AS keep_id FROM d GROUP BY md5(text)),
+qual AS (SELECT doc_id, quality FROM ({_QUALITY_SQL}) qq),
+lang AS (SELECT doc_id, pred_lang FROM ({_lang_sql()}) ll),
+losers AS (SELECT DISTINCT doc_b FROM ({_lsh_pairs_sql()}) p)
+SELECT doc.doc_id, length(doc.text)::BIGINT AS n_chars,
+       round(qual.quality, 6) AS quality, lang.pred_lang
+FROM documents doc
+JOIN qual USING (doc_id) JOIN lang USING (doc_id)
+WHERE doc.doc_id IN (SELECT keep_id FROM w)
+  AND round(qual.quality, 6) >= 0.58
+  AND lang.pred_lang = 'en'
+  AND doc.doc_id NOT IN (SELECT doc_b FROM losers)
+""",
+)
+def text_corpus_clean(spark, sf_dir):
+    """The END-TO-END corpus-cleaning composition a training-data
+    pipeline actually ships — four gates conjoined over the doubled
+    (dup-seeded) corpus:
+
+      1. exact dedup: only the md5-group keep-lowest winners survive
+         (`textops.exact_dedup_groups`);
+      2. quality gate: composite score ≥ 0.58 (`textops.quality_score`;
+         rounded to 6 dp on both engines BEFORE the compare, so the
+         threshold test is ulp-safe);
+      3. language gate: marker-word lang-id == 'en' (`textops.lang_id`);
+      4. near-dup drop: MinHash-LSH pairs (est Jaccard ≥ 0.5) applied as
+         the greedy keep-lowest policy (`textops.drop_near_dups`).
+
+    Every stage is an operator with its own green oracle entry; this
+    entry proves they COMPOSE — one anti-join + three id-keyed joins on
+    top of the per-stage plans, no new shuffle shape. At 100 TB each
+    gate's cost profile is unchanged from its standalone entry (the
+    conjunction prunes progressively, cheapest predicates first)."""
+    docs2 = _docs2(spark, sf_dir)
+    winners = textops.exact_dedup_groups(docs2).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    q_ = textops.quality_score(docs).select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    )
+    lg = textops.lang_id(docs).select("doc_id", "pred_lang")
+    sigs = textops.minhash_signature(docs2, k=4, shingle_n=3)
+    pairs = textops.lsh_candidate_pairs(sigs, k=4, band_size=2).where(
+        F.col("est_jaccard") >= 0.5
+    )
+    return (
+        textops.drop_near_dups(docs, pairs)
+        .join(winners, "doc_id")
+        .join(q_, "doc_id")
+        .join(lg, "doc_id")
+        .where((F.col("quality") >= 0.58) & (F.col("pred_lang") == "en"))
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            "quality",
+            "pred_lang",
+        )
+    )
 
 
 # ===========================================================================
