@@ -73,3 +73,40 @@ def test_lagged_corr_zero_at_no_relation(spark):
     )
     got = anomaly.lagged_corr(df, "a", "b", lag_buckets=1, bucket="minute", bucket_s=60)
     assert got.collect()[0]["xcorr"] == -1.0
+
+
+def test_acf_alternating_series(spark):
+    # perfectly alternating series: ACF = -1 at lag 1, +1 at lag 2
+    rows = [
+        ("k", "m", _ts(1, 0).replace(minute=i), i, v)
+        for i, v in enumerate([1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, event_id long, value double"
+    )
+    got = {r["lag"]: r for r in anomaly.acf(df, lags=(1, 2)).collect()}
+    assert got[1]["acf"] == -1.0 and got[1]["n_pairs"] == 7
+    assert got[2]["acf"] == 1.0 and got[2]["n_pairs"] == 6
+
+
+def test_acf_matches_numpy_and_drops_constant(spark):
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=40)
+    rows = [
+        ("k", "m", _ts(1, 0).replace(minute=i // 60, second=i % 60), i, float(v))
+        for i, v in enumerate(vals)
+    ]
+    # constant series: zero variance at every lag -> dropped entirely
+    rows += [
+        ("c", "m", _ts(1, 0).replace(minute=i), i, 5.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, event_id long, value double"
+    )
+    out = anomaly.acf(df, lags=(1, 3)).collect()
+    assert {r["conv_id"] for r in out} == {"k"}
+    got = {r["lag"]: r["acf"] for r in out}
+    for lag in (1, 3):
+        a, b = vals[lag:], vals[:-lag]
+        want = np.corrcoef(a, b)[0, 1]
+        assert abs(got[lag] - round(want, 5)) < 1e-9

@@ -387,3 +387,85 @@ def test_bm25_ranks_rare_distinctive_term_first(spark):
     for r in rows:
         per_doc.setdefault(r["doc_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_doc.values())
+
+
+def test_train_split_deterministic_and_exhaustive(docs):
+    out = textops.train_split(docs.select("doc_id")).toPandas().set_index("doc_id")
+    # oracle: bucket = md5-60bit of "id:v1" % 10000; boundaries 9000/9500
+    for i, _, _ in DOCS:
+        b = _h60(f"{i}:v1") % 10000
+        assert out.loc[i, "bucket"] == b
+        want = "train" if b < 9000 else ("val" if b < 9500 else "test")
+        assert out.loc[i, "split"] == want
+    # stability: a second invocation with the same salt is identical
+    again = textops.train_split(docs.select("doc_id")).toPandas().set_index("doc_id")
+    assert (out["split"] == again["split"]).all()
+    # a different salt draws a different (independent) split
+    other = textops.train_split(docs.select("doc_id"), salt="v2").toPandas()
+    assert (other.set_index("doc_id")["bucket"] != out["bucket"]).any()
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    rows = [(0, "a " * 10), (4, "b " * 50), (8, "c " * 70), (12, ""), (16, "d " * 3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        textops.pack_sequences(docs, budget=64, n_shards=4)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    # all ids ≡ 0 mod 4 → one shard, laid out in id order: 10,50,70,0,3
+    assert (out["shard"] == 0).all()
+    assert out.loc[0, "offset"] == 0 and out.loc[0, "n_chunks"] == 1
+    assert out.loc[4, "offset"] == 10
+    # doc 4 spans tokens [10, 59] → chunk 0 only
+    assert out.loc[4, "first_chunk"] == 0 and out.loc[4, "last_chunk"] == 0
+    # doc 8 spans [60, 129] → chunks 0..2 (boundary at 64 and 128)
+    assert out.loc[8, "first_chunk"] == 0
+    assert out.loc[8, "last_chunk"] == 2
+    assert out.loc[8, "n_chunks"] == 3
+    # empty doc occupies no axis space
+    assert out.loc[12, "n_tokens"] == 0 and out.loc[12, "n_chunks"] == 0
+    assert out.loc[12, "offset"] == 130 and out.loc[16, "offset"] == 130
+
+
+def test_contamination_flags_ngram_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon leaked verbatim run"),  # 2 shared 4-grams
+            (1, "alpha beta gamma changed delta epsilon zeta eta"),     # 1 shared ("beta gamma"? no: 4-grams)
+            (2, "totally unrelated words here none shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textops.contamination(docs, bench, n=4, min_overlap=2).toPandas().set_index("doc_id")
+    # doc 0 shares "alpha beta gamma delta" and "beta gamma delta epsilon"
+    assert out.loc[0, "n_overlap"] == 2 and bool(out.loc[0, "contaminated"])
+    # doc 1's only benchmark 4-gram is "delta epsilon zeta eta"? bench has
+    # "gamma delta epsilon zeta" — doc 1 has "delta epsilon zeta eta" (not in
+    # bench) and "changed delta epsilon zeta"(no) → exactly 1: "alpha beta gamma changed"? no.
+    assert out.loc[1, "n_overlap"] < 2 and not bool(out.loc[1, "contaminated"])
+    assert out.loc[2, "n_overlap"] == 0 and not bool(out.loc[2, "contaminated"])
+
+
+def test_repetition_stats_top_gram(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "spam ham spam ham spam ham"),   # "spam ham" ×3, "ham spam" ×2
+            (1, "all words unique in this doc"),
+            (2, "one"),                           # < 2 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = textops.repetition_stats(docs, n=2).toPandas().set_index("doc_id")
+    assert out.loc[0, "top_gram"] == "spam ham" and out.loc[0, "top_cnt"] == 3
+    n_chars = len("spam ham spam ham spam ham")
+    assert abs(out.loc[0, "rep_frac"] - round(3 * len("spam ham") / n_chars, 6)) < 1e-9
+    # unique doc: every 2-gram count 1, tie broken by gram string asc
+    assert out.loc[1, "top_cnt"] == 1
+    assert out.loc[1, "top_gram"] == "all words"
+    # sub-n doc: empty gram, zero metrics
+    assert out.loc[2, "top_gram"] == "" and out.loc[2, "top_cnt"] == 0
+    assert out.loc[2, "rep_frac"] == 0.0

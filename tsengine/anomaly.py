@@ -17,7 +17,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 # scale factor making MAD a consistent sigma estimator for normal data
@@ -139,4 +139,81 @@ def lagged_corr(
             F.round(c, 5).alias("xcorr"),
         )
         .where(F.col("xcorr").isNotNull())
+    )
+
+
+def acf(
+    df: DataFrame,
+    lags: tuple[int, ...] = (1, 2, 3),
+    keys: tuple[str, ...] = ("conv_id", "metric"),
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series autocorrelation function at fixed row lags — "is this
+    signal bursty / trending / white" — the standard seasonality and
+    persistence diagnostic (Box-Jenkins sample ACF, here as the Pearson
+    corr of the series against its own ``lag``-shifted self over the
+    per-key turn order).
+
+    Scale shape: ONE sort-window pass per key computes every lagged
+    column at once (all lags share the same window frame, so Catalyst
+    plans a single Exchange + Sort), the (lag, pair) rows are exploded
+    from arrays — rowwise, no further shuffle — and the moment sums
+    reduce with map-side partial agg keyed by (key, lag). Per-key state
+    is max(lags) rows of window history; no driver collection.
+
+    Pearson is the same guarded-moment form as ``lagged_corr`` (ANSI-safe
+    zero-variance guard, relative 1e-12 floor, 5 dp rounding) so the SQL
+    oracle mirrors one formula. Keys with < 2 aligned pairs or degenerate
+    variance at a lag are dropped for that lag."""
+    w = W.partitionBy(*keys).orderBy(*order_cols)
+    lagged = df.select(
+        *keys,
+        F.col(value_col).alias("va"),
+        *[F.lag(value_col, l).over(w).alias(f"_l{l}") for l in lags],
+    )
+    stacked = (
+        lagged.select(
+            *keys,
+            "va",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(l).cast("long").alias("lag"),
+                            F.col(f"_l{l}").alias("vb"),
+                        )
+                        for l in lags
+                    ]
+                )
+            ).alias("_s"),
+        )
+        .select(*keys, "va", F.col("_s.lag").alias("lag"), F.col("_s.vb").alias("vb"))
+        .where(F.col("vb").isNotNull())
+    )
+    out = stacked.groupBy(*keys, "lag").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("va").alias("_sa"),
+        F.sum("vb").alias("_sb"),
+        F.sum(F.col("va") * F.col("vb")).alias("_sab"),
+        F.sum(F.col("va") * F.col("va")).alias("_saa"),
+        F.sum(F.col("vb") * F.col("vb")).alias("_sbb"),
+    )
+    n, sa, sb = F.col("_n"), F.col("_sa"), F.col("_sb")
+    var_a = n * F.col("_saa") - sa * sa
+    var_b = n * F.col("_sbb") - sb * sb
+    num = n * F.col("_sab") - sa * sb
+    c = F.when(
+        (var_a > F.lit(1e-12) * (n * F.col("_saa")))
+        & (var_b > F.lit(1e-12) * (n * F.col("_sbb"))),
+        num / F.sqrt(var_a * var_b),
+    )
+    return (
+        out.select(
+            *keys,
+            "lag",
+            F.col("_n").cast("long").alias("n_pairs"),
+            F.round(c, 5).alias("acf"),
+        )
+        .where(F.col("acf").isNotNull())
     )

@@ -3297,6 +3297,191 @@ def text_corpus_clean(spark, sf_dir):
 
 
 # ===========================================================================
+# Training-pipeline corpus ops: split / pack / decontaminate / repetition
+# (textops.py round-4 pack) + per-series ACF (anomaly.py)
+# ===========================================================================
+
+@q(
+    "text_train_split",
+    """
+WITH b AS (SELECT doc_id,
+                  ('0x' || substr(md5(doc_id::VARCHAR || ':v1'), 1, 15))::BIGINT
+                  % 10000 AS bucket
+           FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+)
+def text_train_split(spark, sf_dir):
+    """Deterministic salt-versioned train/val/test hash split
+    (`textops.train_split`): md5-carved 60-bit bucket of `id:salt` mod
+    10 000, cumulative-fraction boundaries on the integer bucket axis.
+    Pure rowwise Column expr — zero shuffles at any scale; the same doc
+    lands in the same split on every engine, run, and cluster size."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return textops.train_split(docs).select("doc_id", "bucket", "split")
+
+
+@q(
+    "text_pack_sequences",
+    f"""
+WITH t AS (SELECT doc_id, (doc_id % 4)::BIGINT AS shard,
+                  len({_TOKS})::BIGINT AS n_tokens
+           FROM documents),
+o AS (SELECT doc_id, shard, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0)::BIGINT AS "offset"
+      FROM t)
+SELECT doc_id, shard, n_tokens, "offset",
+       floor("offset"::DOUBLE / 64)::BIGINT AS first_chunk,
+       CASE WHEN n_tokens > 0
+            THEN floor(("offset" + n_tokens - 1)::DOUBLE / 64)::BIGINT
+            ELSE floor("offset"::DOUBLE / 64)::BIGINT END AS last_chunk,
+       CASE WHEN n_tokens > 0
+            THEN floor(("offset" + n_tokens - 1)::DOUBLE / 64)::BIGINT
+                 - floor("offset"::DOUBLE / 64)::BIGINT + 1
+            ELSE 0 END::BIGINT AS n_chunks
+FROM o
+""",
+)
+def text_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (`textops.pack_sequences`, the
+    GPT-style pretraining batch layout): docs laid back-to-back per shard
+    on a global token axis, cut every `budget` tokens; each doc gets its
+    (offset, first_chunk, last_chunk, n_chunks) span. One running-sum
+    window per shard is the only non-local step — shards bound the window
+    partition, so parallelism scales with n_shards. budget=64 / 4 shards
+    here so sf-scale docs span multiple context windows."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return textops.pack_sequences(docs, budget=64, n_shards=4)
+
+
+@q(
+    "text_contamination",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sl AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 4
+                   THEN list_distinct(list_transform(range(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' ||
+                             toks[i + 2] || ' ' || toks[i + 3]))
+                   ELSE [] END AS shs
+       FROM t),
+sh AS (SELECT doc_id, unnest(shs) AS sh FROM sl),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 37 = 0),
+ov AS (SELECT d.doc_id, count(*)::BIGINT AS n_overlap
+       FROM sh d JOIN bench b ON d.sh = b.sh
+       WHERE d.doc_id % 37 != 0
+       GROUP BY 1)
+SELECT d.doc_id, coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+       (coalesce(o.n_overlap, 0) >= 2)::BIGINT AS contaminated
+FROM documents d LEFT JOIN ov o ON d.doc_id = o.doc_id
+WHERE d.doc_id % 37 != 0
+""",
+)
+def text_contamination(spark, sf_dir):
+    """Benchmark decontamination (`textops.contamination`): flag training
+    docs sharing ≥ 2 distinct word 4-grams with any doc of the benchmark
+    set (here: doc_id % 37 == 0 plays the eval suite). The benchmark side
+    collapses to a DISTINCT shingle set and is BROADCAST — the corpus
+    side explodes + hash-joins locally, so the raw volume never
+    shuffles."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    train = docs.where(F.col("doc_id") % 37 != 0)
+    out = textops.contamination(train, bench, n=4, min_overlap=2)
+    return out.select(
+        "doc_id", "n_overlap", F.col("contaminated").cast("long").alias("contaminated")
+    )
+
+
+@q(
+    "text_repetition",
+    f"""
+WITH t AS (SELECT doc_id, length(text)::BIGINT AS n_chars, {_TOKS} AS toks
+           FROM documents),
+g AS (SELECT doc_id, n_chars,
+             unnest(CASE WHEN len(toks) >= 2
+                         THEN list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1])
+                         ELSE [] END) AS gram
+      FROM t),
+c AS (SELECT doc_id, n_chars, gram, count(*)::BIGINT AS cnt
+      FROM g GROUP BY 1, 2, 3),
+r AS (SELECT doc_id, n_chars, gram, cnt,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, gram) AS rn
+      FROM c),
+top AS (SELECT doc_id, gram, cnt,
+               CASE WHEN n_chars > 0
+                    THEN round((cnt * length(gram))::DOUBLE
+                               / n_chars::DOUBLE, 6)
+                    ELSE 0.0 END AS rep
+        FROM r WHERE rn = 1)
+SELECT d.doc_id, coalesce(t.gram, '') AS top_gram,
+       coalesce(t.cnt, 0)::BIGINT AS top_cnt,
+       coalesce(t.rep, 0.0) AS rep_frac
+FROM documents d LEFT JOIN top t ON d.doc_id = t.doc_id
+""",
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-rules-style repetition metrics (`textops.repetition_stats`):
+    per doc the most frequent word 2-gram, its count, and the char
+    fraction it covers — the repetitious-boilerplate detector of the
+    quality battery. Explode → (doc, gram) count is the one raw-volume
+    shuffle (uniform in the gram hash); the top-1 rank window runs over
+    the already-aggregated count table. Count ties break by gram string
+    ascending on both engines (binary collation both)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return textops.repetition_stats(docs, n=2)
+
+
+@q(
+    "ts_acf",
+    f"""
+WITH ev AS ({_EV}),
+l AS (SELECT conv_id, metric, value AS va,
+             lag(value, 1) OVER w AS l1,
+             lag(value, 2) OVER w AS l2,
+             lag(value, 3) OVER w AS l3
+      FROM ev
+      WINDOW w AS (PARTITION BY conv_id, metric ORDER BY ts, event_id)),
+s AS (SELECT conv_id, metric, 1::BIGINT AS lag, va, l1 AS vb FROM l WHERE l1 IS NOT NULL
+      UNION ALL
+      SELECT conv_id, metric, 2::BIGINT, va, l2 FROM l WHERE l2 IS NOT NULL
+      UNION ALL
+      SELECT conv_id, metric, 3::BIGINT, va, l3 FROM l WHERE l3 IS NOT NULL),
+m AS (SELECT conv_id, metric, lag, count(*)::DOUBLE AS n,
+             sum(va) AS sa, sum(vb) AS sb, sum(va * vb) AS sab,
+             sum(va * va) AS saa, sum(vb * vb) AS sbb
+      FROM s GROUP BY 1, 2, 3),
+c AS (SELECT conv_id, metric, lag, n::BIGINT AS n_pairs,
+             CASE WHEN n * saa - sa * sa > 1e-12 * (n * saa)
+                   AND n * sbb - sb * sb > 1e-12 * (n * sbb)
+                  THEN (n * sab - sa * sb)
+                       / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+             END AS a
+      FROM m)
+SELECT conv_id, metric, lag, n_pairs, round(a, 5) AS acf
+FROM c WHERE a IS NOT NULL
+""",
+)
+def ts_acf(spark, sf_dir):
+    """Per-series sample autocorrelation at row lags 1-3 (`anomaly.acf`,
+    Box-Jenkins ACF over the per-key turn order) — the burstiness /
+    persistence diagnostic. ONE sort-window pass computes all lag columns
+    (single Exchange+Sort), the (lag, pair) rows explode rowwise, moments
+    reduce with map-side partial agg. Same guarded-moment Pearson and
+    relative variance floor as `ts_xcorr_lag`, mirrored verbatim."""
+    ev = _events_long(spark, sf_dir)
+    return anomaly.acf(ev)
+
+
+# ===========================================================================
 # Flagship entry
 # ===========================================================================
 

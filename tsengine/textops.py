@@ -466,9 +466,11 @@ def hamming_neighbors(
 # n-gram Jaccard
 # --------------------------------------------------------------------------
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct). Documents shorter than n
-    tokens yield an empty array.
+def shingles(text: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingle array (distinct by default; pass
+    ``distinct=False`` to keep multiplicities — repetition metrics need
+    the raw counts). Documents shorter than n tokens yield an empty
+    array.
 
     Perf note — the let-binding trick: the token array is wrapped in a
     1-element array and re-entered through ``transform`` so the lambda
@@ -490,7 +492,8 @@ def shingles(text: Column, n: int = 3) -> Column:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    return F.array_distinct(F.element_at(F.transform(F.array(t), build), 1))
+    out = F.element_at(F.transform(F.array(t), build), 1)
+    return F.array_distinct(out) if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -751,5 +754,198 @@ def bm25_terms(
         .select(
             id_col, "rank", "term",
             F.round(F.col("_score"), 6).alias("score"), "tf", "df",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators: split / pack / decontaminate / repetition
+# --------------------------------------------------------------------------
+
+def train_split(
+    docs: DataFrame,
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.9), ("val", 0.05), ("test", 0.05)
+    ),
+    salt: str = "v1",
+    n_buckets: int = 10_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic hash split into train/val/test (the canonical
+    training-corpus partitioner). Each doc lands in a bucket via the
+    md5-carved 60-bit hash of ``id:salt`` mod ``n_buckets``; cumulative
+    fraction boundaries over the bucket axis assign the split. Properties
+    a corpus pipeline needs and random() cannot give:
+
+    - **stable**: the same (id, salt) maps to the same split across runs,
+      engines, cluster sizes, and row order — re-ingesting a shard never
+      migrates a document between train and test;
+    - **salt-versioned**: changing ``salt`` draws a fresh independent
+      split without touching data;
+    - **embarrassingly parallel**: pure rowwise Column expr — no shuffle,
+      no state, survives 100 TB trivially.
+
+    Fraction boundaries are computed on the integer bucket axis
+    (``round(n_buckets·cumfrac)``) so the split is exact-integer
+    arithmetic, oracle-replayable bit-for-bit."""
+    bucket = (
+        _h60(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+        % F.lit(n_buckets)
+    )
+    names = [n for n, _ in fractions]
+    cuts: list[int] = []
+    acc = 0.0
+    for _, frac in fractions[:-1]:
+        acc += frac
+        cuts.append(int(round(n_buckets * acc)))
+    split = F.lit(names[-1])
+    for name, cut in reversed(list(zip(names[:-1], cuts))):
+        split = F.when(F.col("_bucket") < cut, F.lit(name)).otherwise(split)
+    return (
+        docs.withColumn("_bucket", bucket)
+        .withColumn("split", split)
+        .withColumnRenamed("_bucket", "bucket")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard LLM-pretraining
+    batch layout): within each shard, documents are laid out back-to-back
+    in ``id`` order on a global token axis and cut every ``budget``
+    tokens; each doc is assigned its byte-range on that axis — start
+    offset, first/last chunk index, and how many context windows it
+    spans. Downstream, (shard, chunk) is the training-example key.
+
+    Scale shape: token counting is rowwise; the only non-local step is
+    ONE running-sum window per shard — shards bound window-partition size
+    (pick n_shards ≈ cluster parallelism; packing is per-shard
+    independent by construction, so more shards = more parallelism with
+    zero cross-shard coordination). Exact integer arithmetic throughout.
+
+    Empty docs (0 tokens) occupy no axis space: last_chunk = first_chunk
+    and n_chunks = 0."""
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    d = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("long").alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    d = d.withColumn("offset", off)
+    first = F.floor(F.col("offset") / budget).cast("long")
+    last = F.when(
+        F.col("n_tokens") > 0,
+        F.floor((F.col("offset") + F.col("n_tokens") - 1) / budget),
+    ).otherwise(first).cast("long")
+    return d.select(
+        id_col, "shard", "n_tokens", "offset",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        F.when(F.col("n_tokens") > 0, last - first + 1)
+        .otherwise(F.lit(0)).cast("long").alias("n_chunks"),
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    min_overlap: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥
+    ``min_overlap`` distinct word ``n``-grams with ANY document of the
+    (small) benchmark/eval set — the standard n-gram-overlap test-set
+    leakage check run before pretraining.
+
+    Scale shape: the benchmark side collapses to a DISTINCT shingle set
+    and is broadcast (eval suites are dimension-sized); the corpus side
+    explodes shingles and hash-joins locally — the raw 100 TB volume
+    never shuffles. Per-doc shingles are already distinct
+    (``shingles()``), so the post-join count is exactly the intersection
+    size."""
+    sh_docs = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    bench_set = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+    )
+    overlap = (
+        sh_docs.join(F.broadcast(bench_set), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        docs.select(id_col)
+        .join(overlap, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram repetition metrics (the Gopher-rules-style
+    repetitious-text detector, Rae et al. 2021 §A1.1): the most frequent
+    word ``n``-gram, its count, and the fraction of the document's
+    characters covered by its occurrences
+    (``top_cnt · len(top_gram) / n_chars``). Machine-generated spam and
+    boilerplate score high; clean prose stays low.
+
+    Ties on count break by gram string ascending (deterministic).
+    Documents with fewer than ``n`` tokens emit top_gram = '' and zero
+    metrics. Scale shape: explode → (doc, gram) count — one raw-volume
+    shuffle uniform in the gram hash — then a per-doc rank window over
+    the ALREADY aggregated count table."""
+    grams = docs.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.explode(shingles(F.col(text_col), n, distinct=False)).alias("gram"),
+    )
+    cnt = grams.groupBy(id_col, "n_chars", "gram").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("cnt"), F.col("gram"))
+    top = cnt.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    rep = F.when(
+        F.col("n_chars") > 0,
+        F.col("cnt") * F.length("gram") / F.col("n_chars"),
+    ).otherwise(F.lit(0.0))
+    out = top.select(
+        id_col,
+        F.col("gram").alias("top_gram"),
+        F.col("cnt").alias("top_cnt"),
+        F.round(rep, 6).alias("rep_frac"),
+    )
+    return (
+        docs.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("top_gram"), F.lit("")).alias("top_gram"),
+            F.coalesce(F.col("top_cnt"), F.lit(0)).cast("long").alias("top_cnt"),
+            F.coalesce(F.col("rep_frac"), F.lit(0.0)).alias("rep_frac"),
         )
     )
