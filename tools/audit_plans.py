@@ -192,6 +192,26 @@ def main() -> None:
                         F.col("conv_id").alias("uid")), "uid", ["day"]),
           ["partial_agg", "codegen"])
 
+    # round-4 training-pipeline pack: the hash split is pure rowwise
+    # (zero exchanges, codegen); packing rides ONE per-shard window sort;
+    # decontamination broadcasts the benchmark shingle set (the raw
+    # corpus volume must never shuffle or cross-join); ACF's moment
+    # reduction map-side-combines before its exchange
+    from tsengine import anomaly
+
+    audit("train split (rowwise hash)",
+          textops.train_split(docs.select("doc_id")),
+          ["single_exchange", "codegen"])
+    audit("pack sequences (per-shard window)",
+          textops.pack_sequences(docs, budget=64, n_shards=4),
+          ["single_exchange"])
+    audit("contamination (broadcast benchmark)",
+          textops.contamination(
+              docs.where(F.col("doc_id") % 37 != 0),
+              docs.where(F.col("doc_id") % 37 == 0)),
+          ["broadcast_join", "no_cartesian"])
+    audit("acf moments", anomaly.acf(ev), ["partial_agg", "no_cartesian"])
+
 
 if __name__ == "__main__":
     main()
