@@ -148,6 +148,7 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
         textops.lsh_candidate_pairs(
             textops.minhash_signature(docs, k=4, shingle_n=3), k=4, band_size=2))
     thunks["dedup_exact"] = lambda: count_action(textops.exact_dedup_groups(docs))
+    thunks["pii_scrub"] = lambda: count_action(textops.pii_scrub(docs))
     # bits pinned to 16 to keep the bench workload comparable across rounds;
     # simhash_pairs_64 measures the production default width (far fewer
     # band collisions -> the number a real corpus run would see)

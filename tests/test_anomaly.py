@@ -110,3 +110,53 @@ def test_acf_matches_numpy_and_drops_constant(spark):
         a, b = vals[lag:], vals[:-lag]
         want = np.corrcoef(a, b)[0, 1]
         assert abs(got[lag] - round(want, 5)) < 1e-9
+
+
+def test_psi_identical_halves_is_zero(spark):
+    # same distribution in both windows -> every bin fraction equal -> PSI 0
+    rows = []
+    for half, day in ((0, 1), (1, 20)):
+        rows += [
+            ("k", "m", _ts(day, 0).replace(minute=i % 60), i, float(i % 10))
+            for i in range(100)
+        ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, event_id long, value double"
+    )
+    out = anomaly.psi_drift(
+        df, "2024-03-10 00:00:00", lo=0.0, hi=10.0, n_bins=10
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_ref"] == 100 and r["n_cur"] == 100
+    assert r["psi"] == 0.0 and r["drifted"] == 0
+
+
+def test_psi_shifted_distribution_drifts(spark):
+    # ref all in bin 0, cur all in bin 9: PSI = 2 * (1-eps)*ln((1-eps)/eps)
+    rows = [("k", "m", _ts(1, 0), i, 0.5) for i in range(50)]
+    rows += [("k", "m", _ts(20, 0), 100 + i, 9.5) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, event_id long, value double"
+    )
+    r = anomaly.psi_drift(
+        df, "2024-03-10 00:00:00", lo=0.0, hi=10.0, n_bins=10
+    ).collect()[0]
+    import math
+    eps = 1e-6
+    # bin0 term: (eps - 1)·ln(eps/1); bin9 term: (1 - eps)·ln(1/eps)
+    want = 2 * (1 - eps) * math.log(1 / eps)
+    assert abs(r["psi"] - round(want, 6)) < 1e-9
+    assert r["drifted"] == 1
+
+
+def test_psi_clamps_out_of_range_values(spark):
+    # values beyond [lo, hi] land in edge bins instead of vanishing
+    rows = [("k", "m", _ts(1, 0), 1, -5.0), ("k", "m", _ts(20, 0), 2, 99.0)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, event_id long, value double"
+    )
+    r = anomaly.psi_drift(
+        df, "2024-03-10 00:00:00", lo=0.0, hi=10.0, n_bins=10
+    ).collect()[0]
+    assert r["n_ref"] == 1 and r["n_cur"] == 1 and r["psi"] > 0

@@ -469,3 +469,69 @@ def test_repetition_stats_top_gram(spark):
     # sub-n doc: empty gram, zero metrics
     assert out.loc[2, "top_gram"] == "" and out.loc[2, "top_cnt"] == 0
     assert out.loc[2, "rep_frac"] == 0.0
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@ex-1.org and b@x.io, ip 10.0.0.1, acct 123456789"),
+            (1, "clean prose with short 12345 number and version 1.2.3"),
+            (2, "123456789@bank.example digits belong to the email"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textops.pii_scrub(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_email"] == 2
+    assert out.loc[0, "n_ipv4"] == 1
+    assert out.loc[0, "n_longnum"] == 1
+    assert out.loc[0, "has_pii"] == 1
+    assert out.loc[0, "clean_text"] == "mail <EMAIL> and <EMAIL>, ip <IP>, acct <NUM>"
+    # clean doc: nothing matches (5 digits < 9; 1.2.3 is not a dotted quad)
+    assert out.loc[1, "has_pii"] == 0
+    assert out.loc[1, "clean_text"] == docs.collect()[1]["text"]
+    # sequential semantics: the email eats its own digit run — the 9-digit
+    # local part is NOT double-reported as a longnum
+    assert out.loc[2, "n_email"] == 1
+    assert out.loc[2, "n_longnum"] == 0
+    assert out.loc[2, "clean_text"] == "<EMAIL> digits belong to the email"
+
+
+def test_pii_scrub_mask_token_invariant(docs):
+    # Σcounts == number of mask tokens present in clean_text, per contract
+    import re
+
+    out = textops.pii_scrub(docs).toPandas()
+    for _, r in out.iterrows():
+        n_masks = len(re.findall(r"<EMAIL>|<IP>|<NUM>", r["clean_text"]))
+        assert r["n_email"] + r["n_ipv4"] + r["n_longnum"] == n_masks
+
+
+def test_corpus_sample_rates_and_weights(spark):
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 2 == 0 else "books") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    out = textops.corpus_sample(
+        docs, {"web": 0.1, "books": 1.0}, default_rate=0.5
+    ).toPandas()
+    web = out[out.source == "web"]
+    books = out[out.source == "books"]
+    # rate 1.0 keeps everything; weight exactly 1
+    assert books.kept.all() and (books.weight == 1.0).all()
+    # rate 0.1 keeps ~10% (hash-uniform; wide tolerance on 1000 docs)
+    frac = web.kept.mean()
+    assert 0.05 < frac < 0.16
+    assert (web.loc[web.kept == 1, "weight"] == 10.0).all()
+    assert (web.loc[web.kept == 0, "weight"] == 0.0).all()
+    # decisions are the pure hash rule — bit-stable across invocations
+    again = textops.corpus_sample(
+        docs, {"web": 0.1, "books": 1.0}, default_rate=0.5
+    ).toPandas()
+    assert (out.sort_values("doc_id").kept.values
+            == again.sort_values("doc_id").kept.values).all()
+    # unknown domain falls back to default_rate's cut
+    extra = spark.createDataFrame([(9999, "unknown")], "doc_id long, source string")
+    row = textops.corpus_sample(
+        extra, {"web": 0.1}, default_rate=1.0
+    ).collect()[0]
+    assert row["kept"] == 1 and row["weight"] == 1.0

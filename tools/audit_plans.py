@@ -211,6 +211,17 @@ def main() -> None:
               docs.where(F.col("doc_id") % 37 == 0)),
           ["broadcast_join", "no_cartesian"])
     audit("acf moments", anomaly.acf(ev), ["partial_agg", "no_cartesian"])
+    audit("pii scrub (rowwise regex)",
+          textops.pii_scrub(docs.select("doc_id", "text")),
+          ["single_exchange", "codegen"])
+    audit("corpus sample (rowwise hash threshold)",
+          textops.corpus_sample(
+              docs.select("doc_id", F.lit("web").alias("source")),
+              {"web": 0.5}),
+          ["single_exchange", "codegen"])
+    audit("psi drift (binned partial agg)",
+          anomaly.psi_drift(ev, "2024-01-16 00:00:00", lo=0.0, hi=330.0),
+          ["partial_agg", "no_cartesian"])
 
 
 if __name__ == "__main__":

@@ -217,3 +217,70 @@ def acf(
         )
         .where(F.col("acf").isNotNull())
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    split_ts: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 12,
+    keys: tuple[str, ...] = ("metric",),
+    value_col: str = "value",
+    ts_col: str = "ts",
+    eps: float = 1e-6,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Population Stability Index distribution-drift detector per key:
+    compare the value distribution BEFORE ``split_ts`` (reference window)
+    against AFTER (current window) on a fixed-bound equi-width histogram,
+    PSI = Σ_bins (p_cur − p_ref)·ln(p_cur / p_ref) with both fractions
+    floored at ``eps`` — the standard ML-monitoring drift score
+    (PSI > 0.2 ≈ "distribution shifted, investigate"). Emits one row per
+    key: (keys…, n_ref, n_cur, psi, drifted).
+
+    Fixed bounds (same contract as ``rollup.rollup_hist``) keep the bins
+    mergeable and the score reproducible; values outside [lo, hi] clamp
+    into the edge bins. Bins empty on BOTH sides contribute exactly 0
+    after flooring, so they never need materializing — the bin spine is
+    only what the data touches.
+
+    Scale shape: the raw volume crosses ONE exchange, keyed (keys, bin)
+    with map-side partial agg; the per-key totals window and the final
+    PSI reduction run on the already-aggregated |keys|·n_bins table.
+    A window with no rows at all for a key yields p = eps on that side
+    via an explicit zero-total guard (never a NULL division)."""
+    width = (hi - lo) / n_bins
+    bin_col = F.least(
+        F.greatest(F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    is_ref = (F.col(ts_col) < F.lit(split_ts).cast("timestamp")).cast("int")
+    c = (
+        df.select(*keys, bin_col.alias("bin"), is_ref.alias("is_ref"))
+        .groupBy(*keys, "bin")
+        .agg(
+            F.sum("is_ref").cast("long").alias("n_ref"),
+            F.sum(F.lit(1) - F.col("is_ref")).cast("long").alias("n_cur"),
+        )
+    )
+    w = W.partitionBy(*keys)
+    tot_ref = F.sum("n_ref").over(w)
+    tot_cur = F.sum("n_cur").over(w)
+    pr = F.when(tot_ref == 0, F.lit(eps)).otherwise(
+        F.greatest(F.col("n_ref").cast("double") / tot_ref, F.lit(eps))
+    )
+    pc = F.when(tot_cur == 0, F.lit(eps)).otherwise(
+        F.greatest(F.col("n_cur").cast("double") / tot_cur, F.lit(eps))
+    )
+    terms = c.select(
+        *keys, "n_ref", "n_cur",
+        ((pc - pr) * F.log(pc / pr)).alias("_term"),
+    )
+    psi = F.round(F.sum("_term"), 6)
+    return terms.groupBy(*keys).agg(
+        F.sum("n_ref").cast("long").alias("n_ref"),
+        F.sum("n_cur").cast("long").alias("n_cur"),
+        psi.alias("psi"),
+        (psi > F.lit(threshold)).cast("long").alias("drifted"),
+    )

@@ -3481,6 +3481,146 @@ def ts_acf(spark, sf_dir):
     return anomaly.acf(ev)
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_NUM = r"\b\d{9,}\b"
+
+
+@q(
+    "text_pii_scrub",
+    r"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' contact user' || doc_id::VARCHAR
+                || '@mail.example.com from 10.'
+                || (doc_id % 200)::VARCHAR || '.0.1 ref 9'
+                || lpad((doc_id % 100000000)::VARCHAR, 8, '0')
+         ELSE text END AS text
+  FROM documents),
+s1 AS (SELECT doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+             AS n_email,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t
+       FROM inj),
+s2 AS (SELECT doc_id, n_email,
+         len(regexp_extract_all(t,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+         regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+             '<IP>', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(t, '\b\d{9,}\b'))::BIGINT AS n_longnum,
+         regexp_replace(t, '\b\d{9,}\b', '<NUM>', 'g') AS t
+       FROM s2)
+SELECT doc_id, n_email, n_ipv4, n_longnum,
+       (n_email + n_ipv4 + n_longnum > 0)::BIGINT AS has_pii,
+       t AS clean_text
+FROM s3
+""",
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII detection + masking (`textops.pii_scrub`): emails, dotted-quad
+    IPv4s, and ≥9-digit number runs counted and replaced with typed mask
+    tokens, rules applied in order with each stage counting on the
+    previous stage's masked text (Σcounts == mask tokens inserted). To
+    de-vacuize at every scale factor, every 5th document gets a
+    deterministic synthetic contact line (one email, one IP, one 9-digit
+    ref) appended BEFORE scrubbing — the oracle mirrors the injection.
+    Pure rowwise regexp Column exprs in the Java∩RE2 subset: zero
+    exchanges, whole-stage codegen, no Python at any corpus size."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com from 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0.1 ref 9"),
+                F.lpad((F.col("doc_id") % 100000000).cast("string"), 8, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return textops.pii_scrub(injected)
+
+
+@q(
+    "text_corpus_sample",
+    """
+WITH d AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':s1'), 1, 15))::BIGINT
+         % 1000000 AS bucket,
+         CASE WHEN (substr(source, 4)::INT % 2) = 0
+              THEN 200000 ELSE 900000 END AS cut,
+         CASE WHEN (substr(source, 4)::INT % 2) = 0
+              THEN 0.2 ELSE 0.9 END AS rate
+  FROM documents)
+SELECT doc_id, source, bucket,
+       (bucket < cut)::BIGINT AS kept,
+       CASE WHEN bucket < cut THEN round(1.0 / rate, 6) ELSE 0.0 END AS weight
+FROM d
+""",
+)
+def text_corpus_sample(spark, sf_dir):
+    """Deterministic domain-weighted corpus subsampling
+    (`textops.corpus_sample`, the pretraining mixture re-weighting step):
+    even-suffixed sources play "bulk web" at rate 0.2, odd-suffixed play
+    "curated" at 0.9; keep iff the md5-carved per-doc uniform bucket
+    clears the domain's integer cut, with the Horvitz-Thompson 1/rate
+    weight on survivors. All rows returned flagged, so the oracle checks
+    the exact keep/drop decision AND the weight for every document.
+    Rowwise create_map lookup + hash — zero exchanges at any scale."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    rates = {f"src{i}": (0.2 if i % 2 == 0 else 0.9) for i in range(20)}
+    return textops.corpus_sample(docs, rates)
+
+
+@q(
+    "ts_psi_drift",
+    f"""
+WITH ev AS ({_EV}),
+b AS (SELECT metric,
+             least(greatest(floor((value - 0.0) / 27.5), 0), 11)::BIGINT AS bin,
+             (ts < TIMESTAMP '2024-01-16 00:00:00')::INT AS is_ref
+      FROM ev),
+c AS (SELECT metric, bin, sum(is_ref)::BIGINT AS n_ref,
+             sum(1 - is_ref)::BIGINT AS n_cur
+      FROM b GROUP BY 1, 2),
+t AS (SELECT metric, bin, n_ref, n_cur,
+             sum(n_ref) OVER (PARTITION BY metric) AS tot_ref,
+             sum(n_cur) OVER (PARTITION BY metric) AS tot_cur
+      FROM c),
+p AS (SELECT metric, n_ref, n_cur,
+             CASE WHEN tot_ref = 0 THEN 1e-6
+                  ELSE greatest(n_ref::DOUBLE / tot_ref, 1e-6) END AS pr,
+             CASE WHEN tot_cur = 0 THEN 1e-6
+                  ELSE greatest(n_cur::DOUBLE / tot_cur, 1e-6) END AS pc
+      FROM t)
+SELECT metric, sum(n_ref)::BIGINT AS n_ref, sum(n_cur)::BIGINT AS n_cur,
+       round(sum((pc - pr) * ln(pc / pr)), 6) AS psi,
+       (round(sum((pc - pr) * ln(pc / pr)), 6) > 0.2)::BIGINT AS drifted
+FROM p GROUP BY 1
+""",
+)
+def ts_psi_drift(spark, sf_dir):
+    """Population-Stability-Index distribution drift per metric
+    (`anomaly.psi_drift`): value histogram (12 fixed bins over [0, 330])
+    of the month's first half (ref) vs second half (cur), PSI with
+    eps-floored fractions, drifted flag at the standard 0.2 threshold.
+    ONE raw-volume exchange keyed (metric, bin) with map-side partial
+    agg; totals window + PSI reduction run on the 5×12 aggregate."""
+    ev = _events_long(spark, sf_dir)
+    return anomaly.psi_drift(ev, "2024-01-16 00:00:00", lo=0.0, hi=330.0, n_bins=12)
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================

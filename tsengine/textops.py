@@ -949,3 +949,119 @@ def repetition_stats(
             F.coalesce(F.col("rep_frac"), F.lit(0.0)).alias("rep_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PII detection / scrubbing
+# --------------------------------------------------------------------------
+
+# Patterns are written in the Java-regex ∩ RE2 common subset (char classes,
+# bounded repetition, \b ASCII word boundary; no lookaround, no backrefs) so
+# Spark and the DuckDB oracle compile the SAME automaton. Applied in this
+# order; each stage counts matches on the text AS ALREADY MASKED by the
+# previous stages, so the counts equal exactly the number of mask tokens
+# inserted into clean_text.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("longnum", r"\b\d{9,}\b", "<NUM>"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII detection + masking (the redaction pass every training-corpus
+    pipeline runs before tokenization): emails, dotted-quad IPv4s, and
+    long (≥9-digit) account/phone-like number runs are each counted and
+    replaced with a typed mask token. Returns one row per document:
+    (id, n_email, n_ipv4, n_longnum, has_pii, clean_text).
+
+    Semantics contract (mirrored verbatim by the SQL oracle): rules apply
+    in ``PII_RULES`` order, and each rule counts on the output of the
+    previous rule's masking — so Σcounts == number of mask tokens in
+    ``clean_text`` and an email's digit run is never double-reported as a
+    longnum. Regexes live in the Java∩RE2 subset so both engines match
+    identically.
+
+    Scale shape: pure rowwise Column expressions (regexp_count +
+    regexp_replace, whole-stage codegen) — zero exchanges, no state, no
+    Python; embarrassingly parallel at any corpus size."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_RULES:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    total = None
+    for name, _, _ in PII_RULES:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return (
+        docs.select(F.col(id_col), *counts, cur.alias("clean_text"))
+        .select(
+            id_col,
+            *[f"n_{name}" for name, _, _ in PII_RULES],
+            (total > 0).cast("long").alias("has_pii"),
+            "clean_text",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# domain-weighted corpus sampling (dataset mixture re-weighting)
+# --------------------------------------------------------------------------
+
+def corpus_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "s1",
+    n_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic domain-weighted corpus subsampling — the dataset
+    mixture re-weighting step of a pretraining pipeline (downweight bulk
+    web, upweight curated sources). Every document draws a stable uniform
+    bucket from the md5-carved 60-bit hash of ``id:salt`` mod
+    ``n_buckets`` and is kept iff ``bucket < round(rate·n_buckets)`` for
+    its domain's rate — so the realized sample is bit-reproducible across
+    runs, engines, and cluster sizes (rerunning a failed shard never
+    changes the sample), and changing ``salt`` redraws independently.
+
+    Returns ALL rows flagged, not just the survivors: (id, domain,
+    bucket, kept, weight) where ``weight = round(1/rate, 6)`` for kept
+    rows and 0.0 for dropped ones — the Horvitz-Thompson inverse-rate
+    weight downstream unbiased statistics need.
+
+    Scale shape: the rate table is a literal ``create_map`` (domains are
+    dimension-sized) — pure rowwise Column exprs, zero exchanges, no
+    Python, embarrassingly parallel at any corpus size."""
+    cuts = {d: int(round(r * n_buckets)) for d, r in rates.items()}
+    cut_map = F.create_map(
+        *[F.lit(x) for d in cuts for x in (d, cuts[d])]
+    )
+    rate_map = F.create_map(
+        *[F.lit(x) for d in rates for x in (d, float(rates[d]))]
+    )
+    bucket = (
+        _h60(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+        % F.lit(n_buckets)
+    )
+    cut = F.coalesce(
+        cut_map[F.col(domain_col)],
+        F.lit(int(round(default_rate * n_buckets))),
+    )
+    rate = F.coalesce(rate_map[F.col(domain_col)], F.lit(float(default_rate)))
+    kept = bucket < cut
+    return docs.select(
+        F.col(id_col),
+        F.col(domain_col),
+        bucket.alias("bucket"),
+        kept.cast("long").alias("kept"),
+        F.when(kept, F.round(F.lit(1.0) / rate, 6))
+        .otherwise(F.lit(0.0))
+        .alias("weight"),
+    )
