@@ -160,3 +160,38 @@ def test_psi_clamps_out_of_range_values(spark):
         df, "2024-03-10 00:00:00", lo=0.0, hi=10.0, n_bins=10
     ).collect()[0]
     assert r["n_ref"] == 1 and r["n_cur"] == 1 and r["psi"] > 0
+
+
+def test_seasonal_decompose_constant_series(spark):
+    rows = [
+        ("k", "m", _ts(d, h), d * 24 + h, 7.5)
+        for d in range(1, 4) for h in range(24)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, event_id long, value double"
+    )
+    out = anomaly.seasonal_decompose(df).toPandas()
+    assert len(out) == 72
+    assert (out.v == 7.5).all() and (out.trend == 7.5).all()
+    assert (out.seasonal == 0.0).all() and (out.resid == 0.0).all()
+    # interior rows saw the full 25-bucket centered window; edges fewer
+    assert out.wcnt.max() == 25 and out.wcnt.min() == 13
+
+
+def test_seasonal_decompose_linear_trend_interior(spark):
+    # linear ramp: a symmetric centered mean reproduces the center exactly,
+    # so detrended (and hence resid net of the seasonal table) vanishes
+    # in the interior; biased edge rows are exactly the wcnt<25 ones
+    rows = [
+        ("k", "m", _ts(1 + i // 24, i % 24), i, float(i))
+        for i in range(72)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, event_id long, value double"
+    )
+    out = anomaly.seasonal_decompose(df).toPandas()
+    interior = out[out.wcnt == 25]
+    assert len(interior) == 72 - 24
+    idx = (out.bucket_ts.dt.day - 1) * 24 + out.bucket_ts.dt.hour
+    assert (out.v == idx.astype(float)).all()
+    assert (interior.trend == interior.v).all()

@@ -222,6 +222,9 @@ def main() -> None:
     audit("psi drift (binned partial agg)",
           anomaly.psi_drift(ev, "2024-01-16 00:00:00", lo=0.0, hi=330.0),
           ["partial_agg", "no_cartesian"])
+    audit("seasonal decompose (bucket agg + hourly window)",
+          anomaly.seasonal_decompose(ev),
+          ["partial_agg", "no_cartesian"])
 
 
 if __name__ == "__main__":

@@ -284,3 +284,54 @@ def psi_drift(
         psi.alias("psi"),
         (psi > F.lit(threshold)).cast("long").alias("drifted"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    half_window_s: int = 43_200,
+    keys: tuple[str, ...] = ("metric",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Classical seasonal-trend decomposition (moving-average STL-lite)
+    on the hourly bucket series per key: trend = centered time-range
+    moving average over ±``half_window_s``; seasonal = per hour-of-day
+    mean of the detrended series; residual = detrended − seasonal. The
+    standard "is this shape a daily rhythm or an anomaly" diagnostic.
+
+    Emits (keys…, bucket_ts, hod, wcnt, v, trend, seasonal, resid) —
+    ``wcnt`` is the number of buckets the centered window actually saw,
+    so edge rows (shortened window → biased trend) are identifiable
+    rather than silently blended.
+
+    Scale shape: the raw volume crosses ONE exchange into the hourly
+    bucket agg (map-side partial agg); the trend window runs per key over
+    the already-hourly series (25-row sliding frame on the integer-µs
+    axis, same contract as ``rolling.rolling_agg``); the seasonal table
+    is keys×24 — dimension-sized, broadcast back. Production keying is
+    per-series (conv_id, metric): window parallelism scales with series
+    count, never raw rows."""
+    us = 1_000_000
+    b = df.groupBy(
+        *keys, F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts")
+    ).agg(F.avg(value_col).alias("v"))
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.unix_micros(F.col("bucket_ts").cast("timestamp")))
+        .rangeBetween(-half_window_s * us, half_window_s * us)
+    )
+    d = (
+        b.withColumn("trend", F.avg("v").over(w))
+        .withColumn("wcnt", F.count("v").over(w).cast("long"))
+        .withColumn("det", F.col("v") - F.col("trend"))
+        .withColumn("hod", F.hour("bucket_ts").cast("long"))
+    )
+    s = d.groupBy(*keys, "hod").agg(F.avg("det").alias("seasonal"))
+    r4 = lambda c: F.round(c + F.lit(5e-10), 4)  # noqa: E731 — ulp nudge, see rolling_agg
+    return d.join(s, [*keys, "hod"]).select(
+        *keys, "bucket_ts", "hod", "wcnt",
+        r4(F.col("v")).alias("v"),
+        r4(F.col("trend")).alias("trend"),
+        r4(F.col("seasonal")).alias("seasonal"),
+        r4(F.col("det") - F.col("seasonal")).alias("resid"),
+    )

@@ -3621,6 +3621,43 @@ def ts_psi_drift(spark, sf_dir):
     return anomaly.psi_drift(ev, "2024-01-16 00:00:00", lo=0.0, hi=330.0, n_bins=12)
 
 
+@q(
+    "ts_seasonal_decompose",
+    f"""
+WITH ev AS ({_EV}),
+b AS (SELECT metric, date_trunc('hour', ts) AS bucket_ts, avg(value) AS v
+      FROM ev GROUP BY 1, 2),
+t AS (SELECT metric, bucket_ts, v,
+             avg(v) OVER w AS trend, count(v) OVER w AS wcnt
+      FROM b
+      WINDOW w AS (PARTITION BY metric ORDER BY epoch_us(bucket_ts)
+                   RANGE BETWEEN 43200000000 PRECEDING
+                             AND 43200000000 FOLLOWING)),
+d AS (SELECT metric, bucket_ts, v, trend, wcnt, v - trend AS det,
+             extract(hour FROM bucket_ts)::BIGINT AS hod
+      FROM t),
+s AS (SELECT metric, hod, avg(det) AS seasonal FROM d GROUP BY 1, 2)
+SELECT d.metric, d.bucket_ts, d.hod, d.wcnt::BIGINT AS wcnt,
+       round(d.v + 5e-10, 4) AS v,
+       round(d.trend + 5e-10, 4) AS trend,
+       round(s.seasonal + 5e-10, 4) AS seasonal,
+       round(d.det - s.seasonal + 5e-10, 4) AS resid
+FROM d JOIN s ON d.metric = s.metric AND d.hod = s.hod
+""",
+)
+def ts_seasonal_decompose(spark, sf_dir):
+    """Moving-average seasonal-trend decomposition per metric
+    (`anomaly.seasonal_decompose`, STL-lite): hourly bucket means →
+    centered ±12 h time-range trend (integer-µs frame, wcnt exposes
+    shortened edge windows) → hour-of-day seasonal component → residual.
+    One raw-volume exchange into the bucket agg; the trend window and the
+    keys×24 seasonal join run on the already-hourly series. The same
+    +5e-10 round nudge as `ts_rolling_1h` (both engines accumulate window
+    frames in different orders)."""
+    ev = _events_long(spark, sf_dir)
+    return anomaly.seasonal_decompose(ev)
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================
