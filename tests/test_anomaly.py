@@ -195,3 +195,11 @@ def test_seasonal_decompose_linear_trend_interior(spark):
     idx = (out.bucket_ts.dt.day - 1) * 24 + out.bucket_ts.dt.hour
     assert (out.v == idx.astype(float)).all()
     assert (interior.trend == interior.v).all()
+    # seasonal is estimated from interior rows only, where det == 0 —
+    # edge-window bias must NOT leak into it, so interior resid is
+    # exactly zero (this is the regression the interior rule fixes)
+    assert (out.seasonal == 0.0).all()
+    assert (interior.resid == 0.0).all()
+    # edge rows keep their biased det as resid, flagged by wcnt < 25
+    edges = out[out.wcnt < 25]
+    assert (edges.resid != 0.0).any()

@@ -535,3 +535,13 @@ def test_corpus_sample_rates_and_weights(spark):
         extra, {"web": 0.1}, default_rate=1.0
     ).collect()[0]
     assert row["kept"] == 1 and row["weight"] == 1.0
+
+
+def test_corpus_sample_rejects_out_of_range_rates(spark):
+    import pytest as _pytest
+    docs = spark.createDataFrame([(1, "web")], "doc_id long, source string")
+    for bad in ({"web": 2.0}, {"web": 0.0}, {"web": -0.5}):
+        with _pytest.raises(ValueError):
+            textops.corpus_sample(docs, bad)
+    with _pytest.raises(ValueError):
+        textops.corpus_sample(docs, {"web": 0.5}, default_rate=0.0)

@@ -249,7 +249,9 @@ def psi_drift(
     with map-side partial agg; the per-key totals window and the final
     PSI reduction run on the already-aggregated |keys|·n_bins table.
     A window with no rows at all for a key yields p = eps on that side
-    via an explicit zero-total guard (never a NULL division)."""
+    via an explicit zero-total guard (never a NULL division). NULL
+    values are excluded up front — a null-rate change is a data-quality
+    signal, not a distribution shift, and must not fire `drifted`."""
     width = (hi - lo) / n_bins
     bin_col = F.least(
         F.greatest(F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
@@ -257,7 +259,8 @@ def psi_drift(
     ).cast("long")
     is_ref = (F.col(ts_col) < F.lit(split_ts).cast("timestamp")).cast("int")
     c = (
-        df.select(*keys, bin_col.alias("bin"), is_ref.alias("is_ref"))
+        df.where(F.col(value_col).isNotNull())
+        .select(*keys, bin_col.alias("bin"), is_ref.alias("is_ref"))
         .groupBy(*keys, "bin")
         .agg(
             F.sum("is_ref").cast("long").alias("n_ref"),
@@ -300,9 +303,18 @@ def seasonal_decompose(
     standard "is this shape a daily rhythm or an anomaly" diagnostic.
 
     Emits (keys…, bucket_ts, hod, wcnt, v, trend, seasonal, resid) —
-    ``wcnt`` is the number of buckets the centered window actually saw,
-    so edge rows (shortened window → biased trend) are identifiable
-    rather than silently blended.
+    ``wcnt`` is the number of buckets the centered window actually saw.
+    The seasonal table is estimated from INTERIOR rows only — rows at
+    least ``half_window_s`` from both series endpoints, where the
+    centered window is never truncated: a boundary-shortened window
+    systematically biases the trend, and letting those detrended rows
+    vote would smear edge bias into the seasonal (and hence residual) of
+    every row. Edge rows still get trend and wcnt; their seasonal/resid
+    come from the interior estimate, and an hour-of-day with no interior
+    coverage at all (series shorter than the window) yields NULL
+    seasonal/resid rather than a biased number. (Interiority is
+    time-based, not count-based, so sparse series with gaps keep a
+    usable seasonal table.)
 
     Scale shape: the raw volume crosses ONE exchange into the hourly
     bucket agg (map-side partial agg); the trend window runs per key over
@@ -312,23 +324,34 @@ def seasonal_decompose(
     per-series (conv_id, metric): window parallelism scales with series
     count, never raw rows."""
     us = 1_000_000
-    b = df.groupBy(
+    b = df.where(F.col(value_col).isNotNull()).groupBy(
         *keys, F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts")
     ).agg(F.avg(value_col).alias("v"))
+    ts_us = F.unix_micros(F.col("bucket_ts").cast("timestamp"))
     w = (
         W.partitionBy(*keys)
-        .orderBy(F.unix_micros(F.col("bucket_ts").cast("timestamp")))
+        .orderBy(ts_us)
         .rangeBetween(-half_window_s * us, half_window_s * us)
+    )
+    wk = W.partitionBy(*keys)
+    interior = (
+        (ts_us - F.min(ts_us).over(wk) >= half_window_s * us)
+        & (F.max(ts_us).over(wk) - ts_us >= half_window_s * us)
     )
     d = (
         b.withColumn("trend", F.avg("v").over(w))
         .withColumn("wcnt", F.count("v").over(w).cast("long"))
+        .withColumn("_interior", interior)
         .withColumn("det", F.col("v") - F.col("trend"))
         .withColumn("hod", F.hour("bucket_ts").cast("long"))
     )
-    s = d.groupBy(*keys, "hod").agg(F.avg("det").alias("seasonal"))
+    s = (
+        d.where(F.col("_interior"))
+        .groupBy(*keys, "hod")
+        .agg(F.avg("det").alias("seasonal"))
+    )
     r4 = lambda c: F.round(c + F.lit(5e-10), 4)  # noqa: E731 — ulp nudge, see rolling_agg
-    return d.join(s, [*keys, "hod"]).select(
+    return d.join(s, [*keys, "hod"], "left").select(
         *keys, "bucket_ts", "hod", "wcnt",
         r4(F.col("v")).alias("v"),
         r4(F.col("trend")).alias("trend"),

@@ -3481,14 +3481,14 @@ def ts_acf(spark, sf_dir):
     return anomaly.acf(ev)
 
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-_PII_NUM = r"\b\d{9,}\b"
+# single source of truth for the oracle regexes: interpolated straight
+# from textops.PII_RULES so the Spark and SQL copies cannot drift
+_PII_EMAIL, _PII_IPV4, _PII_NUM = (pat for _, pat, _ in textops.PII_RULES)
 
 
 @q(
     "text_pii_scrub",
-    r"""
+    f"""
 WITH inj AS (
   SELECT doc_id,
          CASE WHEN doc_id % 5 = 0 THEN
@@ -3499,22 +3499,16 @@ WITH inj AS (
          ELSE text END AS text
   FROM documents),
 s1 AS (SELECT doc_id,
-         len(regexp_extract_all(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
-             AS n_email,
-         regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-             '<EMAIL>', 'g') AS t
+         len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_email,
+         regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t
        FROM inj),
 s2 AS (SELECT doc_id, n_email,
-         len(regexp_extract_all(t,
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
-         regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
-             '<IP>', 'g') AS t
+         len(regexp_extract_all(t, '{_PII_IPV4}'))::BIGINT AS n_ipv4,
+         regexp_replace(t, '{_PII_IPV4}', '<IP>', 'g') AS t
        FROM s1),
 s3 AS (SELECT doc_id, n_email, n_ipv4,
-         len(regexp_extract_all(t, '\b\d{9,}\b'))::BIGINT AS n_longnum,
-         regexp_replace(t, '\b\d{9,}\b', '<NUM>', 'g') AS t
+         len(regexp_extract_all(t, '{_PII_NUM}'))::BIGINT AS n_longnum,
+         regexp_replace(t, '{_PII_NUM}', '<NUM>', 'g') AS t
        FROM s2)
 SELECT doc_id, n_email, n_ipv4, n_longnum,
        (n_email + n_ipv4 + n_longnum > 0)::BIGINT AS has_pii,
@@ -3590,7 +3584,7 @@ WITH ev AS ({_EV}),
 b AS (SELECT metric,
              least(greatest(floor((value - 0.0) / 27.5), 0), 11)::BIGINT AS bin,
              (ts < TIMESTAMP '2024-01-16 00:00:00')::INT AS is_ref
-      FROM ev),
+      FROM ev WHERE value IS NOT NULL),
 c AS (SELECT metric, bin, sum(is_ref)::BIGINT AS n_ref,
              sum(1 - is_ref)::BIGINT AS n_cur
       FROM b GROUP BY 1, 2),
@@ -3626,30 +3620,38 @@ def ts_psi_drift(spark, sf_dir):
     f"""
 WITH ev AS ({_EV}),
 b AS (SELECT metric, date_trunc('hour', ts) AS bucket_ts, avg(value) AS v
-      FROM ev GROUP BY 1, 2),
+      FROM ev WHERE value IS NOT NULL GROUP BY 1, 2),
 t AS (SELECT metric, bucket_ts, v,
-             avg(v) OVER w AS trend, count(v) OVER w AS wcnt
+             avg(v) OVER w AS trend, count(v) OVER w AS wcnt,
+             (epoch_us(bucket_ts) - min(epoch_us(bucket_ts)) OVER wk
+                >= 43200000000
+              AND max(epoch_us(bucket_ts)) OVER wk - epoch_us(bucket_ts)
+                >= 43200000000) AS interior
       FROM b
       WINDOW w AS (PARTITION BY metric ORDER BY epoch_us(bucket_ts)
                    RANGE BETWEEN 43200000000 PRECEDING
-                             AND 43200000000 FOLLOWING)),
-d AS (SELECT metric, bucket_ts, v, trend, wcnt, v - trend AS det,
+                             AND 43200000000 FOLLOWING),
+             wk AS (PARTITION BY metric)),
+d AS (SELECT metric, bucket_ts, v, trend, wcnt, interior, v - trend AS det,
              extract(hour FROM bucket_ts)::BIGINT AS hod
       FROM t),
-s AS (SELECT metric, hod, avg(det) AS seasonal FROM d GROUP BY 1, 2)
+s AS (SELECT metric, hod, avg(det) AS seasonal
+      FROM d WHERE interior GROUP BY 1, 2)
 SELECT d.metric, d.bucket_ts, d.hod, d.wcnt::BIGINT AS wcnt,
        round(d.v + 5e-10, 4) AS v,
        round(d.trend + 5e-10, 4) AS trend,
        round(s.seasonal + 5e-10, 4) AS seasonal,
        round(d.det - s.seasonal + 5e-10, 4) AS resid
-FROM d JOIN s ON d.metric = s.metric AND d.hod = s.hod
+FROM d LEFT JOIN s ON d.metric = s.metric AND d.hod = s.hod
 """,
 )
 def ts_seasonal_decompose(spark, sf_dir):
     """Moving-average seasonal-trend decomposition per metric
     (`anomaly.seasonal_decompose`, STL-lite): hourly bucket means →
     centered ±12 h time-range trend (integer-µs frame, wcnt exposes
-    shortened edge windows) → hour-of-day seasonal component → residual.
+    shortened edge windows) → hour-of-day seasonal component estimated
+    from interior rows only (≥12 h from both series endpoints, so
+    boundary-truncation bias never votes) → residual.
     One raw-volume exchange into the bucket agg; the trend window and the
     keys×24 seasonal join run on the already-hourly series. The same
     +5e-10 round nudge as `ts_rolling_1h` (both engines accumulate window

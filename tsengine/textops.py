@@ -1038,7 +1038,18 @@ def corpus_sample(
 
     Scale shape: the rate table is a literal ``create_map`` (domains are
     dimension-sized) — pure rowwise Column exprs, zero exchanges, no
-    Python, embarrassingly parallel at any corpus size."""
+    Python, embarrassingly parallel at any corpus size.
+
+    Rates must lie in (0, 1]: an inclusion probability above 1 is
+    unachievable (the row is simply kept, making the 1/rate weight a
+    silent undercount) and 0 makes the weight undefined — both raise."""
+    for name, r in [*rates.items(), ("default_rate", default_rate)]:
+        if not (0.0 < r <= 1.0):
+            raise ValueError(
+                f"corpus_sample: rate for {name!r} is {r}; inclusion "
+                "probabilities must be in (0, 1] for 1/rate weights to "
+                "be unbiased"
+            )
     cuts = {d: int(round(r * n_buckets)) for d, r in rates.items()}
     cut_map = F.create_map(
         *[F.lit(x) for d in cuts for x in (d, cuts[d])]
