@@ -203,3 +203,45 @@ def test_seasonal_decompose_linear_trend_interior(spark):
     # edge rows keep their biased det as resid, flagged by wcnt < 25
     edges = out[out.wcnt < 25]
     assert (edges.resid != 0.0).any()
+
+
+def test_trend_ols_matches_numpy_polyfit(spark):
+    # noisy-but-deterministic rising series: slope/intercept/r2 must match
+    # an independent numpy least-squares fit on the same centered-x axis
+    rng = np.random.default_rng(7)
+    hours = list(range(48))
+    vals = [5.0 + 0.25 * h + float(rng.normal(0, 0.5)) for h in hours]
+    rows = [("a", "m", _ts(1 + h // 24, h % 24), float(v)) for h, v in zip(hours, vals)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double"
+    )
+    got = anomaly.trend_ols(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    x = np.array(hours, dtype=float) * 3600.0  # seconds since series start
+    y = np.array(vals)
+    slope, intercept = np.polyfit(x, y, 1)
+    corr = np.corrcoef(x, y)[0, 1]
+    assert r["n"] == 48
+    assert abs(r["slope_day"] - slope * 86400.0) < 1e-5
+    assert abs(r["intercept"] - intercept) < 1e-5
+    assert abs(r["r2"] - corr * corr) < 1e-5
+
+
+def test_trend_ols_degenerate_series(spark):
+    rows = (
+        # flat-but-fittable: exact slope 0, r2 undefined -> NULL
+        [("flat", "m", _ts(1, h), 7.5) for h in range(6)]
+        # all points at ONE timestamp: zero time variance, unfittable
+        + [("onets", "m", _ts(1, 0), float(v)) for v in (1.0, 2.0, 3.0)]
+        # single point: unfittable
+        + [("single", "m", _ts(1, 0), 4.0)]
+    )
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double"
+    )
+    got = {r["conv_id"]: r for r in anomaly.trend_ols(df).collect()}
+    assert set(got) == {"flat"}  # unfittable series dropped
+    assert got["flat"]["slope_day"] == 0.0
+    assert got["flat"]["intercept"] == 7.5
+    assert got["flat"]["r2"] is None

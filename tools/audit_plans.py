@@ -211,6 +211,9 @@ def main() -> None:
               docs.where(F.col("doc_id") % 37 == 0)),
           ["broadcast_join", "no_cartesian"])
     audit("acf moments", anomaly.acf(ev), ["partial_agg", "no_cartesian"])
+    audit("trend ols (window-min center + moment agg)",
+          anomaly.trend_ols(ev),
+          ["single_exchange", "partial_agg", "no_cartesian"])
     audit("pii scrub (rowwise regex)",
           textops.pii_scrub(docs.select("doc_id", "text")),
           ["single_exchange", "codegen"])

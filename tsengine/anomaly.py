@@ -358,3 +358,81 @@ def seasonal_decompose(
         r4(F.col("seasonal")).alias("seasonal"),
         r4(F.col("det") - F.col("seasonal")).alias("resid"),
     )
+
+
+def trend_ols(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    per_s: float = 86400.0,
+) -> DataFrame:
+    """Per-series least-squares linear trend: slope (value units per
+    ``per_s`` seconds, default per day), intercept (fitted value at the
+    series' own first timestamp) and R² of value regressed on time —
+    "which series are drifting, how fast, and how linear is the drift".
+    The per-series summary counterpart of ``cusum``'s point-level drift
+    alarm (SURVEY §2.9 T17).
+
+    Shape for 100 TB: x is centered on the per-series min timestamp via
+    a partition-wide window min — the window's hash partitioning on the
+    series key is exactly the grouping key of the moment aggregation
+    that follows, so raw volume crosses ONE exchange and the groupBy
+    runs shuffle-free on the window's layout. Centering is not optional
+    numerics polish: raw epoch-microsecond x makes Σx² ≈ 1e30 and the
+    normal-equation subtraction cancels past double precision.
+
+    Closed form from raw moments (n, Σx, Σy, Σx², Σy², Σxy), the same
+    guarded-moment discipline as ``lagged_corr`` (ANSI-safe: no division
+    unless the relative variance floor holds; the SQL oracle mirrors the
+    identical formula). Degenerate series — n < 2 or zero time-variance
+    (all points at one timestamp) — cannot be fit and are dropped on
+    both engines; a flat-but-fittable series keeps its exact slope 0 row
+    with NULL R² (undefined, not zero: zero would claim "no fit" while
+    the fit is perfect).
+    """
+    w = W.partitionBy(*keys)
+    # .cast: unix_micros rejects the TIMESTAMP_NTZ the parquet tables carry
+    x_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # exact integer subtraction BEFORE the double divide: both engines see
+    # identical centered microsecond deltas, so x carries no fp skew in.
+    base = df.select(
+        *keys,
+        ((x_us - F.min(x_us).over(w)).cast("double") / F.lit(1e6)).alias("_x"),
+        F.col(value_col).cast("double").alias("_y"),
+    )
+    m = base.groupBy(*keys).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    sxx, syy, sxy = F.col("_sxx"), F.col("_syy"), F.col("_sxy")
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    # same RELATIVE variance floor as lagged_corr (see the comment there:
+    # the normal-equation subtraction cancels, and the residue's sign is
+    # summation-order dependent — a strict > 0 diverges across engines).
+    fit_ok = var_x > F.lit(1e-12) * (n * sxx)
+    slope_s = F.when(fit_ok, cov / var_x)
+    # r2 needs BOTH floors: without fit_ok the division would still be
+    # evaluated (and divide by fp-zero var_x) on rows the final filter
+    # drops anyway.
+    r2 = F.when(
+        fit_ok & (var_y > F.lit(1e-12) * (n * syy)),
+        (cov * cov) / (var_x * var_y),
+    )
+    return (
+        m.select(
+            *keys,
+            n.cast("long").alias("n"),
+            F.round(slope_s * F.lit(per_s), 6).alias("slope_day"),
+            F.round((sy - slope_s * sx) / n, 6).alias("intercept"),
+            F.round(r2, 6).alias("r2"),
+        )
+        .where(F.col("slope_day").isNotNull())
+    )

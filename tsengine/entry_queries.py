@@ -3660,6 +3660,50 @@ def ts_seasonal_decompose(spark, sf_dir):
     return anomaly.seasonal_decompose(ev)
 
 
+@q(
+    "ts_trend_ols",
+    f"""
+WITH ev AS ({_EV}),
+x AS (SELECT conv_id, metric,
+             (epoch_us(ts) - min(epoch_us(ts))
+                 OVER (PARTITION BY conv_id, metric))::DOUBLE / 1e6 AS x,
+             value::DOUBLE AS y
+      FROM ev),
+m AS (SELECT conv_id, metric, count(*)::DOUBLE AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM x GROUP BY 1, 2),
+f AS (SELECT conv_id, metric, n, sx, sy, sxx, syy, sxy,
+             CASE WHEN n * sxx - sx * sx > 1e-12 * (n * sxx)
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+             END AS slope_s
+      FROM m)
+SELECT conv_id, metric, n::BIGINT AS n,
+       round(slope_s * 86400.0, 6) AS slope_day,
+       round((sy - slope_s * sx) / n, 6) AS intercept,
+       round(CASE WHEN n * sxx - sx * sx > 1e-12 * (n * sxx)
+                   AND n * syy - sy * sy > 1e-12 * (n * syy)
+                  THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+             END, 6) AS r2
+FROM f WHERE slope_s IS NOT NULL
+""",
+)
+def ts_trend_ols(spark, sf_dir):
+    """Per-series least-squares linear trend (`anomaly.trend_ols`):
+    slope in value-units/day, intercept at the series' first timestamp,
+    and R² — the drift leaderboard over every (conv, metric) series.
+    x is centered on the per-series window-min timestamp (raw epoch-µs
+    x² overflows double cancellation); the window's partitioning is the
+    moment groupBy's key, so raw volume crosses ONE exchange. Same
+    guarded-moment + relative-variance-floor discipline as `ts_xcorr_lag`
+    / `ts_acf`, mirrored verbatim; unfittable series (n < 2 or zero time
+    variance) drop on both engines, flat-but-fittable series keep slope
+    0 with NULL R²."""
+    ev = _events_long(spark, sf_dir)
+    return anomaly.trend_ols(ev)
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================
