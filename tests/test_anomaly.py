@@ -245,3 +245,32 @@ def test_trend_ols_degenerate_series(spark):
     assert got["flat"]["slope_day"] == 0.0
     assert got["flat"]["intercept"] == 7.5
     assert got["flat"]["r2"] is None
+
+
+def test_burstiness_periodic_vs_bursty(spark):
+    # perfectly periodic clock: sigma 0 -> B = -1, cv = 0
+    periodic = [("clock", "m", _ts(1, h), 1.0) for h in range(10)]
+    # bursty: 9 events in one minute then one a day later (heavy-tail gap)
+    bursty = [
+        ("burst", "m", datetime(2024, 3, 1, 0, 0, s), 1.0) for s in range(9)
+    ] + [("burst", "m", _ts(2, 0), 1.0)]
+    # degenerate: every event on ONE timestamp -> no cadence, dropped
+    onets = [("onets", "m", _ts(1, 0), float(v)) for v in range(3)]
+    df = spark.createDataFrame(
+        periodic + bursty + onets,
+        "conv_id string, metric string, ts timestamp, value double",
+    )
+    got = {r["conv_id"]: r for r in anomaly.burstiness(df).collect()}
+    assert set(got) == {"clock", "burst"}
+    assert got["clock"]["burstiness"] == -1.0
+    assert got["clock"]["cv"] == 0.0
+    assert got["clock"]["mean_gap_s"] == 3600.0
+    # numpy twin for the bursty series
+    gaps = np.array([1.0] * 8 + [86400.0 - 8.0])
+    mu, sigma = gaps.mean(), gaps.std()
+    assert got["burst"]["n_gaps"] == 9
+    assert abs(got["burst"]["burstiness"] - (sigma - mu) / (sigma + mu)) < 1e-6
+    # firmly bursty (σ > μ): well above Poisson's 0 and the clock's −1.
+    # (B is bounded ≈ (√(n−1)−1)/(√(n−1)+1) for a single heavy-tail gap
+    # among n−1 equal ones — 0.5 at n_gaps=9 — so 0.7 is unreachable here.)
+    assert got["burst"]["burstiness"] > 0.4

@@ -214,6 +214,9 @@ def main() -> None:
     audit("trend ols (window-min center + moment agg)",
           anomaly.trend_ols(ev),
           ["single_exchange", "partial_agg", "no_cartesian"])
+    audit("burstiness (lag window + moment agg)",
+          anomaly.burstiness(ev),
+          ["single_exchange", "partial_agg", "no_cartesian"])
     audit("pii scrub (rowwise regex)",
           textops.pii_scrub(docs.select("doc_id", "text")),
           ["single_exchange", "codegen"])

@@ -436,3 +436,63 @@ def trend_ols(
         )
         .where(F.col("slope_day").isNotNull())
     )
+
+
+def burstiness(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Per-series inter-arrival cadence summary: mean gap, coefficient of
+    variation, and the Goh-Barabási burstiness index B = (σ−μ)/(σ+μ) over
+    the gaps between consecutive events — B→−1 periodic clock, B≈0
+    Poisson, B→+1 bursty (Goh & Barabási 2008, EPL 81:48002). The "is
+    this series a heartbeat or a flash crowd" diagnostic that decides
+    gap-fill and retention policy per series (SURVEY §2.9 T18).
+
+    Shape for 100 TB: identical to ``trend_ols`` — one lag window sorted
+    within the series key's hash partitions, then the moment groupBy on
+    the SAME key runs shuffle-free on the window's layout (one exchange
+    total, map-side partial agg).
+
+    Gaps are exact integer-microsecond deltas divided once at the end;
+    σ is the population sigma from raw moments with the fp-cancellation
+    residue floored at 0 on both engines (Σd²·n − (Σd)² can dip a hair
+    negative for near-constant gaps). Series with < 2 events have no gap
+    and drop; all-zero gaps (every event on one timestamp) make B 0/0 →
+    NULL → dropped on both engines, matching the "cannot characterize
+    cadence" semantic.
+    """
+    # tie-break columns are determinism polish only (the delta multiset of
+    # a ts-sorted series is tie-order invariant), so tolerate inputs that
+    # don't carry them instead of failing analysis
+    ties = [c for c in order_cols if c in df.columns]
+    w = W.partitionBy(*keys).orderBy(ts_col, *ties)
+    # .cast: unix_micros rejects the TIMESTAMP_NTZ the parquet tables carry
+    x_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (
+        df.select(*keys, (x_us - F.lag(x_us).over(w)).alias("_d_us"))
+        .where(F.col("_d_us").isNotNull())
+        .select(*keys, (F.col("_d_us").cast("double") / F.lit(1e6)).alias("_d"))
+    )
+    m = gaps.groupBy(*keys).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_d").alias("_sd"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_sdd"),
+    )
+    n, sd, sdd = F.col("_n"), F.col("_sd"), F.col("_sdd")
+    mu = sd / n
+    sigma = F.sqrt(F.greatest(sdd / n - mu * mu, F.lit(0.0)))
+    b = F.when(sigma + mu > F.lit(0.0), (sigma - mu) / (sigma + mu))
+    cv = F.when(mu > F.lit(0.0), sigma / mu)
+    return (
+        m.select(
+            *keys,
+            n.cast("long").alias("n_gaps"),
+            F.round(mu, 6).alias("mean_gap_s"),
+            F.round(cv, 6).alias("cv"),
+            F.round(b, 6).alias("burstiness"),
+        )
+        .where(F.col("burstiness").isNotNull())
+    )

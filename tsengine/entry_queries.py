@@ -3704,6 +3704,42 @@ def ts_trend_ols(spark, sf_dir):
     return anomaly.trend_ols(ev)
 
 
+@q(
+    "ts_burstiness",
+    f"""
+WITH ev AS ({_EV}),
+g AS (SELECT conv_id, metric,
+             (epoch_us(ts) - lag(epoch_us(ts))
+                 OVER (PARTITION BY conv_id, metric
+                       ORDER BY ts, event_id))::DOUBLE / 1e6 AS d
+      FROM ev),
+m AS (SELECT conv_id, metric, count(*)::DOUBLE AS n,
+             sum(d) AS sd, sum(d * d) AS sdd
+      FROM g WHERE d IS NOT NULL GROUP BY 1, 2),
+s AS (SELECT conv_id, metric, n, sd / n AS mu,
+             sqrt(greatest(sdd / n - (sd / n) * (sd / n), 0.0)) AS sigma
+      FROM m)
+SELECT conv_id, metric, n::BIGINT AS n_gaps,
+       round(mu, 6) AS mean_gap_s,
+       round(CASE WHEN mu > 0 THEN sigma / mu END, 6) AS cv,
+       round(CASE WHEN sigma + mu > 0
+                  THEN (sigma - mu) / (sigma + mu) END, 6) AS burstiness
+FROM s WHERE sigma + mu > 0
+""",
+)
+def ts_burstiness(spark, sf_dir):
+    """Per-series inter-arrival cadence (`anomaly.burstiness`): mean gap,
+    CV, and the Goh-Barabási burstiness index B = (σ−μ)/(σ+μ) — periodic
+    (−1) vs Poisson (0) vs bursty (+1), the cadence diagnostic that
+    drives per-series gap-fill/retention policy. Exact integer-µs lag
+    deltas in ONE sort window whose key partitioning the moment groupBy
+    reuses (one raw-volume exchange, same plan shape as `ts_trend_ols`);
+    population σ from raw moments with the fp-cancellation residue
+    floored at 0 on both engines."""
+    ev = _events_long(spark, sf_dir)
+    return anomaly.burstiness(ev)
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================
