@@ -1,0 +1,169 @@
+"""Unit tests for the round-4 additions: M4 downsampling, SAX words,
+seasonal-naive backtest, and metric-mix entropy — hand-computed oracles
+on tiny fixtures (the entry-level SQL parity is covered separately by
+tools/compare_oracle.py)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import numpy as np
+
+from tsengine import anomaly, indicators, rolling, temporal
+
+
+def _t(h, m=0, s=0):
+    return datetime(2024, 3, 1, h, m, s)
+
+
+# ---------------------------------------------------------------- M4 ------
+
+def test_m4_keeps_four_extrema(spark):
+    rows = [
+        # one hour bucket, values chosen so first/last/min/max all differ
+        ("a", "m", _t(10, 0), 5.0, 1),
+        ("a", "m", _t(10, 10), 1.0, 2),   # min
+        ("a", "m", _t(10, 20), 9.0, 3),   # max
+        ("a", "m", _t(10, 50), 4.0, 4),   # last
+        # second bucket: single point -> all four collapse to it
+        ("a", "m", _t(11, 5), 7.0, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    got = {
+        (r["bucket_ts"].hour): r
+        for r in rolling.m4_downsample(df, bucket="hour").collect()
+    }
+    b10 = got[10]
+    assert (b10["cnt"], b10["v_first"], b10["v_last"], b10["v_min"],
+            b10["v_max"]) == (4, 5.0, 4.0, 1.0, 9.0)
+    b11 = got[11]
+    assert (b11["cnt"], b11["v_first"], b11["v_last"], b11["v_min"],
+            b11["v_max"]) == (1, 7.0, 7.0, 7.0, 7.0)
+
+
+def test_m4_tie_semantics_pinned(spark):
+    # equal min value at two timestamps: min keeps the EARLIEST, max the
+    # LATEST attaining row (documented struct-ordering contract)
+    rows = [
+        ("a", "m", _t(10, 0), 3.0, 1),
+        ("a", "m", _t(10, 10), 1.0, 2),
+        ("a", "m", _t(10, 20), 1.0, 3),
+        ("a", "m", _t(10, 30), 3.0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    r = rolling.m4_downsample(df, bucket="hour").collect()[0]
+    # ties are on VALUE; v_min/v_max still report the value itself, so
+    # the observable contract here is first/last unaffected by the ties
+    assert (r["v_first"], r["v_last"], r["v_min"], r["v_max"]) == (
+        3.0, 3.0, 1.0, 3.0)
+    assert r["cnt"] == 4
+
+
+# --------------------------------------------------------------- SAX ------
+
+def test_sax_word_matches_numpy_reference(spark):
+    # 16 points, w=8 -> 2 points per segment; compare against a direct
+    # numpy SAX computation with the same breakpoints
+    vals = [1.0, 2.0, 8.0, 9.0, 5.0, 5.0, 0.0, 1.0,
+            7.0, 8.0, 3.0, 2.0, 9.0, 9.5, 4.0, 4.5]
+    rows = [("a", "m", _t(10, i), v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    got = anomaly.sax_words(df, w=8, alpha=4).collect()[0]
+
+    y = np.array(vals)
+    mu, sigma = y.mean(), y.std()  # population, matching the engine
+    segs = (np.arange(16) * 8) // 16
+    word = ""
+    for s in range(8):
+        z = round((y[segs == s].mean() - mu) / sigma, 6)
+        bps = anomaly.SAX_BREAKPOINTS[4]
+        word += "abcd"[np.searchsorted(bps, z, side="right")]
+    assert got["sax"] == word
+    assert got["n"] == 16 and got["n_segs"] == 8
+
+
+def test_sax_flat_series_maps_to_middle_letter(spark):
+    rows = [("a", "m", _t(10, i), 3.7, i) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    got = anomaly.sax_words(df, w=4, alpha=4).collect()[0]
+    # z=0 everywhere -> first letter at-or-above the 0 breakpoint = 'c'
+    assert got["sax"] == "cccc"
+
+
+def test_sax_short_series_fewer_segments(spark):
+    rows = [("a", "m", _t(10, i), float(i), i) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    got = anomaly.sax_words(df, w=8, alpha=4).collect()[0]
+    assert got["n_segs"] == 3 and len(got["sax"]) == 3
+
+
+# ---------------------------------------------------- seasonal backtest ---
+
+def test_seasonal_backtest_hand_computed(spark):
+    # hourly means for two days; day-2 buckets score against day-1
+    day1 = [10.0, 20.0, 0.0]
+    day2 = [12.0, 26.0, 0.0]
+    rows = []
+    for h, v in enumerate(day1):
+        rows.append(("a", "m", datetime(2024, 3, 1, h), v))
+    for h, v in enumerate(day2):
+        rows.append(("a", "m", datetime(2024, 3, 2, h), v))
+    hourly = spark.createDataFrame(
+        rows, "conv_id string, metric string, bucket_ts timestamp, "
+        "mean_v double"
+    )
+    got = temporal.seasonal_backtest(hourly, season_hours=24).collect()[0]
+    errs = [f - a for f, a in zip(day1, day2)]
+    assert got["n_scored"] == 3
+    assert got["mae"] == round(np.mean(np.abs(errs)), 6)
+    assert got["rmse"] == round(math.sqrt(np.mean(np.square(errs))), 6)
+    # smape: both-zero pair contributes 0 by the pinned convention
+    smape = np.mean([
+        2 * abs(f - a) / (abs(f) + abs(a)) if abs(f) + abs(a) > 0 else 0.0
+        for f, a in zip(day1, day2)
+    ])
+    assert got["smape"] == round(smape, 6)
+
+
+def test_seasonal_backtest_no_predecessor_unscored(spark):
+    rows = [("a", "m", datetime(2024, 3, 1, h), 1.0) for h in range(3)]
+    hourly = spark.createDataFrame(
+        rows, "conv_id string, metric string, bucket_ts timestamp, "
+        "mean_v double"
+    )
+    assert temporal.seasonal_backtest(hourly, season_hours=24).count() == 0
+
+
+# ----------------------------------------------------------- entropy ------
+
+def test_mix_entropy_hand_computed(spark):
+    rows = (
+        [("c1", "tool")] * 2 + [("c1", "msg")] * 2          # uniform k=2
+        + [("c2", "msg")] * 4                                # pure k=1
+        + [("c3", "a"), ("c3", "b"), ("c3", "b"), ("c3", "b")]
+    )
+    df = spark.createDataFrame(rows, "conv_id string, metric string")
+    got = {r["conv_id"]: r for r in indicators.mix_entropy(df).collect()}
+    assert got["c1"]["entropy"] == round(math.log(2), 6)
+    assert got["c1"]["entropy_norm"] == 1.0
+    assert got["c2"]["entropy"] == 0.0 and got["c2"]["entropy_norm"] == 0.0
+    h3 = -(0.25 * math.log(0.25) + 0.75 * math.log(0.75))
+    assert got["c3"]["entropy"] == round(h3, 6)
+    assert got["c3"]["entropy_norm"] == round(h3 / math.log(2), 6)
+    assert got["c3"]["n_events"] == 4 and got["c3"]["n_cats"] == 2

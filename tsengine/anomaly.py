@@ -438,6 +438,103 @@ def trend_ols(
     )
 
 
+# SAX alphabet breakpoints: standard-normal quantiles from Lin, Keogh,
+# Lonardi & Chiu 2003 ("A Symbolic Representation of Time Series", DMKD
+# workshop), table 3 — fixed literals so Spark and the SQL oracle compare
+# z-scores against bit-identical constants.
+SAX_BREAKPOINTS: dict[int, list[float]] = {
+    3: [-0.4307273, 0.4307273],
+    4: [-0.6744898, 0.0, 0.6744898],
+    5: [-0.8416212, -0.2533471, 0.2533471, 0.8416212],
+}
+
+
+def sax_words(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+    w: int = 8,
+    alpha: int = 4,
+) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003): z-normalize each series, PAA
+    it into ``w`` equal-count segments along the row order, quantize each
+    segment mean against the standard-normal breakpoints into an
+    ``alpha``-letter alphabet, and concatenate into one word per series —
+    the index key for motif/discord mining and whole-series dedup at
+    scale (two conversations with the same SAX word are shape-level
+    near-duplicates regardless of amplitude).
+
+    Output: keys + ``n`` (points), ``n_segs``, ``sax`` (the word).
+    Series shorter than ``w`` emit one letter per point (fewer segments);
+    flat series (relative variance under the 1e-12 floor, same discipline
+    as ``trend_ols``) z-map to 0 → the first letter at or above the 0
+    breakpoint, pinned identically in the SQL oracle.
+
+    Shape for 100 TB: rank + partition moments ride ONE window sort on
+    the series key; both groupBys (segment means, then word assembly)
+    hash on prefixes of that key, so raw volume crosses one exchange.
+    Letters are compared on round-6 z-scores on both engines so
+    summation-order ulps at a breakpoint knife-edge cannot flip a
+    letter."""
+    if alpha not in SAX_BREAKPOINTS:
+        raise ValueError(f"alpha must be one of {sorted(SAX_BREAKPOINTS)}")
+    bps = SAX_BREAKPOINTS[alpha]
+    letters = [chr(ord("a") + i) for i in range(alpha)]
+    ties = [c for c in order_cols if c in df.columns]
+    wseq = W.partitionBy(*keys).orderBy(ts_col, *ties)
+    wpart = W.partitionBy(*keys)
+    base = df.select(
+        *keys,
+        F.col(value_col).cast("double").alias("_y"),
+        (F.row_number().over(wseq) - 1).alias("_rn"),
+        F.count("*").over(wpart).alias("_n"),
+        F.sum(F.col(value_col).cast("double")).over(wpart).alias("_sy"),
+        F.sum(F.col(value_col).cast("double") * F.col(value_col).cast("double"))
+        .over(wpart)
+        .alias("_syy"),
+    )
+    # exact integer segment index: rn*w and n are both < 2^52, and an
+    # integer-valued quotient is representable, so floor() agrees with the
+    # oracle's integer division `//`
+    seg = F.floor((F.col("_rn") * F.lit(w)) / F.col("_n")).cast("long")
+    segs = base.groupBy(*keys, seg.alias("seg")).agg(
+        F.avg("_y").alias("_seg_avg"),
+        F.first("_n").alias("_n"),
+        F.first("_sy").alias("_sy"),
+        F.first("_syy").alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    mu = F.col("_sy") / n
+    var = F.col("_syy") / n - mu * mu
+    # relative variance floor (see trend_ols): the cancellation residue of
+    # a flat series is summation-order noise — both engines map it to z=0
+    ok = var > F.lit(1e-12) * (F.col("_syy") / n)
+    z = F.round(
+        F.when(ok, (F.col("_seg_avg") - mu) / F.sqrt(var)).otherwise(F.lit(0.0)),
+        6,
+    )
+    letter = F.lit(letters[-1])
+    for bp, lt in zip(reversed(bps), reversed(letters[:-1])):
+        letter = F.when(z < F.lit(bp), F.lit(lt)).otherwise(letter)
+    lettered = segs.select(*keys, "seg", F.col("_n").alias("n"), letter.alias("_l"))
+    return (
+        lettered.groupBy(*keys)
+        .agg(
+            F.first("n").cast("long").alias("n"),
+            F.count("*").cast("long").alias("n_segs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "_l"))),
+                    lambda s: s.getField("_l"),
+                ),
+                "",
+            ).alias("sax"),
+        )
+    )
+
+
 def burstiness(
     df: DataFrame,
     keys: tuple[str, ...] = ("conv_id", "metric"),

@@ -2042,12 +2042,16 @@ def ts_resume_lineage(spark, sf_dir):
     lineage summary; the oracle is the declarative expected table (golden
     values — the pipeline side-effects are not SQL-expressible, but its
     observable resume contract is)."""
+    import os
     import shutil
 
     from tsengine import jobs, synth
     from tsengine.lineage import LineageLog
 
-    root = "/tmp/tsengine_entry_resume"
+    # pid-suffixed scratch: a concurrent harness (pytest alongside the
+    # oracle sweep) sharing one fixed path can rmtree it mid-run and fail
+    # the OTHER process's read — observed once as a sweep-only flake
+    root = f"/tmp/tsengine_entry_resume_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
     t = synth.generate_transcripts(spark, n_convs=6, mega_turns=0)
     t.write.mode("overwrite").parquet(f"{root}/raw")
@@ -3738,6 +3742,152 @@ def ts_burstiness(spark, sf_dir):
     floored at 0 on both engines."""
     ev = _events_long(spark, sf_dir)
     return anomaly.burstiness(ev)
+
+
+@q(
+    "ts_m4_downsample",
+    f"""
+WITH ev AS ({_EV}),
+b AS (SELECT conv_id, metric, date_trunc('hour', ts) AS bucket_ts,
+             value, ts, event_id
+      FROM ev WHERE value IS NOT NULL),
+r AS (SELECT *,
+        row_number() OVER (PARTITION BY conv_id, metric, bucket_ts
+                           ORDER BY ts, event_id) AS rf,
+        row_number() OVER (PARTITION BY conv_id, metric, bucket_ts
+                           ORDER BY ts DESC, event_id DESC) AS rl,
+        row_number() OVER (PARTITION BY conv_id, metric, bucket_ts
+                           ORDER BY value, ts, event_id) AS rmn,
+        row_number() OVER (PARTITION BY conv_id, metric, bucket_ts
+                           ORDER BY value DESC, ts DESC, event_id DESC) AS rmx
+      FROM b)
+SELECT conv_id, metric, bucket_ts, count(*)::BIGINT AS cnt,
+       max(CASE WHEN rf = 1 THEN value END) AS v_first,
+       max(CASE WHEN rl = 1 THEN value END) AS v_last,
+       max(CASE WHEN rmn = 1 THEN value END) AS v_min,
+       max(CASE WHEN rmx = 1 THEN value END) AS v_max
+FROM r GROUP BY 1, 2, 3
+""",
+)
+def ts_m4_downsample(spark, sf_dir):
+    """M4 visualization downsampling (`rolling.m4_downsample`, Jugel et
+    al. VLDB 2014): per (series, hour) the four pixel-column extrema —
+    first/last/min/max — as ONE reaggregable groupBy with struct-min/max
+    tie pinning (first/min break earliest, last/max break latest; the
+    oracle mirrors with explicit rank windows). Map-side partial agg
+    absorbs raw volume; cascades like any tier column."""
+    ev = _events_long(spark, sf_dir).where(F.col("value").isNotNull())
+    return rolling.m4_downsample(ev, bucket="hour")
+
+
+@q(
+    "ts_sax",
+    f"""
+WITH ev AS ({_EV}),
+b AS (SELECT conv_id, metric, value::DOUBLE AS y,
+             row_number() OVER (PARTITION BY conv_id, metric
+                                ORDER BY ts, event_id) - 1 AS rn,
+             count(*) OVER p AS n,
+             sum(value::DOUBLE) OVER p AS sy,
+             sum(value::DOUBLE * value::DOUBLE) OVER p AS syy
+      FROM ev
+      WINDOW p AS (PARTITION BY conv_id, metric)),
+g AS (SELECT conv_id, metric, (rn * 8) // n AS seg,
+             avg(y) AS seg_avg, min(n) AS n, min(sy) AS sy, min(syy) AS syy
+      FROM b GROUP BY 1, 2, 3),
+z AS (SELECT conv_id, metric, seg, n,
+             round(CASE WHEN syy / n - (sy / n) * (sy / n)
+                             > 1e-12 * (syy / n)
+                        THEN (seg_avg - sy / n)
+                             / sqrt(syy / n - (sy / n) * (sy / n))
+                        ELSE 0.0 END, 6) AS z
+      FROM g),
+l AS (SELECT conv_id, metric, seg, n,
+             CASE WHEN z < -0.6744898 THEN 'a'
+                  WHEN z < 0.0 THEN 'b'
+                  WHEN z < 0.6744898 THEN 'c'
+                  ELSE 'd' END AS lt
+      FROM z)
+SELECT conv_id, metric, min(n)::BIGINT AS n, count(*)::BIGINT AS n_segs,
+       string_agg(lt, '' ORDER BY seg) AS sax
+FROM l GROUP BY 1, 2
+""",
+)
+def ts_sax(spark, sf_dir):
+    """SAX symbolization (`anomaly.sax_words`, Lin et al. 2003): per
+    series z-normalize → 8-segment PAA → 4-letter Gaussian-breakpoint
+    alphabet → one word — the motif/discord index key and shape-level
+    near-dup signature. Rank + moments ride one window sort on the
+    series key; both downstream groupBys hash on its prefixes (one
+    raw-volume exchange). Letters compare round-6 z-scores against
+    fixed breakpoint literals on both engines."""
+    ev = _events_long(spark, sf_dir)
+    return anomaly.sax_words(ev, w=8, alpha=4)
+
+
+@q(
+    "ts_seasonal_backtest",
+    f"""
+WITH ev AS ({_EV}),
+h AS (SELECT conv_id, metric, date_trunc('hour', ts) AS bucket_ts,
+             round(sum(value) / count(value), 6) AS m
+      FROM ev WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+j AS (SELECT c.conv_id, c.metric, c.m AS a, p.m AS f
+      FROM h c JOIN h p
+        ON c.conv_id = p.conv_id AND c.metric = p.metric
+       AND c.bucket_ts = p.bucket_ts + INTERVAL 24 HOUR)
+SELECT conv_id, metric, count(*)::BIGINT AS n_scored,
+       round(avg(abs(f - a)), 6) AS mae,
+       round(sqrt(avg((f - a) * (f - a))), 6) AS rmse,
+       round(avg(CASE WHEN abs(f) + abs(a) > 0
+                      THEN 2.0 * abs(f - a) / (abs(f) + abs(a))
+                      ELSE 0.0 END), 6) AS smape
+FROM j GROUP BY 1, 2
+""",
+)
+def ts_seasonal_backtest(spark, sf_dir):
+    """Seasonal-naive backtest (`temporal.seasonal_backtest`): forecast
+    every hourly bucket with the bucket 24 h earlier and score MAE /
+    RMSE / sMAPE per series — the zero-parameter forecasting baseline
+    and the "daily rhythm broke" alarm. Runs THROUGH the engine's 1h
+    tier (`rollup.rollup_from_raw`), hourly means pinned at round-6 on
+    both engines before scoring so every error term is bit-identical;
+    the self-join and scoring groupBy share the tier's partitioning."""
+    ev = _events_long(spark, sf_dir)
+    hourly = rollup.rollup_from_raw(ev, "1h").select(
+        "conv_id",
+        "metric",
+        "bucket_ts",
+        F.round(F.col("sum") / F.col("cnt"), 6).alias("mean_v"),
+    )
+    return temporal.seasonal_backtest(hourly, season_hours=24)
+
+
+@q(
+    "ts_mix_entropy",
+    f"""
+WITH ev AS ({_EV}),
+c AS (SELECT conv_id, metric, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2)
+SELECT conv_id, sum(c)::BIGINT AS n_events, count(*)::BIGINT AS n_cats,
+       round(ln(sum(c)::DOUBLE)
+             - sum(c * ln(c::DOUBLE)) / sum(c)::DOUBLE, 6) AS entropy,
+       round(CASE WHEN count(*) > 1
+                  THEN (ln(sum(c)::DOUBLE)
+                        - sum(c * ln(c::DOUBLE)) / sum(c)::DOUBLE)
+                       / ln(count(*)::DOUBLE)
+                  ELSE 0.0 END, 6) AS entropy_norm
+FROM c GROUP BY 1
+""",
+)
+def ts_mix_entropy(spark, sf_dir):
+    """Shannon entropy of each conversation's event-type mix
+    (`indicators.mix_entropy`): H in nats via the single-pass identity
+    H = ln n − (Σ c·ln c)/n over exact counts, plus Pielou evenness
+    H/ln k — the per-key diversity indicator (low-entropy tail ==
+    template/bot traffic). Two cascaded groupBys; the second key is a
+    prefix of the first, so raw volume crosses one exchange."""
+    ev = _events_long(spark, sf_dir)
+    return indicators.mix_entropy(ev, key="conv_id", cat="metric")
 
 
 # ===========================================================================

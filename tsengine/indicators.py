@@ -96,6 +96,43 @@ def hour_profile(df: DataFrame, ts: str = "ts", value: str = "value") -> DataFra
     )
 
 
+def mix_entropy(
+    df: DataFrame, key: str = "conv_id", cat: str = "metric"
+) -> DataFrame:
+    """Shannon entropy of a key's categorical mix — for transcripts, how
+    evenly a conversation spreads across event types / tools ("pure
+    chat" H=0 vs "heavy multi-tool agent" H→ln k). The per-key diversity
+    indicator of the battery; at corpus scale the low-entropy tail is a
+    template/bot detector the per-doc text metrics can't see.
+
+    Output per key: ``n_events``, ``n_cats`` (distinct categories),
+    ``entropy`` (nats, −Σ p·ln p over exact count fractions), and
+    ``entropy_norm`` (Pielou evenness H/ln k; 0 when k = 1, where
+    evenness is undefined-but-pure).
+
+    Shape for 100 TB: two cascaded groupBys — (key, cat) counts with
+    map-side partial agg absorbs raw volume, then the per-key reduce
+    runs on the already-tiny category table; the second hash is a prefix
+    of the first, so AQE coalesces rather than re-shuffles. Exact-count
+    fractions make every p term bit-identical across engines; only the
+    ≤k-term Σ varies in order, absorbed by round-6."""
+    counts = df.groupBy(key, cat).agg(F.count("*").alias("_c"))
+    n = F.sum("_c").cast("double")
+    # -Σ (c/n) ln(c/n) via Σ c·ln c: single-pass, no per-row n needed —
+    #   H = ln n − (Σ c·ln c)/n        (c ≥ 1 ⇒ ln c defined)
+    # mirrored verbatim in the SQL oracle.
+    h = F.log(n) - F.sum(F.col("_c") * F.log(F.col("_c"))) / n
+    k = F.count("*")
+    return counts.groupBy(key).agg(
+        n.cast("long").alias("n_events"),
+        k.cast("long").alias("n_cats"),
+        F.round(h, 6).alias("entropy"),
+        F.round(
+            F.when(k > 1, h / F.log(k.cast("double"))).otherwise(F.lit(0.0)), 6
+        ).alias("entropy_norm"),
+    )
+
+
 def duration_curve(
     df: DataFrame, key: str = "conv_id", value: str = "value", ts: str = "ts"
 ) -> DataFrame:

@@ -113,6 +113,51 @@ def ltob_downsample(
     )
 
 
+def m4_downsample(
+    df: DataFrame,
+    bucket: str = "hour",
+    on: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    (series, time bucket) keep the four error-free extrema of a line
+    chart — first, last, min, max values — the width-bound alternative
+    to `ltob_downsample` when the consumer is a pixel-column renderer
+    rather than a point-budget one.
+
+    One row per (series, bucket) with the four values plus the row count
+    they summarize. Tie semantics are pinned and mirrored in the oracle:
+    first/last break on (ts, tiebreak) ascending/descending; min breaks
+    to the EARLIEST attaining row, max to the LATEST (struct-min /
+    struct-max over (value, ts_us, tiebreak) — lexicographic on exact
+    doubles and integers, so no ulp ambiguity).
+
+    Scale: ONE shuffle keyed by (series, bucket) with map-side partial
+    min/max struct combine — the same reaggregable shape as the tier
+    rollups, so M4 cascades 1m→1h→1d like any other tier column."""
+    tsu = _us(F.col(ts_col))
+    first_s = F.min(F.struct(tsu.alias("t"), F.col(tiebreak).alias("k"),
+                             F.col(value_col).alias("v")))
+    last_s = F.max(F.struct(tsu.alias("t"), F.col(tiebreak).alias("k"),
+                            F.col(value_col).alias("v")))
+    min_s = F.min(F.struct(F.col(value_col).alias("v"), tsu.alias("t"),
+                           F.col(tiebreak).alias("k")))
+    max_s = F.max(F.struct(F.col(value_col).alias("v"), tsu.alias("t"),
+                           F.col(tiebreak).alias("k")))
+    return (
+        df.groupBy(*on, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
+        .agg(
+            F.count(value_col).alias("cnt"),
+            first_s.getField("v").alias("v_first"),
+            last_s.getField("v").alias("v_last"),
+            min_s.getField("v").alias("v_min"),
+            max_s.getField("v").alias("v_max"),
+        )
+    )
+
+
 def staleness(
     df: DataFrame,
     on: tuple[str, ...] = ("conv_id", "metric"),

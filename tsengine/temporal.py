@@ -403,3 +403,54 @@ def interval_join(
         .join(ib.alias("i"), cond, "inner")
         .select(*pcols, *icols)  # pcols predates _bucket; icols filters it
     )
+
+
+def seasonal_backtest(
+    hourly: DataFrame,
+    season_hours: int = 24,
+    keys: tuple[str, ...] = ("conv_id", "metric"),
+    bucket_col: str = "bucket_ts",
+    value_col: str = "mean_v",
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hourly bucket with
+    the value one season (default 24 h) earlier, then score the forecast
+    per series — the zero-parameter baseline every real forecaster must
+    beat, and the cheapest "has this series' daily rhythm broken" alarm
+    (error spikes == regime change; complements ``cusum``'s level drift).
+
+    Input is an HOURLY TIER table (bucket_ts truncated, one row per
+    series-bucket, ``value_col`` pre-rounded by the caller so both
+    engines score bit-identical error terms). Buckets whose seasonal
+    predecessor is absent are unscored (naive join semantics — no
+    gap-fill opinion baked in; run `gapfill` upstream for dense grids).
+
+    Output per series: ``n_scored``, ``mae``, ``rmse``, ``smape`` (the
+    0-200% symmetric form, 2|f−a| ⁄ (|f|+|a|), a 0-denominator term
+    scoring 0 — both-zero means a perfect forecast of nothing).
+
+    Shape for 100 TB: a self-equi-join of the tier table on
+    (keys, bucket−season) — tiny vs raw (one row per series-hour), both
+    sides share partitioning on the series key so AQE plans a single
+    co-located sort-merge; the scoring groupBy reuses that layout."""
+    cur = hourly.alias("c")
+    prev = hourly.select(
+        *keys,
+        (F.col(bucket_col) + F.expr(f"INTERVAL {int(season_hours)} HOURS")).alias(
+            bucket_col
+        ),
+        F.col(value_col).alias("_f"),
+    ).alias("p")
+    joined = cur.join(prev, [*keys, bucket_col], "inner").select(
+        *keys, F.col(value_col).alias("_a"), F.col("_f")
+    )
+    err = F.col("_f") - F.col("_a")
+    denom = F.abs(F.col("_f")) + F.abs(F.col("_a"))
+    smape_term = F.when(
+        denom > F.lit(0.0), F.lit(2.0) * F.abs(err) / denom
+    ).otherwise(F.lit(0.0))
+    return joined.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.round(F.avg(F.abs(err)), 6).alias("mae"),
+        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+        F.round(F.avg(smape_term), 6).alias("smape"),
+    )
