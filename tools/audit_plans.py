@@ -232,6 +232,29 @@ def main() -> None:
           anomaly.seasonal_decompose(ev),
           ["partial_agg", "no_cartesian"])
 
+    # late round-4 pack: M4 is one map-side-combined struct-min/max
+    # shuffle (same reaggregable shape as the tiers — struct min/max
+    # compiles to SortAggregate like ohlc, so partial_agg is the check,
+    # not codegen); SAX rides one window sort with prefix-keyed groupBys;
+    # the backtest self-join must stay an equi-join; entropy's two
+    # groupBys share a prefix key and map-side-combine
+    audit("m4 downsample", rolling.m4_downsample(ev),
+          ["partial_agg", "single_exchange"])
+    audit("sax words (window + prefix groupBys)",
+          anomaly.sax_words(ev),
+          ["single_exchange", "no_cartesian"])
+    hourly_m = rollup.rollup_from_raw(ev, "1h").select(
+        "conv_id", "metric", "bucket_ts",
+        F.round(F.col("sum") / F.col("cnt"), 6).alias("mean_v"))
+    audit("seasonal backtest (tier self equi-join)",
+          temporal.seasonal_backtest(hourly_m),
+          ["partial_agg", "no_cartesian"])
+    from tsengine import indicators as ind
+
+    audit("mix entropy (cascaded prefix groupBys)",
+          ind.mix_entropy(ev),
+          ["partial_agg", "codegen", "no_cartesian"])
+
 
 if __name__ == "__main__":
     main()
