@@ -170,6 +170,15 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
         eq.QUERIES["ts_sessionize"](spark, sf_dir))
     thunks["counter_rate"] = lambda: count_action(
         eq.QUERIES["ts_counter_rate"](spark, sf_dir))
+    # late round-4 pack (keys appended, never renamed)
+    thunks["m4_downsample"] = lambda: count_action(
+        eq.QUERIES["ts_m4_downsample"](spark, sf_dir))
+    thunks["sax_words"] = lambda: count_action(
+        eq.QUERIES["ts_sax"](spark, sf_dir))
+    thunks["seasonal_backtest"] = lambda: count_action(
+        eq.QUERIES["ts_seasonal_backtest"](spark, sf_dir))
+    thunks["mix_entropy"] = lambda: count_action(
+        eq.QUERIES["ts_mix_entropy"](spark, sf_dir))
     return thunks
 
 
