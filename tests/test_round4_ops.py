@@ -167,3 +167,68 @@ def test_mix_entropy_hand_computed(spark):
     assert got["c3"]["entropy"] == round(h3, 6)
     assert got["c3"]["entropy_norm"] == round(h3 / math.log(2), 6)
     assert got["c3"]["n_events"] == 4 and got["c3"]["n_cats"] == 2
+
+
+# ------------------------------------------------------- M4 cascade -------
+
+def test_m4_cascade_merge_equals_rebuild(spark):
+    # 2 series x 30 irregular points across 3 days: the day tier built by
+    # merging hour-tier structs must equal the day tier built from raw
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for conv in ("a", "b"):
+        for _ in range(30):
+            ts = datetime(2024, 3, 1 + rng.randrange(3), rng.randrange(24),
+                          rng.randrange(60), rng.randrange(60))
+            rows.append((conv, "m", ts, round(rng.uniform(-5, 5), 3), eid))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    hour = rolling.m4_rollup(df, bucket="hour")
+    merged = rolling.m4_finalize(rolling.m4_cascade(hour, "day")).orderBy(
+        "conv_id", "bucket_ts")
+    rebuilt = rolling.m4_downsample(df, bucket="day").orderBy(
+        "conv_id", "bucket_ts")
+    assert [r.asDict() for r in merged.collect()] == [
+        r.asDict() for r in rebuilt.collect()]
+
+
+# ---------------------------------------------------------- Brown ---------
+
+def test_brown_matches_statsmodels_style_recursion(spark):
+    vals = [3.0, 4.5, 5.0, 7.0, 8.5, 8.0, 10.0, 12.5]
+    rows = [("a", _t(10, i), v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, value double, event_id long"
+    )
+    got = (temporal.brown_smooth(df, alpha=0.25, tiebreak="event_id")
+           .orderBy("event_id").collect())
+    a = 0.25
+    s1 = s2 = vals[0]
+    for i, x in enumerate(vals):
+        if i > 0:
+            s1 = a * x + (1 - a) * s1
+            s2 = a * s1 + (1 - a) * s2
+        r = got[i]
+        assert abs(r["brown_level"] - (2 * s1 - s2)) < 1e-9
+        assert abs(r["brown_trend"] - a / (1 - a) * (s1 - s2)) < 1e-9
+        assert abs(r["brown_fcst"]
+                   - (r["brown_level"] + r["brown_trend"])) < 1e-12
+
+
+def test_brown_tracks_linear_trend_with_constant_slope(spark):
+    # on a pure linear ramp the trend estimate converges to the true slope
+    rows = [("a", _t(10, i), 2.0 * i, i) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, value double, event_id long"
+    )
+    last = (temporal.brown_smooth(df, alpha=0.25, tiebreak="event_id")
+            .orderBy("event_id").collect()[-1])
+    assert abs(last["brown_trend"] - 2.0) < 1e-3
+    # one-step forecast anticipates the next point
+    assert abs(last["brown_fcst"] - (2.0 * 59 + 2.0)) < 0.05

@@ -3864,6 +3864,63 @@ def ts_seasonal_backtest(spark, sf_dir):
 
 
 @q(
+    "ts_brown",
+    f"""
+WITH ev AS ({_EV}),
+r AS (SELECT conv_id, event_id, value,
+             row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id)
+               - 1 AS rn
+      FROM ev),
+z1 AS (SELECT conv_id, event_id, rn,
+              CASE WHEN rn = 0 THEN value
+                   ELSE 0.25::DOUBLE * power(0.75::DOUBLE, -rn) * value
+              END AS zv
+       FROM r),
+s1 AS (SELECT conv_id, event_id, rn,
+              power(0.75::DOUBLE, rn)
+              * sum(zv) OVER (PARTITION BY conv_id ORDER BY rn
+                              ROWS UNBOUNDED PRECEDING) AS s1v
+       FROM z1),
+z2 AS (SELECT conv_id, event_id, rn, s1v,
+              CASE WHEN rn = 0 THEN s1v
+                   ELSE 0.25::DOUBLE * power(0.75::DOUBLE, -rn) * s1v
+              END AS zv2
+       FROM s1),
+s2 AS (SELECT conv_id, event_id, rn, s1v,
+              power(0.75::DOUBLE, rn)
+              * sum(zv2) OVER (PARTITION BY conv_id ORDER BY rn
+                               ROWS UNBOUNDED PRECEDING) AS s2v
+       FROM z2)
+SELECT conv_id, event_id,
+       round(2.0 * s1v - s2v + 5e-10, 4) AS brown_level,
+       round((0.25::DOUBLE / 0.75::DOUBLE) * (s1v - s2v) + 5e-10, 4)
+         AS brown_trend,
+       round(2.0 * s1v - s2v
+             + (0.25::DOUBLE / 0.75::DOUBLE) * (s1v - s2v) + 5e-10, 4)
+         AS brown_fcst
+FROM s2
+""",
+)
+def ts_brown(spark, sf_dir):
+    """Brown double exponential smoothing (`temporal.brown_smooth`,
+    alpha = 0.25): level 2s1−s2, trend α/(1−α)·(s1−s2), one-step
+    forecast — the linear-trend tracker on top of `ts_ewma`'s recursion.
+    The pandas twin recursion is checked against the prefix closed form
+    applied TWICE (s2's closed form consumes s1's), same 4-decimal +
+    5e-10-nudge contract and the same ≤99-rows-per-conversation range
+    bound as `ts_ewma`."""
+    ev = _events_long(spark, sf_dir).select("conv_id", "ts", "event_id", "value")
+    out = temporal.brown_smooth(ev, alpha=0.25, tiebreak="event_id")
+    return out.select(
+        "conv_id",
+        "event_id",
+        F.round(F.col("brown_level") + F.lit(5e-10), 4).alias("brown_level"),
+        F.round(F.col("brown_trend") + F.lit(5e-10), 4).alias("brown_trend"),
+        F.round(F.col("brown_fcst") + F.lit(5e-10), 4).alias("brown_fcst"),
+    )
+
+
+@q(
     "ts_mix_entropy",
     f"""
 WITH ev AS ({_EV}),

@@ -113,7 +113,7 @@ def ltob_downsample(
     )
 
 
-def m4_downsample(
+def m4_rollup(
     df: DataFrame,
     bucket: str = "hour",
     on: tuple[str, ...] = ("conv_id", "metric"),
@@ -121,22 +121,17 @@ def m4_downsample(
     value_col: str = "value",
     tiebreak: str = "event_id",
 ) -> DataFrame:
-    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
-    (series, time bucket) keep the four error-free extrema of a line
-    chart — first, last, min, max values — the width-bound alternative
-    to `ltob_downsample` when the consumer is a pixel-column renderer
-    rather than a point-budget one.
+    """Mergeable M4 state: per (series, bucket) the four argmin/argmax
+    STRUCTS (first/last/min/max, each carrying its attaining (t, k) key)
+    plus the row count. Structs are what make the sketch reaggregable —
+    lexicographic min/max over (value|t, t|k) is associative, so
+    ``m4_cascade`` merges coarser tiers without re-reading raw (merge ≡
+    rebuild, tested). ``m4_finalize`` projects the chart-facing values.
 
-    One row per (series, bucket) with the four values plus the row count
-    they summarize. Tie semantics are pinned and mirrored in the oracle:
-    first/last break on (ts, tiebreak) ascending/descending; min breaks
-    to the EARLIEST attaining row, max to the LATEST (struct-min /
-    struct-max over (value, ts_us, tiebreak) — lexicographic on exact
-    doubles and integers, so no ulp ambiguity).
-
-    Scale: ONE shuffle keyed by (series, bucket) with map-side partial
-    min/max struct combine — the same reaggregable shape as the tier
-    rollups, so M4 cascades 1m→1h→1d like any other tier column."""
+    Tie semantics pinned by the struct field order: first/last break on
+    (t, tiebreak) earliest/latest; min breaks to the EARLIEST attaining
+    row, max to the LATEST — exact integer/double comparisons, no ulp
+    ambiguity."""
     tsu = _us(F.col(ts_col))
     first_s = F.min(F.struct(tsu.alias("t"), F.col(tiebreak).alias("k"),
                              F.col(value_col).alias("v")))
@@ -150,11 +145,68 @@ def m4_downsample(
         df.groupBy(*on, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
         .agg(
             F.count(value_col).alias("cnt"),
-            first_s.getField("v").alias("v_first"),
-            last_s.getField("v").alias("v_last"),
-            min_s.getField("v").alias("v_min"),
-            max_s.getField("v").alias("v_max"),
+            first_s.alias("m4_first"),
+            last_s.alias("m4_last"),
+            min_s.alias("m4_min"),
+            max_s.alias("m4_max"),
         )
+    )
+
+
+def m4_cascade(
+    m4: DataFrame,
+    to_bucket: str = "day",
+    on: tuple[str, ...] = ("conv_id", "metric"),
+) -> DataFrame:
+    """Coarser M4 tier FROM a finer one — struct min/max merge, never a
+    raw re-read. Same output schema as ``m4_rollup`` at ``to_bucket``."""
+    return (
+        m4.groupBy(*on, F.date_trunc(to_bucket, F.col("bucket_ts")).alias("bucket_ts"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("m4_first").alias("m4_first"),
+            F.max("m4_last").alias("m4_last"),
+            F.min("m4_min").alias("m4_min"),
+            F.max("m4_max").alias("m4_max"),
+        )
+    )
+
+
+def m4_finalize(m4: DataFrame) -> DataFrame:
+    """Chart-facing projection of the M4 state: the four values."""
+    keep = [c for c in m4.columns
+            if c not in ("m4_first", "m4_last", "m4_min", "m4_max")]
+    return m4.select(
+        *keep,
+        F.col("m4_first").getField("v").alias("v_first"),
+        F.col("m4_last").getField("v").alias("v_last"),
+        F.col("m4_min").getField("v").alias("v_min"),
+        F.col("m4_max").getField("v").alias("v_max"),
+    )
+
+
+def m4_downsample(
+    df: DataFrame,
+    bucket: str = "hour",
+    on: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    (series, time bucket) keep the four error-free extrema of a line
+    chart — first, last, min, max values — the width-bound alternative
+    to `ltob_downsample` when the consumer is a pixel-column renderer
+    rather than a point-budget one. One row per (series, bucket); see
+    ``m4_rollup`` for the pinned tie semantics.
+
+    Scale: ONE shuffle keyed by (series, bucket) with map-side partial
+    min/max struct combine — the same reaggregable shape as the tier
+    rollups; ``m4_cascade`` re-aggregates 1m→1h→1d with merge ≡ rebuild
+    guaranteed by struct-order associativity."""
+    return m4_finalize(
+        m4_rollup(df, bucket=bucket, on=on, ts_col=ts_col,
+                  value_col=value_col, tiebreak=tiebreak)
     )
 
 

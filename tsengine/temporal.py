@@ -454,3 +454,54 @@ def seasonal_backtest(
         F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
         F.round(F.avg(smape_term), 6).alias("smape"),
     )
+
+
+def brown_smooth(
+    df: DataFrame,
+    alpha: float,
+    on: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Brown's double exponential smoothing per key (the linear-trend
+    extension of ``ewma``): s1 = ewm(x), s2 = ewm(s1), then
+
+        level_t = 2·s1 − s2
+        trend_t = α/(1−α) · (s1 − s2)
+        fcst_t  = level_t + trend_t     (one-step-ahead forecast)
+
+    — the two-pass recursion that tracks a drifting series where single
+    smoothing lags the trend by a constant offset (Brown 1963; the same
+    update NIST/engineering-statistics handbooks call double exponential
+    smoothing). Adds ``brown_level`` / ``brown_trend`` / ``brown_fcst``.
+
+    Implementation mirrors ``ewma``: one ``applyInPandas`` shuffle keyed
+    by ``on``, both recursions in pandas' C ewm kernel over the sorted
+    key partition — per-key recursive state is the documented legitimate
+    Python path. Oracle path: the prefix-sum closed form applied twice
+    (s2's closed form takes s1's closed form as its input series), valid
+    under the same (1−α)^(−t) range bound as ``ewma``."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    order = [ts_col] if tiebreak is None else [ts_col, tiebreak]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("brown_level", DoubleType()),
+            StructField("brown_trend", DoubleType()),
+            StructField("brown_fcst", DoubleType()),
+        ]
+    )
+    coef = alpha / (1.0 - alpha)
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        s1 = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        s2 = s1.ewm(alpha=alpha, adjust=False).mean()
+        pdf["brown_level"] = 2.0 * s1 - s2
+        pdf["brown_trend"] = coef * (s1 - s2)
+        pdf["brown_fcst"] = pdf["brown_level"] + pdf["brown_trend"]
+        return pdf
+
+    return df.groupBy(on).applyInPandas(fn, schema=out_schema)
