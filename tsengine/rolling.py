@@ -132,6 +132,10 @@ def m4_rollup(
     (t, tiebreak) earliest/latest; min breaks to the EARLIEST attaining
     row, max to the LATEST — exact integer/double comparisons, no ulp
     ambiguity."""
+    # drop null values here (same contract as rollup_from_raw): a struct
+    # with a null field still compares in min/max, which would let a null
+    # value win an argmin — the one semantics no chart consumer wants
+    df = df.where(F.col(value_col).isNotNull())
     tsu = _us(F.col(ts_col))
     first_s = F.min(F.struct(tsu.alias("t"), F.col(tiebreak).alias("k"),
                              F.col(value_col).alias("v")))
