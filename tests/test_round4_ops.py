@@ -59,11 +59,17 @@ def test_m4_tie_semantics_pinned(spark):
         "event_id long"
     )
     r = rolling.m4_downsample(df, bucket="hour").collect()[0]
-    # ties are on VALUE; v_min/v_max still report the value itself, so
-    # the observable contract here is first/last unaffected by the ties
     assert (r["v_first"], r["v_last"], r["v_min"], r["v_max"]) == (
         3.0, 3.0, 1.0, 3.0)
     assert r["cnt"] == 4
+    # the pinned tie contract, observable through the attaining
+    # timestamps: min=1.0 at 10:10 AND 10:20 -> EARLIEST wins;
+    # max=3.0 at 10:00 AND 10:30 -> LATEST wins
+    us = 1_000_000
+    assert r["t_min_us"] % 3600_000_000 == 10 * 60 * us
+    assert r["t_max_us"] % 3600_000_000 == 30 * 60 * us
+    assert r["t_first_us"] % 3600_000_000 == 0
+    assert r["t_last_us"] % 3600_000_000 == 30 * 60 * us
 
 
 # --------------------------------------------------------------- SAX ------

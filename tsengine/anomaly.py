@@ -482,6 +482,11 @@ def sax_words(
         raise ValueError(f"alpha must be one of {sorted(SAX_BREAKPOINTS)}")
     bps = SAX_BREAKPOINTS[alpha]
     letters = [chr(ord("a") + i) for i in range(alpha)]
+    # null values would bias mu/var (count(*) counts them, the sums skip
+    # them) and map an all-null segment to the TOP letter via the
+    # null-falls-through-when chain — drop them at the operator boundary,
+    # same contract as rollup_from_raw / m4_rollup
+    df = df.where(F.col(value_col).isNotNull())
     ties = [c for c in order_cols if c in df.columns]
     wseq = W.partitionBy(*keys).orderBy(ts_col, *ties)
     wpart = W.partitionBy(*keys)

@@ -2050,7 +2050,19 @@ def ts_resume_lineage(spark, sf_dir):
 
     # pid-suffixed scratch: a concurrent harness (pytest alongside the
     # oracle sweep) sharing one fixed path can rmtree it mid-run and fail
-    # the OTHER process's read — observed once as a sweep-only flake
+    # the OTHER process's read — observed once as a sweep-only flake.
+    # Reap siblings whose owning pid is gone (kill(pid, 0) raises) so the
+    # per-process suffix doesn't leak a parquet tree per run; a LIVE
+    # sibling is exactly the concurrent process the suffix protects.
+    import glob
+
+    for stale in glob.glob("/tmp/tsengine_entry_resume_*"):
+        try:
+            os.kill(int(stale.rsplit("_", 1)[1]), 0)
+        except (ProcessLookupError, ValueError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave it
     root = f"/tmp/tsengine_entry_resume_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
     t = synth.generate_transcripts(spark, n_convs=6, mega_turns=0)
@@ -2508,7 +2520,7 @@ WITH ev AS ({_EV}),
 r AS (SELECT conv_id, event_id, value,
              row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id)
                - 1 AS rn
-      FROM ev),
+      FROM ev WHERE value IS NOT NULL),
 z AS (SELECT conv_id, event_id, rn,
              CASE WHEN rn = 0 THEN value
                   ELSE 0.25::DOUBLE * power(0.75::DOUBLE, -rn) * value
@@ -2528,8 +2540,14 @@ def ts_ewma(spark, sf_dir):
     ``temporal.ewma`` over applyInPandas) against the closed-form SQL
     oracle s_t = (1-a)^t·[x_0 + a·Σ(1-a)^(-i)·x_i] — the recursion and
     the prefix-sum form must agree to 4 decimals (safe: ≤ 99 rows per
-    conversation keeps (1-a)^(-t) finite)."""
-    ev = _events_long(spark, sf_dir).select("conv_id", "ts", "event_id", "value")
+    conversation keeps (1-a)^(-t) finite). Nulls filtered before
+    smoothing on both sides (pandas carries state across NaN rows, the
+    closed form sum-skips — they only agree on a null-free stream)."""
+    ev = (
+        _events_long(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select("conv_id", "ts", "event_id", "value")
+    )
     out = temporal.ewma(ev, alpha=0.25, tiebreak="event_id")
     return out.select(
         "conv_id", "event_id",
@@ -3765,19 +3783,25 @@ SELECT conv_id, metric, bucket_ts, count(*)::BIGINT AS cnt,
        max(CASE WHEN rf = 1 THEN value END) AS v_first,
        max(CASE WHEN rl = 1 THEN value END) AS v_last,
        max(CASE WHEN rmn = 1 THEN value END) AS v_min,
-       max(CASE WHEN rmx = 1 THEN value END) AS v_max
+       max(CASE WHEN rmx = 1 THEN value END) AS v_max,
+       max(CASE WHEN rf = 1 THEN epoch_us(ts) END)::BIGINT AS t_first_us,
+       max(CASE WHEN rl = 1 THEN epoch_us(ts) END)::BIGINT AS t_last_us,
+       max(CASE WHEN rmn = 1 THEN epoch_us(ts) END)::BIGINT AS t_min_us,
+       max(CASE WHEN rmx = 1 THEN epoch_us(ts) END)::BIGINT AS t_max_us
 FROM r GROUP BY 1, 2, 3
 """,
 )
 def ts_m4_downsample(spark, sf_dir):
     """M4 visualization downsampling (`rolling.m4_downsample`, Jugel et
     al. VLDB 2014): per (series, hour) the four pixel-column extrema —
-    first/last/min/max — as ONE reaggregable groupBy with struct-min/max
-    tie pinning (first/min break earliest, last/max break latest; the
-    oracle mirrors with explicit rank windows). Map-side partial agg
-    absorbs raw volume; cascades like any tier column."""
-    ev = _events_long(spark, sf_dir).where(F.col("value").isNotNull())
-    return rolling.m4_downsample(ev, bucket="hour")
+    first/last/min/max — as (t, v) PAIRS (the attaining timestamps are
+    the output half a candle discards; exact integer µs) in ONE
+    reaggregable groupBy with struct-min/max tie pinning (first/min
+    break earliest, last/max break latest; the oracle mirrors with
+    explicit rank windows). Map-side partial agg absorbs raw volume;
+    cascades via `rolling.m4_cascade`. Null handling lives inside
+    `m4_rollup` (one contract, not per-caller filters)."""
+    return rolling.m4_downsample(_events_long(spark, sf_dir), bucket="hour")
 
 
 @q(
@@ -3790,7 +3814,7 @@ b AS (SELECT conv_id, metric, value::DOUBLE AS y,
              count(*) OVER p AS n,
              sum(value::DOUBLE) OVER p AS sy,
              sum(value::DOUBLE * value::DOUBLE) OVER p AS syy
-      FROM ev
+      FROM ev WHERE value IS NOT NULL
       WINDOW p AS (PARTITION BY conv_id, metric)),
 g AS (SELECT conv_id, metric, (rn * 8) // n AS seg,
              avg(y) AS seg_avg, min(n) AS n, min(sy) AS sy, min(syy) AS syy
@@ -3870,7 +3894,7 @@ WITH ev AS ({_EV}),
 r AS (SELECT conv_id, event_id, value,
              row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id)
                - 1 AS rn
-      FROM ev),
+      FROM ev WHERE value IS NOT NULL),
 z1 AS (SELECT conv_id, event_id, rn,
               CASE WHEN rn = 0 THEN value
                    ELSE 0.25::DOUBLE * power(0.75::DOUBLE, -rn) * value
@@ -3908,8 +3932,15 @@ def ts_brown(spark, sf_dir):
     The pandas twin recursion is checked against the prefix closed form
     applied TWICE (s2's closed form consumes s1's), same 4-decimal +
     5e-10-nudge contract and the same ≤99-rows-per-conversation range
-    bound as `ts_ewma`."""
-    ev = _events_long(spark, sf_dir).select("conv_id", "ts", "event_id", "value")
+    bound as `ts_ewma`. Nulls are filtered BEFORE smoothing (see the
+    brown_smooth docstring: pandas carries smoothed state across NaN
+    rows, the closed form sum-skips them — the two only agree on a
+    null-free stream; the oracle mirrors the filter)."""
+    ev = (
+        _events_long(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select("conv_id", "ts", "event_id", "value")
+    )
     out = temporal.brown_smooth(ev, alpha=0.25, tiebreak="event_id")
     return out.select(
         "conv_id",

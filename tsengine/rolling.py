@@ -126,7 +126,15 @@ def m4_rollup(
     plus the row count. Structs are what make the sketch reaggregable —
     lexicographic min/max over (value|t, t|k) is associative, so
     ``m4_cascade`` merges coarser tiers without re-reading raw (merge ≡
-    rebuild, tested). ``m4_finalize`` projects the chart-facing values.
+    rebuild, tested). ``m4_finalize`` projects the chart-facing values
+    AND the attaining timestamps.
+
+    Relation to ``rollup.ohlc``: the VALUE algebra is the candle merge
+    algebra (open/high/low/close ≡ first/max/min/last). What makes M4 a
+    distinct operator is the attaining-coordinate state: a line-chart
+    renderer needs the x-coordinates of the extrema (Jugel et al.'s
+    error-free pixel guarantee is about (t, v) pairs), which candles
+    discard by construction.
 
     Tie semantics pinned by the struct field order: first/last break on
     (t, tiebreak) earliest/latest; min breaks to the EARLIEST attaining
@@ -177,7 +185,9 @@ def m4_cascade(
 
 
 def m4_finalize(m4: DataFrame) -> DataFrame:
-    """Chart-facing projection of the M4 state: the four values."""
+    """Chart-facing projection of the M4 state: the four (t, v) points —
+    values plus their attaining integer-µs timestamps (the x-coordinates
+    a line renderer needs; exact integers, hash-stable in oracles)."""
     keep = [c for c in m4.columns
             if c not in ("m4_first", "m4_last", "m4_min", "m4_max")]
     return m4.select(
@@ -186,6 +196,10 @@ def m4_finalize(m4: DataFrame) -> DataFrame:
         F.col("m4_last").getField("v").alias("v_last"),
         F.col("m4_min").getField("v").alias("v_min"),
         F.col("m4_max").getField("v").alias("v_max"),
+        F.col("m4_first").getField("t").alias("t_first_us"),
+        F.col("m4_last").getField("t").alias("t_last_us"),
+        F.col("m4_min").getField("t").alias("t_min_us"),
+        F.col("m4_max").getField("t").alias("t_max_us"),
     )
 
 

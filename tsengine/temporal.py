@@ -481,7 +481,12 @@ def brown_smooth(
     key partition — per-key recursive state is the documented legitimate
     Python path. Oracle path: the prefix-sum closed form applied twice
     (s2's closed form takes s1's closed form as its input series), valid
-    under the same (1−α)^(−t) range bound as ``ewma``."""
+    under the same (1−α)^(−t) range bound as ``ewma``.
+
+    Nulls in ``value_col`` must be filtered/filled upstream — the same
+    contract as ``ewma`` (pandas ewm carries the last smoothed value
+    across a NaN row and keeps decaying; SQL closed forms sum-skip the
+    null instead, a divergence far beyond the round-4 parity budget)."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     order = [ts_col] if tiebreak is None else [ts_col, tiebreak]
