@@ -230,3 +230,65 @@ def test_streaming_cusum_matches_batch_across_batches(spark, tmp_path):
         assert abs(got[eid] - want[eid]) < 1e-6, (eid, got[eid], want[eid])
     # hand-check the restart: 8+8=16, then max(0,16-52)=0, then 8, 13, 8
     assert [want[i] for i in range(1, 7)] == [8.0, 16.0, 0.0, 8.0, 13.0, 8.0]
+
+
+def test_streaming_m4_matches_batch(spark, tmp_path):
+    """streaming_m4 drained with two file drops must equal the batch
+    m4_downsample of the same long input — the M4 sketch is algebraic,
+    so the native windowed agg IS the batch rollup per window."""
+    import glob
+    import shutil
+
+    from tsengine import rolling
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    t = synth.generate_transcripts(spark, n_convs=20, mega_turns=200)
+    mid = t.approxQuantile("turn_idx", [0.5], 0.01)[0]
+    t.where(F.col("turn_idx") <= mid).coalesce(1).write.parquet(f"{in_dir}/d1")
+    t.where(F.col("turn_idx") > mid).coalesce(1).write.parquet(f"{in_dir}/d2")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(f"{in_dir}/d*/part-*.parquet"))):
+        shutil.copy(f, f"{flat}/{i:03d}.parquet")
+
+    metrics = ["n_chars", "tool_call"]
+
+    def to_long_stateless(df):
+        wide = (
+            df.withColumn("n_chars", F.length("text").cast("double"))
+            .withColumn(
+                "tool_call",
+                F.when(F.col("tool").isNotNull(), 1.0).otherwise(0.0),
+            )
+        )
+        return features.to_long(wide.select("conv_id", "ts", *metrics), metrics)
+
+    stream = streaming.read_transcript_stream(spark, flat, max_files_per_trigger=1)
+    m4s = streaming.streaming_m4(
+        to_long_stateless(stream), watermark="1 minute", window="1 minute"
+    )
+    q = streaming.start_tier_sink(m4s, out_dir, ckpt, trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out_dir).toPandas()
+    assert len(got) > 0, "no windows emitted — watermark never advanced"
+    key = ["conv_id", "bucket_ts", "metric"]
+    assert not got.duplicated(subset=key).any()
+
+    batch = rolling.m4_downsample(
+        to_long_stateless(t), bucket="minute", tiebreak=None
+    ).toPandas()
+    merged = got.merge(batch, on=key, suffixes=("_s", "_b"), how="left")
+    assert merged["cnt_b"].notna().all(), "streamed a window the batch doesn't have"
+    for c in ["cnt", "v_first", "v_last", "v_min", "v_max",
+              "t_first_us", "t_last_us", "t_min_us", "t_max_us"]:
+        pd.testing.assert_series_equal(
+            merged[f"{c}_s"], merged[f"{c}_b"], check_names=False, rtol=1e-12
+        )

@@ -119,7 +119,7 @@ def m4_rollup(
     on: tuple[str, ...] = ("conv_id", "metric"),
     ts_col: str = "ts",
     value_col: str = "value",
-    tiebreak: str = "event_id",
+    tiebreak: str | None = "event_id",
 ) -> DataFrame:
     """Mergeable M4 state: per (series, bucket) the four argmin/argmax
     STRUCTS (first/last/min/max, each carrying its attaining (t, k) key)
@@ -144,25 +144,37 @@ def m4_rollup(
     # with a null field still compares in min/max, which would let a null
     # value win an argmin — the one semantics no chart consumer wants
     df = df.where(F.col(value_col).isNotNull())
-    tsu = _us(F.col(ts_col))
-    first_s = F.min(F.struct(tsu.alias("t"), F.col(tiebreak).alias("k"),
-                             F.col(value_col).alias("v")))
-    last_s = F.max(F.struct(tsu.alias("t"), F.col(tiebreak).alias("k"),
-                            F.col(value_col).alias("v")))
-    min_s = F.min(F.struct(F.col(value_col).alias("v"), tsu.alias("t"),
-                           F.col(tiebreak).alias("k")))
-    max_s = F.max(F.struct(F.col(value_col).alias("v"), tsu.alias("t"),
-                           F.col(tiebreak).alias("k")))
     return (
         df.groupBy(*on, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
-        .agg(
-            F.count(value_col).alias("cnt"),
-            first_s.alias("m4_first"),
-            last_s.alias("m4_last"),
-            min_s.alias("m4_min"),
-            max_s.alias("m4_max"),
-        )
+        .agg(*m4_agg_exprs(ts_col, value_col, tiebreak))
     )
+
+
+def m4_agg_exprs(
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str | None = "event_id",
+) -> list:
+    """The M4 component set shared by the batch rollup and the streaming
+    windowed aggregation (one definition of the sketch, like
+    ``streaming.tier_agg_exprs``). ``tiebreak=None`` for streams whose
+    timestamps are unique per series (same convention as
+    ``rollup.ohlc``'s ``seq_col=None``)."""
+    tsu = _us(F.col(ts_col))
+    tie = [F.col(tiebreak).alias("k")] if tiebreak is not None else []
+    first_s = F.min(F.struct(tsu.alias("t"), *tie,
+                             F.col(value_col).alias("v")))
+    last_s = F.max(F.struct(tsu.alias("t"), *tie,
+                            F.col(value_col).alias("v")))
+    min_s = F.min(F.struct(F.col(value_col).alias("v"), tsu.alias("t"), *tie))
+    max_s = F.max(F.struct(F.col(value_col).alias("v"), tsu.alias("t"), *tie))
+    return [
+        F.count(value_col).alias("cnt"),
+        first_s.alias("m4_first"),
+        last_s.alias("m4_last"),
+        min_s.alias("m4_min"),
+        max_s.alias("m4_max"),
+    ]
 
 
 def m4_cascade(
@@ -209,7 +221,7 @@ def m4_downsample(
     on: tuple[str, ...] = ("conv_id", "metric"),
     ts_col: str = "ts",
     value_col: str = "value",
-    tiebreak: str = "event_id",
+    tiebreak: str | None = "event_id",
 ) -> DataFrame:
     """M4 visualization downsampling (Jugel et al., VLDB 2014): per
     (series, time bucket) keep the four error-free extrema of a line

@@ -99,6 +99,36 @@ def streaming_tier_long(long: DataFrame, watermark: str = "10 minutes") -> DataF
     )
 
 
+def streaming_m4(
+    long: DataFrame,
+    watermark: str = "10 minutes",
+    window: str = "1 minute",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """(conv_id, ts, metric, value) stream → windowed M4 chart-tier
+    updates. The M4 sketch is algebraic (count + four struct min/max),
+    so it streams as a NATIVE windowed aggregation with bounded
+    per-window state — no custom stateful operator, same emit-on-
+    watermark semantics as ``streaming_tier_long``. A stream drained
+    with ``trigger(availableNow=True)`` is row-identical to
+    ``rolling.m4_downsample`` on the same input (parity-tested).
+
+    ``tiebreak=None`` (default) is for streams whose timestamps are
+    unique per series; pass a column name to pin tie order like the
+    batch side does."""
+    from tsengine import rolling
+
+    agg = (
+        long.where(F.col("value").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy("conv_id", F.window("ts", window).alias("w"), "metric")
+        .agg(*rolling.m4_agg_exprs("ts", "value", tiebreak))
+        .withColumn("bucket_ts", F.col("w.start"))
+        .drop("w")
+    )
+    return rolling.m4_finalize(agg)
+
+
 def streaming_sessions(
     long: DataFrame,
     gap: str = "30 minutes",
