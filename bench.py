@@ -179,6 +179,10 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
         eq.QUERIES["ts_seasonal_backtest"](spark, sf_dir))
     thunks["mix_entropy"] = lambda: count_action(
         eq.QUERIES["ts_mix_entropy"](spark, sf_dir))
+    thunks["theil_sen"] = lambda: count_action(
+        eq.QUERIES["ts_theil_sen"](spark, sf_dir))
+    thunks["rank_norm"] = lambda: count_action(
+        eq.QUERIES["ts_rank_norm"](spark, sf_dir))
     return thunks
 
 

@@ -238,3 +238,54 @@ def test_brown_tracks_linear_trend_with_constant_slope(spark):
     assert abs(last["brown_trend"] - 2.0) < 1e-3
     # one-step forecast anticipates the next point
     assert abs(last["brown_fcst"] - (2.0 * 59 + 2.0)) < 0.05
+
+
+# --------------------------------------------------------- Theil-Sen ------
+
+def test_theil_sen_hand_computed_and_robust(spark):
+    # y = 2x with one wild outlier at x=3: OLS would bend, the pair-slope
+    # median stays at 2
+    pts = [(0, 0.0), (1, 2.0), (2, 4.0), (3, 100.0), (4, 8.0)]
+    rows = [("a", "m", datetime(2024, 3, 1), x, y) for x, y in pts]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, day timestamp, x long, y double"
+    )
+    got = anomaly.theil_sen(df).collect()[0]
+    slopes = sorted(
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1:]
+    )
+    n = len(slopes)
+    med = (slopes[n // 2 - 1] + slopes[n // 2]) / 2 if n % 2 == 0 else slopes[n // 2]
+    assert got["n_pairs"] == 10
+    assert got["theil_slope"] == round(med, 6)
+    assert got["theil_slope"] == 2.0  # the outlier does not move it
+
+
+def test_theil_sen_single_point_dropped(spark):
+    df = spark.createDataFrame(
+        [("a", "m", datetime(2024, 3, 1), 0, 1.0)],
+        "conv_id string, metric string, day timestamp, x long, y double",
+    )
+    assert anomaly.theil_sen(df).count() == 0
+
+
+# ------------------------------------------------------ rank normalize ----
+
+def test_rank_normalize_hand_computed(spark):
+    from tsengine import features
+
+    rows = [
+        ("a", "m", 5.0, 1), ("a", "m", 1.0, 2), ("a", "m", 3.0, 3),
+        ("a", "m", 3.0, 4),                      # tie -> event_id order
+        ("b", "m", 7.0, 5),                      # single point -> cdf 0
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, value double, event_id long"
+    )
+    got = {r["event_id"]: r for r in features.rank_normalize(df).collect()}
+    assert [got[e]["rank"] for e in (2, 3, 4, 1)] == [1, 2, 3, 4]
+    assert got[2]["cdf"] == 0.0 and got[1]["cdf"] == 1.0
+    assert got[3]["cdf"] == round(1 / 3, 6) and got[4]["cdf"] == round(2 / 3, 6)
+    assert got[5]["rank"] == 1 and got[5]["cdf"] == 0.0

@@ -254,6 +254,21 @@ def main() -> None:
     audit("mix entropy (cascaded prefix groupBys)",
           ind.mix_entropy(ev),
           ["partial_agg", "codegen", "no_cartesian"])
+    # theil-sen's pairwise stage must be a co-keyed EQUI-join of the tiny
+    # hourly tier (the x2 > x1 predicate rides as a post-join filter, not
+    # a join strategy); rank-norm is one window sort on the series key
+    hourly_ts = rollup.rollup_from_raw(ev, "1h").select(
+        "conv_id", "metric",
+        F.date_trunc("day", F.col("bucket_ts")).alias("day"),
+        F.hour("bucket_ts").cast("long").alias("x"),
+        F.round(F.col("sum") / F.col("cnt"), 6).alias("y"))
+    audit("theil-sen (bounded pairwise equi-join)",
+          anomaly.theil_sen(hourly_ts, keys=("conv_id", "metric", "day"),
+                            x_col="x", y_col="y"),
+          ["partial_agg", "no_cartesian"])
+    audit("rank normalize (one window sort)",
+          features.rank_normalize(ev),
+          ["single_exchange", "no_cartesian"])
 
 
 if __name__ == "__main__":

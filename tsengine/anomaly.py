@@ -598,3 +598,44 @@ def burstiness(
         )
         .where(F.col("burstiness").isNotNull())
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "metric", "day"),
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Theil-Sen robust slope per group: the MEDIAN of all pairwise
+    slopes (y2−y1)/(x2−x1) over x2 > x1 — the 29.3%-breakdown robust
+    complement to ``trend_ols`` (one wild outlier moves OLS arbitrarily,
+    it moves the pair-slope median not at all). Sen 1968 / Theil 1950.
+
+    Output per group: ``n_pairs`` and ``theil_slope`` (y units per x
+    unit, round-6). Groups with fewer than 2 distinct x values have no
+    pair and drop.
+
+    Scale contract: pairwise means O(k²) per group — this operator is
+    for PRE-AGGREGATED tiers where k is bounded by construction (e.g.
+    hourly buckets within a day: k ≤ 24 → ≤ 276 pairs), never for raw
+    series. The self-join is a co-keyed equi-join on the group key (one
+    shuffle of the already-tiny tier table, fan-out ≤ k); feeding it raw
+    events would be the all-pairs plan every other operator here is
+    built to avoid — bucket first.
+
+    Parity: inputs arrive round-pinned (the caller rounds tier means),
+    x deltas are exact integers, so both engines compute the identical
+    slope multiset; exact ``percentile(0.5)`` (Spark) and ``median``
+    (DuckDB) both average the two middle values on even counts."""
+    a = df.select(*keys, F.col(x_col).alias("_x1"), F.col(y_col).alias("_y1"))
+    b = df.select(*keys, F.col(x_col).alias("_x2"), F.col(y_col).alias("_y2"))
+    pairs = a.join(b, list(keys)).where(F.col("_x2") > F.col("_x1"))
+    slope = (F.col("_y2") - F.col("_y1")) / (F.col("_x2") - F.col("_x1"))
+    return (
+        pairs.select(*keys, slope.alias("_s"))
+        .groupBy(*keys)
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.expr("percentile(_s, 0.5)"), 6).alias("theil_slope"),
+        )
+    )

@@ -3978,6 +3978,73 @@ def ts_mix_entropy(spark, sf_dir):
     return indicators.mix_entropy(ev, key="conv_id", cat="metric")
 
 
+@q(
+    "ts_theil_sen",
+    f"""
+WITH ev AS ({_EV}),
+h AS (SELECT conv_id, metric, date_trunc('day', ts) AS day,
+             extract(hour FROM ts)::BIGINT AS x,
+             round(sum(value) / count(value), 6) AS y
+      FROM ev WHERE value IS NOT NULL GROUP BY 1, 2, 3, 4),
+p AS (SELECT a.conv_id, a.metric, a.day,
+             (b.y - a.y) / ((b.x - a.x)::DOUBLE) AS s
+      FROM h a JOIN h b
+        ON a.conv_id = b.conv_id AND a.metric = b.metric AND a.day = b.day
+       AND b.x > a.x)
+SELECT conv_id, metric, day, count(*)::BIGINT AS n_pairs,
+       round(median(s), 6) AS theil_slope
+FROM p GROUP BY 1, 2, 3
+""",
+)
+def ts_theil_sen(spark, sf_dir):
+    """Theil-Sen robust slope per (series, day) over the HOURLY tier
+    (`anomaly.theil_sen`): median of pairwise slopes between round-
+    pinned hourly means — the 29.3%-breakdown robust twin of
+    `ts_trend_ols`. Pairwise is bounded by construction (≤24 points/day
+    → ≤276 pairs) and the self-join co-keys on the group key: one
+    shuffle of the tiny tier, never an all-pairs plan on raw. Exact
+    percentile(0.5) ≙ DuckDB median (both average middles)."""
+    ev = _events_long(spark, sf_dir)
+    hourly = rollup.rollup_from_raw(ev, "1h").select(
+        "conv_id",
+        "metric",
+        F.date_trunc("day", F.col("bucket_ts")).alias("day"),
+        F.hour("bucket_ts").cast("long").alias("x"),
+        F.round(F.col("sum") / F.col("cnt"), 6).alias("y"),
+    )
+    return anomaly.theil_sen(
+        hourly, keys=("conv_id", "metric", "day"), x_col="x", y_col="y"
+    )
+
+
+@q(
+    "ts_rank_norm",
+    f"""
+WITH ev AS ({_EV})
+SELECT conv_id, metric, event_id,
+       (row_number() OVER w)::BIGINT AS rank,
+       round(CASE WHEN count(*) OVER p > 1
+                  THEN (row_number() OVER w - 1)::DOUBLE
+                       / ((count(*) OVER p - 1)::DOUBLE)
+                  ELSE 0.0 END, 6) AS cdf
+FROM ev
+WINDOW w AS (PARTITION BY conv_id, metric ORDER BY value, event_id),
+       p AS (PARTITION BY conv_id, metric)
+""",
+)
+def ts_rank_norm(spark, sf_dir):
+    """Per-series rank/CDF normalization (`features.rank_normalize`):
+    value → (rank−1)/(n−1), the distribution-free scaling a training
+    pipeline applies before mixing heterogeneous signals. row_number
+    over (value, event_id) pins tie order identically on both engines;
+    rank + count ride one series-key window partitioning (one
+    exchange)."""
+    ev = _events_long(spark, sf_dir)
+    return features.rank_normalize(ev).select(
+        "conv_id", "metric", "event_id", "rank", "cdf"
+    )
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================

@@ -257,3 +257,36 @@ def apply_signal_pack_pandas(
         return pack(pdf)[cols]
 
     return df.groupBy("conv_id").applyInPandas(runner, schema=out_schema)
+
+
+def rank_normalize(
+    df,
+    keys: tuple[str, ...] = ("conv_id", "metric"),
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+):
+    """Per-series rank/CDF normalization: value → (rank−1)/(n−1) ∈ [0,1]
+    — the distribution-free feature scaling a training pipeline applies
+    before mixing heterogeneous signals (z-scores assume a scale;
+    rank-normalization doesn't). Single-point series map to 0.0.
+
+    Rank is ``row_number`` over (value, tiebreak) — ties get DISTINCT
+    ranks in a pinned order, which keeps both engines bit-identical
+    (percent_rank's shared-rank-for-ties would too, but then equal
+    values collapse and the output is no longer a bijection of the
+    input rows, which downstream inverse-CDF sampling wants).
+
+    One sort-window per series key; the count rides the same partition
+    (one exchange total). Adds ``rank`` (long) and ``cdf`` (round-6)."""
+    from pyspark.sql import Window as W
+
+    wseq = W.partitionBy(*keys).orderBy(F.col(value_col), F.col(tiebreak))
+    wpart = W.partitionBy(*keys)
+    rn = F.row_number().over(wseq)
+    n = F.count("*").over(wpart)
+    cdf = F.when(
+        n > 1, (rn - F.lit(1)).cast("double") / (n - F.lit(1)).cast("double")
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "*", rn.cast("long").alias("rank"), F.round(cdf, 6).alias("cdf")
+    )
