@@ -183,6 +183,8 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
         eq.QUERIES["ts_theil_sen"](spark, sf_dir))
     thunks["rank_norm"] = lambda: count_action(
         eq.QUERIES["ts_rank_norm"](spark, sf_dir))
+    thunks["hampel"] = lambda: count_action(
+        eq.QUERIES["ts_hampel"](spark, sf_dir))
     return thunks
 
 

@@ -289,3 +289,39 @@ def test_rank_normalize_hand_computed(spark):
     assert got[2]["cdf"] == 0.0 and got[1]["cdf"] == 1.0
     assert got[3]["cdf"] == round(1 / 3, 6) and got[4]["cdf"] == round(2 / 3, 6)
     assert got[5]["rank"] == 1 and got[5]["cdf"] == 0.0
+
+
+# ------------------------------------------------------------ Hampel ------
+
+def test_hampel_repairs_local_spike(spark):
+    # flat-ish series with one wild spike; +-2 window, k=3
+    vals = [10.0, 10.1, 9.9, 500.0, 10.2, 9.8, 10.0]
+    rows = [("a", "m", _t(10, i), v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    got = {r["event_id"]: r for r in
+           anomaly.hampel(df, half_window=2, k=3.0).collect()}
+    # the spike is the only outlier and is repaired to its local median
+    assert got[3]["is_outlier"] == 1
+    win = sorted(vals[1:6])          # rows 1..5 around index 3
+    assert got[3]["local_med"] == round(win[2], 6)
+    assert got[3]["repaired"] == got[3]["local_med"]
+    for i in (0, 1, 2, 4, 5, 6):
+        assert got[i]["is_outlier"] == 0, i
+        assert got[i]["repaired"] == round(vals[i], 6)
+
+
+def test_hampel_edge_uses_truncated_frame(spark):
+    vals = [1.0, 2.0, 3.0]
+    rows = [("a", "m", _t(10, i), v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    got = {r["event_id"]: r for r in
+           anomaly.hampel(df, half_window=2, k=3.0).collect()}
+    # first row's frame is [1,2,3] -> median 2; all inliers
+    assert got[0]["local_med"] == 2.0
+    assert sum(r["is_outlier"] for r in got.values()) == 0

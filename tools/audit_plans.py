@@ -269,6 +269,9 @@ def main() -> None:
     audit("rank normalize (one window sort)",
           features.rank_normalize(ev),
           ["single_exchange", "no_cartesian"])
+    audit("hampel (one window sort, array stats)",
+          anomaly.hampel(ev),
+          ["single_exchange", "no_cartesian"])
 
 
 if __name__ == "__main__":

@@ -639,3 +639,69 @@ def theil_sen(
             F.round(F.expr("percentile(_s, 0.5)"), 6).alias("theil_slope"),
         )
     )
+
+
+def hampel(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+    half_window: int = 3,
+    k: float = 3.0,
+) -> DataFrame:
+    """Hampel filter: per point, the EXACT median and MAD of the ±
+    ``half_window``-row neighborhood; a point farther than
+    k·1.4826·MAD from its local median is an outlier and is REPAIRED to
+    that median (Hampel 1974; the rolling robust twin of
+    ``mad_outliers``' global summary — a spike inside an otherwise
+    drifting series is invisible globally, obvious locally).
+
+    Adds ``local_med``, ``is_outlier`` (long), ``repaired`` — the
+    repaired stream feeds gap-fill/codec stages that a single glitch
+    row would otherwise poison.
+
+    Implementation: ``collect_list`` over the bounded rows frame, then
+    EXACT array statistics in pure Column exprs (sort, middle element /
+    middle pair, transform-abs, sort again). No approximation and no
+    Python — the frame is 2·half_window+1 elements, so per-row state is
+    constant and the whole thing is one window sort per series key.
+    Series edges use the truncated frame that exists (pandas
+    ``min_periods=1`` semantics). The MAD of the local window uses
+    deviations from the CENTER point's median (the textbook form —
+    median_j |v_j − med_i|), computable exactly here because the whole
+    neighborhood array is in hand; precomputed-deviation approximations
+    exist only because row-at-a-time windows can't see the array.
+
+    Parity: both engines sort the IDENTICAL double multiset and index
+    the same positions — exact agreement, no rounding games needed
+    (outputs still round-6 for hash stability)."""
+    ties = [c for c in order_cols if c in df.columns]
+    df = df.where(F.col(value_col).isNotNull())
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(ts_col, *ties)
+        .rowsBetween(-half_window, half_window)
+    )
+    arr = F.array_sort(F.collect_list(F.col(value_col).cast("double")).over(w))
+
+    def arr_median(a):
+        n = F.size(a)
+        lo = F.element_at(a, F.floor((n + 1) / 2).cast("int"))
+        hi = F.element_at(a, F.floor(n / 2).cast("int") + 1)
+        return (lo + hi) / 2.0
+
+    med = arr_median(arr)
+    base = df.select("*", med.alias("_med"), arr.alias("_arr"))
+    dev_arr = F.array_sort(
+        F.transform(F.col("_arr"), lambda x: F.abs(x - F.col("_med")))
+    )
+    mad = arr_median(dev_arr)
+    v = F.col(value_col)
+    out = F.abs(v - F.col("_med")) > F.lit(float(k)) * F.lit(MAD_SIGMA) * mad
+    return base.select(
+        *[c for c in df.columns],
+        F.round(F.col("_med"), 6).alias("local_med"),
+        out.cast("long").alias("is_outlier"),
+        F.round(F.when(out, F.col("_med")).otherwise(v), 6).alias("repaired"),
+    )

@@ -4045,6 +4045,45 @@ def ts_rank_norm(spark, sf_dir):
     )
 
 
+@q(
+    "ts_hampel",
+    f"""
+WITH ev AS ({_EV}),
+b AS (SELECT conv_id, metric, ts, event_id, value::DOUBLE AS v,
+             list_sort(list(value::DOUBLE) OVER (
+               PARTITION BY conv_id, metric ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS a
+      FROM ev WHERE value IS NOT NULL),
+n1 AS (SELECT *, len(a) AS n FROM b),
+m AS (SELECT *, (a[((n + 1) // 2)] + a[(n // 2) + 1]) / 2.0 AS med FROM n1),
+d AS (SELECT *, list_sort(list_transform(a, x -> abs(x - med))) AS da
+      FROM m),
+f AS (SELECT conv_id, metric, event_id, v, med,
+             (da[((n + 1) // 2)] + da[(n // 2) + 1]) / 2.0 AS mad
+      FROM d)
+SELECT conv_id, metric, event_id,
+       round(med, 6) AS local_med,
+       (abs(v - med) > 3.0 * 1.4826 * mad)::BIGINT AS is_outlier,
+       round(CASE WHEN abs(v - med) > 3.0 * 1.4826 * mad
+                  THEN med ELSE v END, 6) AS repaired
+FROM f
+""",
+)
+def ts_hampel(spark, sf_dir):
+    """Hampel filter (`anomaly.hampel`, ±3-row window, k=3): per-point
+    local median/MAD outlier detection + repair-to-median — the rolling
+    robust twin of `ts_outlier_mad`. EXACT array statistics from a
+    collect_list rows-frame (sort → middle elements; textbook
+    median_j |v_j − med_i| MAD, no approximation, no Python); both
+    engines sort the identical double multiset, so the outlier
+    comparison agrees exactly. One window sort per series key, constant
+    per-row state (7-element frame)."""
+    ev = _events_long(spark, sf_dir)
+    return anomaly.hampel(ev, half_window=3, k=3.0).select(
+        "conv_id", "metric", "event_id", "local_med", "is_outlier", "repaired"
+    )
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================
