@@ -185,6 +185,13 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
         eq.QUERIES["ts_rank_norm"](spark, sf_dir))
     thunks["hampel"] = lambda: count_action(
         eq.QUERIES["ts_hampel"](spark, sf_dir))
+    # gauge/state/periodicity pack (keys appended, never renamed)
+    thunks["time_weighted"] = lambda: count_action(
+        eq.QUERIES["ts_time_weighted"](spark, sf_dir))
+    thunks["state_durations"] = lambda: count_action(
+        eq.QUERIES["ts_state_durations"](spark, sf_dir))
+    thunks["spectral_daily"] = lambda: count_action(
+        eq.QUERIES["ts_spectral_daily"](spark, sf_dir))
     return thunks
 
 

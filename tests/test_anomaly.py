@@ -274,3 +274,37 @@ def test_burstiness_periodic_vs_bursty(spark):
     # (B is bounded ≈ (√(n−1)−1)/(√(n−1)+1) for a single heavy-tail gap
     # among n−1 equal ones — 0.5 at n_gaps=9 — so 0.7 is unreachable here.)
     assert got["burst"]["burstiness"] > 0.4
+
+
+def test_spectral_power_detects_daily_sinusoid(spark):
+    import math
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for h in range(24 * 7):  # one week hourly
+        ts = t0 + timedelta(hours=h)
+        # pure daily sinusoid, amplitude 2, on a DC offset
+        rows.append(("sine", 10.0 + 2.0 * math.sin(2 * math.pi * h / 24), ts, h))
+        # linear ramp: no daily oscillation
+        rows.append(("ramp", float(h), ts, h))
+        # constant: zero variance -> dropped
+        rows.append(("flat", 3.0, ts, h))
+    df = spark.createDataFrame(rows, "conv_id string, value double, ts timestamp, event_id long")
+    got = {r["conv_id"]: r for r in anomaly.spectral_power(df, period_s=86400.0).collect()}
+    assert set(got) == {"sine", "ramp"}  # constant series dropped
+    assert abs(got["sine"]["amp"] - 2.0) < 1e-3          # recovers amplitude
+    assert got["sine"]["strength"] > 0.999               # all variance daily
+    assert got["ramp"]["strength"] < 0.05                # none of the ramp's is
+
+
+def test_spectral_power_null_values_skipped(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("a", None if h % 3 == 0 else float(h % 24), t0 + timedelta(hours=h), h)
+            for h in range(48)]
+    df = spark.createDataFrame(rows, "conv_id string, value double, ts timestamp, event_id long")
+    [r] = anomaly.spectral_power(df).collect()
+    assert r["n_pts"] == sum(1 for h in range(48) if h % 3 != 0)
+    assert r["strength"] is not None

@@ -212,3 +212,64 @@ def test_concurrency_peaks_stacked(spark):
     )
     r = temporal.concurrency_peaks(df, group_col="day").collect()[0]
     assert (r["peak_concurrent"], r["peak_ts"]) == (5, _ts(9, 4))
+
+
+def test_time_weighted_avg_locf_integral(spark):
+    # value 1.0 held 10 min, then 3.0 held 20 min, then 5.0 (no successor)
+    # TWA = (1*600 + 3*1200) / 1800 = 2.3333..; duration 1800 s
+    rows = [
+        ("a", "m", 1, _ts(9, 0), 1.0),
+        ("a", "m", 2, _ts(9, 10), 3.0),
+        ("a", "m", 3, _ts(9, 30), 5.0),
+        ("b", "m", 4, _ts(9, 0), 9.0),   # single point: zero span, dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, event_id long, ts timestamp, value double"
+    )
+    got = {r["conv_id"]: r for r in temporal.time_weighted_avg(df).collect()}
+    assert set(got) == {"a"}
+    assert got["a"]["n_pts"] == 3
+    assert got["a"]["duration_s"] == 1800.0
+    assert abs(got["a"]["twa"] - (1 * 600 + 3 * 1200) / 1800) < 1e-6
+    # chatty burst must NOT over-weight: plain avg of (1,3,5) is 3,
+    # but 3.0 only held twice as long as 1.0
+    assert got["a"]["twa"] < 3.0
+
+
+def test_time_weighted_avg_duplicate_ts_tie_order(spark):
+    # two samples on one instant: event_id order decides which carries
+    # into the next segment (the later one, 7.0) — zero-width segment
+    # contributes nothing
+    rows = [
+        ("a", "m", 1, _ts(9, 0), 1.0),
+        ("a", "m", 2, _ts(9, 0), 7.0),
+        ("a", "m", 3, _ts(9, 30), 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, event_id long, ts timestamp, value double"
+    )
+    [r] = temporal.time_weighted_avg(df).collect()
+    assert r["twa"] == 7.0 and r["duration_s"] == 1800.0 and r["n_pts"] == 3
+
+
+def test_state_durations_entries_and_spans(spark):
+    # a: view(10 min) -> click(20 min) -> view(0, last) : view entered 2x
+    rows = [
+        ("a", 1, _ts(9, 0), "view"),
+        ("a", 2, _ts(9, 10), "click"),
+        ("a", 3, _ts(9, 30), "view"),
+        ("b", 4, _ts(9, 0), "view"),   # lone event: 0 s, 1 entry
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, event_id long, ts timestamp, metric string"
+    )
+    got = {(r["conv_id"], r["state"]): r for r in temporal.state_durations(df).collect()}
+    assert got[("a", "view")]["total_s"] == 600.0
+    assert got[("a", "view")]["n_entries"] == 2
+    assert got[("a", "view")]["n_events"] == 2
+    assert got[("a", "click")]["total_s"] == 1200.0
+    assert got[("a", "click")]["n_entries"] == 1
+    assert got[("b", "view")]["total_s"] == 0.0
+    assert got[("b", "view")]["n_entries"] == 1
+    # total time across states == first->last span per key
+    assert sum(r["total_s"] for k, r in got.items() if k[0] == "a") == 1800.0

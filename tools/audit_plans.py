@@ -273,6 +273,20 @@ def main() -> None:
           anomaly.hampel(ev),
           ["single_exchange", "no_cartesian"])
 
+    # gauge/state/periodicity pack: TWA and state durations ride ONE
+    # (key, ts) window sort whose partitioning their groupBys reuse
+    # (subset clustering — no second raw exchange); spectral power is a
+    # pure six-sum partial-agg groupBy, no window at all
+    audit("time-weighted avg (one window sort + reused agg)",
+          temporal.time_weighted_avg(ev),
+          ["single_exchange", "partial_agg", "no_cartesian"])
+    audit("state durations (one window sort + reused agg)",
+          temporal.state_durations(ev),
+          ["single_exchange", "partial_agg", "no_cartesian"])
+    audit("spectral power (six-sum partial agg, no window)",
+          anomaly.spectral_power(ev),
+          ["single_exchange", "partial_agg", "codegen", "no_cartesian"])
+
 
 if __name__ == "__main__":
     main()

@@ -17,6 +17,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -704,4 +706,77 @@ def hampel(
         F.round(F.col("_med"), 6).alias("local_med"),
         out.cast("long").alias("is_outlier"),
         F.round(F.when(out, F.col("_med")).otherwise(v), 6).alias("repaired"),
+    )
+
+
+def spectral_power(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("conv_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period_s: float = 86400.0,
+) -> DataFrame:
+    """Single-bin discrete Fourier power at a fixed period — the Goertzel
+    question "how strongly does this series oscillate daily?" as one
+    aggregation, no FFT. For each key the mean-centered values are
+    projected onto cos/sin at ``period_s``:
+
+        cc = Σ (v−v̄)·cos(2π·t/P)    ss = Σ (v−v̄)·sin(2π·t/P)
+
+    and reported as ``amp`` = 2·√(cc²+ss²)/n (the fitted sinusoid's
+    amplitude in value units) and ``strength`` = 2·(cc²+ss²)/(n·Σ(v−v̄)²)
+    ∈ [0, ~1], the fraction of variance at that frequency (≈ R² of the
+    least-squares sinusoid fit when the window covers whole periods —
+    the factor 2 because a sinusoid of amplitude A carries variance
+    A²/2, so the bin power A²n²/4 must be doubled before the n·var
+    normalization for a pure tone to score 1).
+    This is the periodicity detector that decides seasonal-model vs
+    flat gap-fill per series (pairs with `seasonal_decompose`, which
+    assumes the period this operator verifies).
+
+    Mean-centering uses the expansion cc = Σv·cos − v̄·Σcos (single
+    pass, map-side partial agg — no second scan). The phase argument is
+    reduced BEFORE the trig call with exact integer-microsecond
+    arithmetic (``epoch_us mod round(P·1e6)`` — exact in both engines,
+    whereas cos(2π·epoch/P) on raw epochs hands each libm a ~1e5-radian
+    argument whose reduction is implementation-defined). Constant series
+    have zero variance → NULL strength → dropped ("nothing oscillates").
+
+    Shape for 100 TB: one groupBy on the series keys, six partial-agg
+    sums, no window, no shuffle beyond the one agg exchange.
+    """
+    p_us = int(round(period_s * 1e6))
+    x_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    theta = (x_us % F.lit(p_us)).cast("double") / F.lit(float(p_us)) * F.lit(2.0 * math.pi)
+    v = F.col(value_col).cast("double")
+    m = (
+        df.where(v.isNotNull())
+        .select(*keys, v.alias("_v"), F.cos(theta).alias("_c"), F.sin(theta).alias("_s"))
+        .groupBy(*keys)
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.sum("_v").alias("_sv"),
+            F.sum(F.col("_v") * F.col("_v")).alias("_svv"),
+            F.sum("_c").alias("_sc"),
+            F.sum("_s").alias("_ss"),
+            F.sum(F.col("_v") * F.col("_c")).alias("_svc"),
+            F.sum(F.col("_v") * F.col("_s")).alias("_svs"),
+        )
+    )
+    n = F.col("_n")
+    mean = F.col("_sv") / n
+    cc = F.col("_svc") - mean * F.col("_sc")
+    ss = F.col("_svs") - mean * F.col("_ss")
+    # fp-cancellation floor, same guard as burstiness' sigma
+    var_n = F.greatest(F.col("_svv") - n * mean * mean, F.lit(0.0))
+    pw = cc * cc + ss * ss
+    strength = F.when(var_n > 0, F.lit(2.0) * pw / (n * var_n))
+    return (
+        m.select(
+            *keys,
+            n.cast("long").alias("n_pts"),
+            F.round(F.lit(2.0) * F.sqrt(pw) / n, 6).alias("amp"),
+            F.round(strength, 6).alias("strength"),
+        )
+        .where(F.col("strength").isNotNull())
     )

@@ -4084,6 +4084,99 @@ def ts_hampel(spark, sf_dir):
     )
 
 
+@q(
+    "ts_time_weighted",
+    f"""
+WITH ev AS ({_EV}),
+s AS (SELECT conv_id, metric, value,
+        lead(epoch_us(ts)) OVER (PARTITION BY conv_id, metric
+                                 ORDER BY ts, event_id)
+          - epoch_us(ts) AS w_us
+      FROM ev),
+m AS (SELECT conv_id, metric, count(*)::BIGINT AS n_pts,
+             sum(value * w_us::DOUBLE) AS vw, sum(w_us) AS tot_us
+      FROM s GROUP BY 1, 2)
+SELECT conv_id, metric, n_pts,
+       round(vw / tot_us::DOUBLE, 6) AS twa,
+       round(tot_us::DOUBLE / 1e6, 6) AS duration_s
+FROM m WHERE tot_us > 0
+""",
+)
+def ts_time_weighted(spark, sf_dir):
+    """LOCF time-weighted average (`temporal.time_weighted_avg`, the
+    TimescaleDB ``time_weight`` aggregate): per series, the integral of
+    the hold-last-value step function over the observed first→last span,
+    divided by that span — the honest mean for irregular gauges where
+    plain avg over-weights chatty bursts. Segment widths are exact
+    integer microseconds from ONE (key, ts, event_id) window sort whose
+    partitioning the final groupBy reuses; zero-span groups drop on both
+    engines."""
+    ev = _events_long(spark, sf_dir)
+    return temporal.time_weighted_avg(ev)
+
+
+@q(
+    "ts_state_durations",
+    f"""
+WITH ev AS ({_EV}),
+s AS (SELECT conv_id, metric AS state,
+        coalesce(lead(epoch_us(ts)) OVER w - epoch_us(ts), 0) AS w_us,
+        CASE WHEN lag(metric) OVER w IS NULL OR lag(metric) OVER w <> metric
+             THEN 1 ELSE 0 END AS entered
+      FROM ev WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id))
+SELECT conv_id, state, round((sum(w_us) / 1e6)::DOUBLE, 6) AS total_s,
+       sum(entered)::BIGINT AS n_entries, count(*)::BIGINT AS n_events
+FROM s GROUP BY 1, 2
+""",
+)
+def ts_state_durations(spark, sf_dir):
+    """Time-in-state aggregate (`temporal.state_durations`, the
+    TimescaleDB ``state_agg`` shape): the event stream is an implicit
+    state machine — each event holds its type until the next — and the
+    output is seconds spent, entry count, and event count per (conv,
+    state). The lead-width and entered-flag lags share ONE window sort;
+    the last event of a conversation closes the window with zero
+    duration, matching `ts_time_weighted`'s observed span."""
+    ev = _events_long(spark, sf_dir)
+    return temporal.state_durations(ev)
+
+
+@q(
+    "ts_spectral_daily",
+    f"""
+WITH ev AS ({_EV}),
+b AS (SELECT conv_id, value::DOUBLE AS v,
+             (epoch_us(ts) % 86400000000)::DOUBLE / 86400000000.0
+               * 2 * pi() AS th
+      FROM ev WHERE value IS NOT NULL),
+m AS (SELECT conv_id, count(*)::DOUBLE AS n, sum(v) AS sv, sum(v*v) AS svv,
+             sum(cos(th)) AS sc, sum(sin(th)) AS ss,
+             sum(v*cos(th)) AS svc, sum(v*sin(th)) AS svs
+      FROM b GROUP BY 1),
+f AS (SELECT conv_id, n,
+             svc - sv/n*sc AS cc, svs - sv/n*ss AS ss2,
+             greatest(svv - n*(sv/n)*(sv/n), 0.0) AS var_n
+      FROM m)
+SELECT conv_id, n::BIGINT AS n_pts,
+       round(2.0 * sqrt(cc*cc + ss2*ss2) / n, 6) AS amp,
+       round(2.0 * (cc*cc + ss2*ss2) / (n * var_n), 6) AS strength
+FROM f WHERE var_n > 0
+""",
+)
+def ts_spectral_daily(spark, sf_dir):
+    """Single-bin DFT power at the daily period (`anomaly.spectral_power`,
+    the Goertzel question "does this series oscillate daily?"): the
+    mean-centered values projected onto cos/sin at 86400 s, reported as
+    the fitted sinusoid amplitude and the variance fraction at that
+    frequency — the periodicity detector that picks seasonal vs flat
+    gap-fill per series. Phase is reduced with exact integer-µs mod
+    BEFORE the trig call (raw-epoch cos hands each libm a ~1e5-radian
+    argument with implementation-defined reduction); one groupBy, six
+    partial-agg sums, no window."""
+    ev = _events_long(spark, sf_dir)
+    return anomaly.spectral_power(ev)
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================

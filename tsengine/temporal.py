@@ -510,3 +510,99 @@ def brown_smooth(
         return pdf
 
     return df.groupBy(on).applyInPandas(fn, schema=out_schema)
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Time-weighted average with LOCF semantics (the TimescaleDB
+    ``time_weight('locf')`` aggregate): each sample's value holds until
+    the next sample, so the average is the integral of the step function
+    from the first to the last sample divided by the observed duration —
+    the correct mean for irregularly-sampled gauges, where the plain
+    ``avg`` over-weights chatty periods (a conversation that reports its
+    queue depth every second during a burst and hourly overnight).
+
+    Returns one row per key group: ``twa`` (double), ``duration_s``
+    (observed first→last span), ``n_pts``. Groups whose span is zero
+    (single sample, or every sample on one timestamp) have no definable
+    time weighting and are dropped — same "cannot characterize" semantic
+    as ``anomaly.burstiness``.
+
+    Shape for 100 TB: one window sorted within the series key's hash
+    partitions computes each segment's exact integer-microsecond width
+    (``lead(ts) − ts``), then the groupBy on the SAME keys reuses that
+    layout — one exchange total, map-side partial agg on the weighted
+    sums. Segment widths are exact integers; only the final two divisions
+    are float, so summation order cannot move the result past the
+    rounding guard. Duplicate timestamps get zero-width segments and the
+    deterministic (ts, order_cols) tie order decides which duplicate
+    carries into the next distinct instant — pin ``order_cols`` to a
+    unique column for cross-engine parity.
+    """
+    ties = [c for c in order_cols if c in df.columns]
+    w = W.partitionBy(*keys).orderBy(ts_col, *ties)
+    x_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    seg = df.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        (F.lead(x_us).over(w) - x_us).alias("_w_us"),
+    )
+    m = seg.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_pts"),
+        F.sum(F.col("_v") * F.col("_w_us").cast("double")).alias("_vw"),
+        F.sum("_w_us").alias("_tot_us"),
+    )
+    return (
+        m.where(F.col("_tot_us") > 0)
+        .select(
+            *keys,
+            "n_pts",
+            F.round(F.col("_vw") / F.col("_tot_us").cast("double"), 6).alias("twa"),
+            F.round(F.col("_tot_us").cast("double") / F.lit(1e6), 6).alias("duration_s"),
+        )
+    )
+
+
+def state_durations(
+    df: DataFrame,
+    on: str = "conv_id",
+    ts_col: str = "ts",
+    state_col: str = "metric",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Time-in-state aggregate (the TimescaleDB ``state_agg`` shape): a
+    key's stream of (ts, state) events is an implicit state machine —
+    each event puts the series in ``state_col`` until the next event —
+    and the output is, per (key, state), the total seconds spent there,
+    how many times the state was entered, and how many events carried
+    it. The last event of a key has no successor and contributes zero
+    duration (the observation window closes at the last sample, matching
+    ``time_weighted_avg``'s first→last span).
+
+    Shape for 100 TB: both the segment-width ``lead`` and the
+    entered-flag ``lag`` ride ONE (key, ts, ties) window sort, and the
+    groupBy on (key, state) is the only other exchange. Durations are
+    exact integer microseconds until the single final division.
+    """
+    ties = [c for c in order_cols if c in df.columns]
+    w = W.partitionBy(on).orderBy(ts_col, *ties)
+    x_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_state = F.lag(state_col).over(w)
+    seg = df.select(
+        F.col(on),
+        F.col(state_col).alias("state"),
+        F.coalesce(F.lead(x_us).over(w) - x_us, F.lit(0)).alias("_w_us"),
+        F.when(prev_state.isNull() | (prev_state != F.col(state_col)), 1)
+        .otherwise(0)
+        .alias("_entered"),
+    )
+    return seg.groupBy(on, "state").agg(
+        F.round((F.sum("_w_us") / F.lit(1e6)).cast("double"), 6).alias("total_s"),
+        F.sum("_entered").cast("long").alias("n_entries"),
+        F.count("*").cast("long").alias("n_events"),
+    )
