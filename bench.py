@@ -192,6 +192,8 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
         eq.QUERIES["ts_state_durations"](spark, sf_dir))
     thunks["spectral_daily"] = lambda: count_action(
         eq.QUERIES["ts_spectral_daily"](spark, sf_dir))
+    thunks["changepoint"] = lambda: count_action(
+        eq.QUERIES["ts_changepoint"](spark, sf_dir))
     return thunks
 
 

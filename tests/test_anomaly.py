@@ -308,3 +308,45 @@ def test_spectral_power_null_values_skipped(spark):
     [r] = anomaly.spectral_power(df).collect()
     assert r["n_pts"] == sum(1 for h in range(48) if h % 3 != 0)
     assert r["strength"] is not None
+
+
+def test_changepoint_finds_level_shift(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # shift: 40 points at 1.0, then 40 at 5.0 (tiny deterministic ripple
+    # so sigma > 0 within segments too)
+    for h in range(80):
+        lvl = 1.0 if h < 40 else 5.0
+        rows.append(("shift", "m", t0 + timedelta(hours=h), h, lvl + 0.01 * (h % 2)))
+        rows.append(("flat", "m", t0 + timedelta(hours=h), h, 2.0))  # zero var -> drop
+    rows.append(("lone", "m", t0, 0, 9.0))  # single point -> drop
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, event_id long, value double"
+    )
+    got = {r["conv_id"]: r for r in anomaly.changepoint(df).collect()}
+    assert set(got) == {"shift"}
+    r = got["shift"]
+    assert r["cp_idx"] == 40                       # left segment = first 40
+    assert r["cp_ts"] == t0 + timedelta(hours=40)  # new level starts here
+    assert abs(r["mean_left"] - 1.005) < 1e-6
+    assert abs(r["mean_right"] - 5.005) < 1e-6
+    assert abs(r["delta"] - 4.0) < 1e-6
+    # max G for a clean half/half shift is (n/4)·Δ / (σ·√(n/4)) = √n·Δ/(4·σ̂)
+    # = √80·4/(4·2.00002) ≈ 8.944 — far above the ~3 "real break" rule
+    assert abs(r["stat"] - 8.944244) < 1e-3
+
+
+def test_changepoint_no_shift_low_stat(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    # deterministic pseudo-noise around a constant level: stat stays small
+    rows = [("a", "m", t0 + timedelta(hours=h), h, float((h * 7919) % 13))
+            for h in range(100)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, event_id long, value double"
+    )
+    [r] = anomaly.changepoint(df).collect()
+    assert r["stat"] < 3.0  # below the ~3-sigma "real break" rule of thumb

@@ -286,6 +286,11 @@ def main() -> None:
     audit("spectral power (six-sum partial agg, no window)",
           anomaly.spectral_power(ev),
           ["single_exchange", "partial_agg", "codegen", "no_cartesian"])
+    # changepoint: prefix sums + series totals + argmax pick are all
+    # windows over the series key — re-sorts of ONE raw exchange
+    audit("changepoint (CUSUM argmax, one raw exchange)",
+          anomaly.changepoint(ev),
+          ["single_exchange", "no_cartesian"])
 
 
 if __name__ == "__main__":

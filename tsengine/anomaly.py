@@ -780,3 +780,81 @@ def spectral_power(
         )
         .where(F.col("strength").isNotNull())
     )
+
+
+def changepoint(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Single most-significant level shift per series — the first split of
+    binary-segmentation changepoint detection (Scott & Knott 1974 AMOC
+    shape; the statistic is the standardized CUSUM
+
+        G_i = |S_i − (i/n)·S_n| / (σ̂·√(i·(n−i)/n))
+
+    maximized over split points i ∈ [1, n), where S_i is the prefix sum
+    and σ̂ the whole-series population std — under H0 "no shift" G is
+    ~max of |N(0,1)|-ish, so G ≳ 3 flags a real break). Complements
+    `temporal.cusum` (which detects drift ONLINE against a known target;
+    this finds the single best retrospective break with no target).
+
+    Returns one row per series: ``n_pts``, ``cp_idx`` (size of the left
+    segment), ``cp_ts`` (timestamp of the first right-segment point —
+    when the new level starts), ``stat``, ``mean_left``, ``mean_right``,
+    ``delta``. Series with < 2 points or zero variance drop ("nothing to
+    split"). The statistic is rounded to 6 decimals BEFORE the argmax and
+    ties break on the earliest split, so engines that differ in
+    summation-order ulps still pick the same point.
+
+    Shape for 100 TB: prefix sums, series totals, and the argmax
+    row_number all partition by the series key — ONE raw-volume exchange,
+    the extra window passes are re-sorts of the same hash partitions.
+    Like every per-series window here, a mega-series serializes within
+    one task; pre-split with the salted chunk machinery if a single
+    series outgrows a task.
+    """
+    ties = [c for c in order_cols if c in df.columns]
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(*keys, F.col(ts_col), *ties, v.alias("_v"))
+    wseq = W.partitionBy(*keys).orderBy(ts_col, *ties)
+    wall = W.partitionBy(*keys)
+    r = base.select(
+        *keys,
+        F.row_number().over(wseq).alias("_i"),
+        F.sum("_v").over(wseq.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("_s"),
+        F.lead(ts_col).over(wseq).alias("_next_ts"),
+        F.count("*").over(wall).alias("_n"),
+        F.sum("_v").over(wall).alias("_sn"),
+        F.sum(F.col("_v") * F.col("_v")).over(wall).alias("_qn"),
+    )
+    i, n = F.col("_i"), F.col("_n")
+    s, sn, qn = F.col("_s"), F.col("_sn"), F.col("_qn")
+    i_d = i.cast("double")
+    sigma = F.sqrt(F.greatest(qn / n - (sn / n) * (sn / n), F.lit(0.0)))
+    stat = F.round(
+        F.abs(s - (i_d / n) * sn) / (sigma * F.sqrt(i_d * (n - i) / n)), 6
+    )
+    st = (
+        r.where(i < n)
+        .withColumn("_sigma", sigma)
+        .where(F.col("_sigma") > 0)
+        .select(*keys, "_i", "_next_ts", "_n", "_s", "_sn", stat.alias("_stat"))
+    )
+    wpick = W.partitionBy(*keys).orderBy(F.col("_stat").desc(), F.col("_i").asc())
+    return (
+        st.withColumn("_rk", F.row_number().over(wpick))
+        .where(F.col("_rk") == 1)
+        .select(
+            *keys,
+            n.cast("long").alias("n_pts"),
+            i.cast("long").alias("cp_idx"),
+            F.col("_next_ts").alias("cp_ts"),
+            F.col("_stat").alias("stat"),
+            F.round(s / i, 6).alias("mean_left"),
+            F.round((sn - s) / (n - i), 6).alias("mean_right"),
+            F.round((sn - s) / (n - i) - s / i, 6).alias("delta"),
+        )
+    )

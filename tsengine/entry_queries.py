@@ -4177,6 +4177,50 @@ def ts_spectral_daily(spark, sf_dir):
     return anomaly.spectral_power(ev)
 
 
+@q(
+    "ts_changepoint",
+    f"""
+WITH ev AS ({_EV}),
+v AS (SELECT conv_id, metric, ts, event_id, value::DOUBLE AS v
+      FROM ev WHERE value IS NOT NULL),
+r AS (SELECT conv_id, metric, ts, v,
+        row_number() OVER w AS i,
+        sum(v) OVER (PARTITION BY conv_id, metric ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS s,
+        lead(ts) OVER w AS next_ts,
+        count(*) OVER (PARTITION BY conv_id, metric) AS n,
+        sum(v) OVER (PARTITION BY conv_id, metric) AS sn,
+        sum(v*v) OVER (PARTITION BY conv_id, metric) AS qn
+      FROM v WINDOW w AS (PARTITION BY conv_id, metric ORDER BY ts, event_id)),
+g AS (SELECT conv_id, metric, i, next_ts, n, s, sn,
+             sqrt(greatest(qn/n - (sn/n)*(sn/n), 0.0)) AS sigma
+      FROM r WHERE i < n),
+st AS (SELECT conv_id, metric, i, next_ts, n, s, sn,
+              round(abs(s - (i::DOUBLE/n)*sn)
+                    / (sigma * sqrt(i::DOUBLE*(n-i)/n)), 6) AS stat
+       FROM g WHERE sigma > 0),
+p AS (SELECT *, row_number() OVER (PARTITION BY conv_id, metric
+                                   ORDER BY stat DESC, i ASC) AS rk FROM st)
+SELECT conv_id, metric, n::BIGINT AS n_pts, i::BIGINT AS cp_idx,
+       next_ts AS cp_ts, stat,
+       round(s / i, 6) AS mean_left,
+       round((sn - s) / (n - i), 6) AS mean_right,
+       round((sn - s) / (n - i) - s / i, 6) AS delta
+FROM p WHERE rk = 1
+""",
+)
+def ts_changepoint(spark, sf_dir):
+    """Single most-significant level shift per series
+    (`anomaly.changepoint`, the AMOC first split of binary segmentation):
+    standardized CUSUM G_i = |S_i − (i/n)·S_n| / (σ·√(i(n−i)/n))
+    maximized over split points, argmax picked on the 6-dp-rounded
+    statistic with earliest-split tie-break so summation-order ulps
+    can't flip the winner between engines. Prefix sums, series totals,
+    and the pick window all ride the series key's ONE raw exchange."""
+    ev = _events_long(spark, sf_dir)
+    return anomaly.changepoint(ev)
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================
