@@ -194,6 +194,10 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
         eq.QUERIES["ts_spectral_daily"](spark, sf_dir))
     thunks["changepoint"] = lambda: count_action(
         eq.QUERIES["ts_changepoint"](spark, sf_dir))
+    thunks["chunk_compact"] = lambda: count_action(
+        chunks.compact_chunks(
+            chunks.encode_chunks(fr, ts_col="bucket_ts", chunk_span="1d"),
+            to_span="7d"))
     return thunks
 
 

@@ -53,3 +53,46 @@ def test_chunk_bounds_and_stats(spark, transcripts):
     assert back.count() == enc.count()
     st = chunks.chunk_stats(enc).toPandas()
     assert (st["compression_ratio"] > 1.0).all()  # regular grid must compress
+
+
+def test_compact_chunks_lossless_and_fewer_blobs(spark, transcripts):
+    long = features.to_long(
+        features.derive_features(transcripts.where(F.col("conv_id") < "conv-00000010")),
+        ["char_rate"],
+    )
+    filled = gapfill.gapfill_sql(long, "1m", "linear").cache()
+    daily = chunks.encode_chunks(filled, chunk_span="1d").cache()
+    weekly = chunks.compact_chunks(daily, to_span="7d").cache()
+
+    # strictly fewer blobs, identical point bookkeeping
+    assert weekly.count() < daily.count()
+    assert (
+        weekly.agg(F.sum("n")).first()[0] == daily.agg(F.sum("n")).first()[0]
+    )
+    # one blob per (conv, metric, week)
+    assert (
+        weekly.groupBy("conv_id", "metric", "chunk_start").count()
+        .agg(F.max("count")).first()[0] == 1
+    )
+    # lossless through the extra generation: decode(compact(x)) == decode(x)
+    a = (
+        chunks.decode_chunks(daily).toPandas()
+        .sort_values(["conv_id", "metric", "bucket_ts"]).reset_index(drop=True)
+    )
+    b = (
+        chunks.decode_chunks(weekly).toPandas()
+        .sort_values(["conv_id", "metric", "bucket_ts"]).reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    assert (a["bucket_ts"].to_numpy() == b["bucket_ts"].to_numpy()).all()
+    assert np.array_equal(
+        a["value"].to_numpy().view(np.uint64), b["value"].to_numpy().view(np.uint64)
+    )
+    # amortized headers: stored bytes must not grow (and normally shrink)
+    sb_daily = chunks.chunk_stats(daily).agg(F.sum("stored_bytes")).first()[0]
+    sb_weekly = chunks.chunk_stats(weekly).agg(F.sum("stored_bytes")).first()[0]
+    assert sb_weekly <= sb_daily
+    # min/max stats survive the merge (range pruning keeps working)
+    mm_d = daily.agg(F.min("v_min"), F.max("v_max")).first()
+    mm_w = weekly.agg(F.min("v_min"), F.max("v_max")).first()
+    assert mm_d == mm_w

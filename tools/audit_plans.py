@@ -291,6 +291,18 @@ def main() -> None:
     audit("changepoint (CUSUM argmax, one raw exchange)",
           anomaly.changepoint(ev),
           ["single_exchange", "no_cartesian"])
+    # compaction shuffles BLOB rows only (encode's exchange + the
+    # compact-key regroup — both orders of magnitude below raw volume)
+    from tsengine import chunks as chunks_mod
+
+    audit("chunk compaction (blob-row regroup)",
+          chunks_mod.compact_chunks(
+              chunks_mod.encode_chunks(
+                  gapfill.gapfill_sql(
+                      ev.where(F.col("metric") == "view"), "1h", "ffill"),
+                  ts_col="bucket_ts", chunk_span="1d"),
+              to_span="7d"),
+          ["no_cartesian"])
 
 
 if __name__ == "__main__":

@@ -171,3 +171,82 @@ def chunk_stats(chunks_df: DataFrame) -> DataFrame:
             / F.sum(F.length("ts_blob") + F.length("val_blob"))
         ).alias("compression_ratio"),
     )
+
+
+COMPACT_UNITS = {"1d": "day", "7d": "week", "1mo": "month"}
+
+
+def compact_chunks(
+    chunks_df: DataFrame,
+    to_span: str = "7d",
+) -> DataFrame:
+    """Merge a series' consecutive chunk blobs into coarser-span blobs —
+    the retention-side compaction job (TimescaleDB ``compress_chunk``
+    rewrite / Gorilla block merge): after a day's fine-grained 1h/1d
+    chunks stop receiving writes, one weekly blob per series amortizes
+    the per-blob codec headers and parquet row overhead over ~7× more
+    points, and time-range pruning keeps working through the coarser
+    ``chunk_start`` min/max stats.
+
+    The decode→concatenate→re-encode happens INSIDE the grouped UDF on
+    blob rows — raw points never shuffle (the exchange moves compressed
+    blobs, ~raw/compression_ratio bytes) and never touch the source
+    table. Blobs merge in ``chunk_start`` order; each blob's points are
+    already time-sorted by ``encode_chunks``, so the merged stream is
+    sorted and the delta-of-delta recompression is lossless —
+    ``decode_chunks(compact_chunks(x)) ≡ decode_chunks(x)`` bit-for-bit
+    (oracle-checked by ``ts_chunk_compact``).
+
+    Group size is bounded by to_span/grid-step points per (conv, metric,
+    compact_start) — e.g. a week of 1m grid = 10,080 points — so
+    mega-series stay task-sized for the same reason ``encode_chunks``'
+    time-based chunking bounds them. Mixed input codecs per group are
+    fine (each blob decodes with its own registered codec); the output
+    blob uses the FIRST blob's codec pair.
+    """
+    unit = COMPACT_UNITS[to_span]
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("chunk_start", kind="mergesort")
+        ts_parts = [
+            codec.TS_CODECS[tc][1](bytes(tb))
+            for tc, tb in zip(pdf["ts_codec"], pdf["ts_blob"])
+        ]
+        val_parts = [
+            codec.CODECS[vc][1](bytes(vb))
+            for vc, vb in zip(pdf["val_codec"], pdf["val_blob"])
+        ]
+        ts_all = np.concatenate(ts_parts).astype("int64")
+        val_all = np.concatenate(val_parts).astype(np.float64)
+        ts_codec = pdf["ts_codec"].iloc[0]
+        val_codec = pdf["val_codec"].iloc[0]
+        finite = val_all[np.isfinite(val_all)]
+        out = pd.DataFrame(
+            [
+                (
+                    pdf["conv_id"].iloc[0],
+                    pdf["metric"].iloc[0],
+                    pdf["compact_start"].iloc[0],
+                    len(val_all),
+                    ts_codec,
+                    val_codec,
+                    codec.TS_CODECS[ts_codec][0](ts_all),
+                    codec.CODECS[val_codec][0](val_all),
+                    float(finite.min()) if len(finite) else None,
+                    float(finite.max()) if len(finite) else None,
+                )
+            ],
+            columns=[
+                "conv_id", "metric", "chunk_start", "n", "ts_codec",
+                "val_codec", "ts_blob", "val_blob", "v_min", "v_max",
+            ],
+        )
+        out["chunk_start"] = pd.to_datetime(out["chunk_start"])
+        return out
+
+    keyed = chunks_df.withColumn(
+        "compact_start", F.date_trunc(unit, F.col("chunk_start"))
+    )
+    return keyed.groupBy("conv_id", "metric", "compact_start").applyInPandas(
+        merge, schema=CHUNKS
+    )

@@ -4178,6 +4178,30 @@ def ts_spectral_daily(spark, sf_dir):
 
 
 @q(
+    "ts_chunk_compact",
+    _GAPFILL_BASE
+    + """
+SELECT conv_id, metric, bucket_ts, round(prev_v, 6) AS value FROM w
+""",
+)
+def ts_chunk_compact(spark, sf_dir):
+    """Compaction round-trip (`chunks.compact_chunks`): daily blobs →
+    ONE weekly blob per series, decode→concat→re-encode inside the
+    grouped UDF on blob rows only (raw points never shuffle). Lossless
+    by construction, so the decoded output must match the same gap-fill
+    oracle as `ts_chunk_roundtrip` bit-for-bit — and it does so THROUGH
+    the extra compress/merge/recompress generation."""
+    long = _events_long(spark, sf_dir).where(F.col("metric") == "view")
+    filled = gapfill.gapfill_sql(long, freq="1h", method="ffill")
+    enc = chunks.encode_chunks(filled, ts_col="bucket_ts", chunk_span="1d")
+    merged = chunks.compact_chunks(enc, to_span="7d")
+    dec = chunks.decode_chunks(merged)
+    return dec.select(
+        "conv_id", "metric", "bucket_ts", F.round("value", 6).alias("value")
+    )
+
+
+@q(
     "ts_changepoint",
     f"""
 WITH ev AS ({_EV}),
