@@ -198,6 +198,10 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
         chunks.compact_chunks(
             chunks.encode_chunks(fr, ts_col="bucket_ts", chunk_span="1d"),
             to_span="7d"))
+    thunks["tier_merge_late"] = lambda: count_action(
+        eq.QUERIES["ts_tier_merge_late"](spark, sf_dir))
+    thunks["chunk_range_read"] = lambda: count_action(
+        eq.QUERIES["ts_chunk_range_read"](spark, sf_dir))
     return thunks
 
 

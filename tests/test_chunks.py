@@ -96,3 +96,40 @@ def test_compact_chunks_lossless_and_fewer_blobs(spark, transcripts):
     mm_d = daily.agg(F.min("v_min"), F.max("v_max")).first()
     mm_w = weekly.agg(F.min("v_min"), F.max("v_max")).first()
     assert mm_d == mm_w
+
+
+def test_decode_range_prunes_and_keeps_bounds(spark, transcripts):
+    long = features.to_long(
+        features.derive_features(transcripts.where(F.col("conv_id") < "conv-00000005")),
+        ["char_rate"],
+    )
+    filled = gapfill.gapfill_sql(long, "1m", "linear").cache()
+    enc = chunks.encode_chunks(filled, chunk_span="1h").cache()
+    lo, hi = (
+        filled.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    )
+    import pandas as pd
+
+    t0 = pd.Timestamp(lo) + pd.Timedelta(hours=1)
+    t1 = pd.Timestamp(lo) + pd.Timedelta(hours=3)
+    got = chunks.decode_range(enc, str(t0), str(t1), chunk_span="1h")
+    want = filled.where(
+        F.col("bucket_ts").between(F.lit(str(t0)), F.lit(str(t1)))
+    )
+    a = want.select("conv_id", "metric", "bucket_ts", "value").toPandas()
+    b = got.toPandas()
+    a = a.sort_values(["conv_id", "metric", "bucket_ts"]).reset_index(drop=True)
+    b = b.sort_values(["conv_id", "metric", "bucket_ts"]).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert (a["bucket_ts"].to_numpy() == b["bucket_ts"].to_numpy()).all()
+    assert np.array_equal(
+        a["value"].to_numpy().view(np.uint64), b["value"].to_numpy().view(np.uint64)
+    )
+    # the blob-level prune really prunes: only spans overlapping
+    # [t0-span, t1] survive before decode
+    span = pd.Timedelta(hours=1)
+    n_candidates = enc.where(
+        (F.col("chunk_start") <= F.lit(str(t1)))
+        & (F.col("chunk_start") >= F.lit(str(t0 - span)))
+    ).count()
+    assert n_candidates < enc.count()

@@ -6,6 +6,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from pyspark.sql import functions as F
+
 from tsengine import features, rollup
 
 
@@ -149,3 +151,39 @@ def test_hist_sketch_cascade_and_quantiles(spark):
         bigger = [x for x in bounds if x >= kth]
         want = bigger[0] if bigger else bounds[-1]
         assert r["p50"] == want, (kth, r["p50"], want)
+
+
+def test_merge_tiers_equals_from_scratch(spark, transcripts):
+    long = features.to_long(
+        features.derive_features(transcripts.where(F.col("conv_id") < "conv-00000010")),
+        ["char_rate", "latency_s"],
+    ).cache()
+    cutoff = long.agg(F.expr("percentile(cast(ts as double), 0.7)")).first()[0]
+    on_time = rollup.rollup_from_raw(
+        long.where(F.col("ts").cast("double") < cutoff), "1m")
+    late = rollup.rollup_from_raw(
+        long.where(F.col("ts").cast("double") >= cutoff), "1m")
+    merged = rollup.merge_tiers(on_time, late).toPandas().set_index(
+        ["conv_id", "bucket_ts", "metric"]).sort_index()
+    direct = rollup.rollup_from_raw(long, "1m").toPandas().set_index(
+        ["conv_id", "bucket_ts", "metric"]).sort_index()
+    assert len(merged) == len(direct)
+    assert (merged["cnt"] == direct["cnt"]).all()
+    assert (merged["min"] == direct["min"]).all()
+    assert (merged["max"] == direct["max"]).all()
+    # sum/sumsq: float re-association only (disjoint partials)
+    assert np.allclose(merged["sum"], direct["sum"], rtol=1e-12)
+    assert np.allclose(merged["sumsq"], direct["sumsq"], rtol=1e-12)
+
+
+def test_merge_tiers_empty_delta_is_identity(spark, transcripts):
+    long = features.to_long(
+        features.derive_features(transcripts.where(F.col("conv_id") < "conv-00000005")),
+        ["char_rate"],
+    )
+    t = rollup.rollup_from_raw(long, "1m")
+    empty = t.where(F.lit(False))
+    merged = rollup.merge_tiers(t, empty)
+    a = t.toPandas().sort_values(["conv_id", "bucket_ts", "metric"]).reset_index(drop=True)
+    b = merged.toPandas().sort_values(["conv_id", "bucket_ts", "metric"]).reset_index(drop=True)
+    assert a.equals(b)

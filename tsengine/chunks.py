@@ -250,3 +250,29 @@ def compact_chunks(
     return keyed.groupBy("conv_id", "metric", "compact_start").applyInPandas(
         merge, schema=CHUNKS
     )
+
+
+def decode_range(
+    chunks_df: DataFrame,
+    t0,
+    t1,
+    chunk_span: str = "1d",
+) -> DataFrame:
+    """Time-range point read from the chunk table: prune whole blobs by
+    ``chunk_start`` BEFORE any decode work, then post-filter the decoded
+    rows to the exact [t0, t1] bounds. A blob whose span cannot intersect
+    the range (`chunk_start > t1` or `chunk_start + span ≤ t0`) is never
+    decoded — and because ``chunk_start`` is a plain parquet column, the
+    pruning predicate pushes down to the scan's row-group min/max stats
+    when the chunk table is read from storage (PushedFilters, verified in
+    tools/audit_plans.py), so a "last week of one conversation" query
+    touches ~week/span blobs, not the table.
+    """
+    span_s = CHUNK_SPAN_SECONDS[chunk_span]
+    lo = F.lit(t0).cast("timestamp")
+    hi = F.lit(t1).cast("timestamp")
+    pruned = chunks_df.where(
+        (F.col("chunk_start") <= hi)
+        & (F.col("chunk_start") >= lo - F.expr(f"INTERVAL {span_s} SECONDS"))
+    )
+    return decode_chunks(pruned).where(F.col("bucket_ts").between(lo, hi))

@@ -4201,6 +4201,50 @@ def ts_chunk_compact(spark, sf_dir):
     )
 
 
+@q("ts_tier_merge_late", _TIER_SQL.format(ev=_EV, unit="minute"))
+def ts_tier_merge_late(spark, sf_dir):
+    """Continuous-aggregate refresh (`rollup.merge_tiers`): events split
+    into an on-time batch and a late-arriving batch at a fixed cutoff,
+    each rolled up to 1m partials separately, then merged — the oracle
+    aggregates the UNSPLIT raw stream directly, so a match proves the
+    late-data upsert algebra reproduces a from-scratch rollup without
+    re-reading history (the merge exchange carries tier rows, never
+    raw)."""
+    ev = _events_long(spark, sf_dir)
+    cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    on_time = rollup.rollup_from_raw(ev.where(F.col("ts") < cutoff), "1m")
+    late = rollup.rollup_from_raw(ev.where(F.col("ts") >= cutoff), "1m")
+    return _tier_out(rollup.merge_tiers(on_time, late))
+
+
+@q(
+    "ts_chunk_range_read",
+    _GAPFILL_BASE
+    + """
+SELECT conv_id, metric, bucket_ts, round(prev_v, 6) AS value FROM w
+WHERE bucket_ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                    AND TIMESTAMP '2024-01-20 23:59:59'
+""",
+)
+def ts_chunk_range_read(spark, sf_dir):
+    """Time-range point read through the chunk table
+    (`chunks.decode_range`): whole blobs are pruned on ``chunk_start``
+    BEFORE any decode work (a plain parquet column → row-group min/max
+    pushdown when read from storage), then decoded rows post-filter to
+    the exact bounds. The oracle is the gap-fill oracle windowed to the
+    same range — a match proves pruning drops no in-range point and
+    leaks no out-of-range one."""
+    long = _events_long(spark, sf_dir).where(F.col("metric") == "view")
+    filled = gapfill.gapfill_sql(long, freq="1h", method="ffill")
+    enc = chunks.encode_chunks(filled, ts_col="bucket_ts", chunk_span="1d")
+    dec = chunks.decode_range(
+        enc, "2024-01-10 00:00:00", "2024-01-20 23:59:59", chunk_span="1d"
+    )
+    return dec.select(
+        "conv_id", "metric", "bucket_ts", F.round("value", 6).alias("value")
+    )
+
+
 @q(
     "ts_changepoint",
     f"""

@@ -340,3 +340,32 @@ def cascade_ohlc(
             F.sum("cnt").alias("cnt"),
         )
     )
+
+
+def merge_tiers(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Continuous-aggregate refresh merge: fold a late-arriving batch's
+    tier partials into an existing tier table of the SAME grain — the
+    upsert half of TimescaleDB's continuous-aggregate refresh, and the
+    reason the tier components are (cnt, sum, min, max, sumsq) instead of
+    finalized mean/std: every component is a commutative monoid, so
+    late data is ONE union + re-aggregation keyed by the tier key, never
+    a re-read of raw history.
+
+    At 100 TB this is the difference between "reprocess the day" and
+    "shuffle the late partials": the delta side is rollup_from_raw over
+    ONLY the late rows (tiny), and the merge exchange carries tier rows,
+    not raw rows. Buckets untouched by the delta pass through unchanged
+    (min/max/sum of a single row are identity); overlapping buckets
+    re-aggregate exactly like `cascade` does — same algebra, same grain.
+    """
+    return (
+        existing.unionByName(delta)
+        .groupBy("conv_id", "bucket_ts", "metric")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.sum("sumsq").alias("sumsq"),
+        )
+    )
