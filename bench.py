@@ -194,14 +194,21 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
         eq.QUERIES["ts_spectral_daily"](spark, sf_dir))
     thunks["changepoint"] = lambda: count_action(
         eq.QUERIES["ts_changepoint"](spark, sf_dir))
+    # compaction + range reads run against a STORED chunk table — the
+    # production shape (blob prune must hit parquet row-group stats), and
+    # it isolates the operator from an encode recompute
+    chunk_store = f"{filled}_chunks"
+    chunks.encode_chunks(fr, ts_col="bucket_ts", chunk_span="1d").write.mode(
+        "overwrite"
+    ).parquet(chunk_store)
+    cr = spark.read.parquet(chunk_store)
     thunks["chunk_compact"] = lambda: count_action(
-        chunks.compact_chunks(
-            chunks.encode_chunks(fr, ts_col="bucket_ts", chunk_span="1d"),
-            to_span="7d"))
+        chunks.compact_chunks(cr, to_span="7d"))
+    thunks["chunk_range_read"] = lambda: count_action(
+        chunks.decode_range(
+            cr, "2024-01-10 00:00:00", "2024-01-20 23:59:59", chunk_span="1d"))
     thunks["tier_merge_late"] = lambda: count_action(
         eq.QUERIES["ts_tier_merge_late"](spark, sf_dir))
-    thunks["chunk_range_read"] = lambda: count_action(
-        eq.QUERIES["ts_chunk_range_read"](spark, sf_dir))
     return thunks
 
 
