@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from tsengine import codec
 from tsengine.schema import CHUNKS
+from tsengine.session import grouped_apply
 
 CHUNK_SPANS = {"1h": "hour", "1d": "day"}
 
@@ -109,9 +110,7 @@ def encode_chunks(
         "_salt",
         (F.col("chunk_start").cast("long") / (span_s * salt_chunks)).cast("long"),
     )
-    return keyed.groupBy("conv_id", "metric", "_salt").applyInPandas(
-        enc, schema=CHUNKS
-    )
+    return grouped_apply(keyed, ["conv_id", "metric", "_salt"], enc, CHUNKS)
 
 
 DECODED_SCHEMA = "conv_id string, metric string, bucket_ts timestamp, value double"
@@ -273,9 +272,10 @@ def compact_chunks(
         (F.col("compact_start").cast("long") / F.lit(span_hint_s * salt_spans))
         .cast("long"),
     )
-    return keyed.groupBy("conv_id", "metric", "_salt").applyInPandas(
-        merge, schema=CHUNKS
-    )
+    # blob rows are ~compression× smaller than the points they carry, so
+    # AQE's byte-based coalescing would fold them into one python task —
+    # grouped_apply restores group-count parallelism (see session.py)
+    return grouped_apply(keyed, ["conv_id", "metric", "_salt"], merge, CHUNKS)
 
 
 def decode_range(

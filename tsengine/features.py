@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from tsengine.session import grouped_apply
+
 # Wide-frame metric columns produced by the default pack.
 DEFAULT_METRICS = [
     "latency_s",
@@ -256,7 +258,7 @@ def apply_signal_pack_pandas(
     def runner(pdf: pd.DataFrame) -> pd.DataFrame:
         return pack(pdf)[cols]
 
-    return df.groupBy("conv_id").applyInPandas(runner, schema=out_schema)
+    return grouped_apply(df, ["conv_id"], runner, out_schema)
 
 
 def rank_normalize(

@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from tsengine.session import grouped_apply
+
 FREQ = {
     "1m": ("minute", "INTERVAL 1 MINUTE", "1min", 60),
     "5m": (None, "INTERVAL 5 MINUTE", "5min", 300),
@@ -184,9 +186,7 @@ def gapfill_pandas(
             }
         )
 
-    return features_long.groupBy("conv_id", "metric").applyInPandas(
-        fill, schema=OUT_SCHEMA
-    )
+    return grouped_apply(features_long, ["conv_id", "metric"], fill, OUT_SCHEMA)
 
 
 def gap_metrics(filled_df: DataFrame) -> DataFrame:

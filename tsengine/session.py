@@ -82,3 +82,30 @@ def stop_spark() -> None:
         active.stop()
     # SparkContext in local mode lives in the same JVM; a fresh
     # getOrCreate() after stop() honors a new master.
+
+
+def grouped_apply(df, keys: list[str], fn, schema):
+    """``groupBy(keys).applyInPandas`` with an EXPLICIT pre-repartition on
+    the group keys — the grouped-UDF parallelism fix.
+
+    Why: AQE coalesces post-shuffle partitions by BYTES, but a python
+    grouped-UDF stage's cost scales with GROUP COUNT (per-group Arrow
+    frame + python dispatch), not bytes. A compressed/blob-sized or
+    small-SF input folds into one post-shuffle partition and every group
+    then runs serially in a single python task — measured 9.9 s for a
+    NO-OP grouped UDF over 39 K chunk-table rows (12 MB) at sf0.1, vs
+    2.4 s for the real merge once parallelized. An explicit
+    ``repartition(N, keys)`` is exempt from AQE coalescing and its hash
+    partitioning satisfies the groupBy's clustering requirement, so
+    Catalyst inserts NO second exchange — same shuffle count, restored
+    parallelism. N = ``spark.sql.shuffle.partitions``, the same
+    cluster-sized knob every other exchange here uses (AQE's skew
+    handling cannot split a pandas group anyway — rows of one group must
+    co-locate — so nothing real is lost at 100 TB either).
+    """
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        df.repartition(n_part, *keys)
+        .groupBy(*keys)
+        .applyInPandas(fn, schema=schema)
+    )

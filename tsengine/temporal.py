@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from tsengine.session import grouped_apply
+
 
 def asof_join(
     left: DataFrame,
@@ -211,7 +213,7 @@ def ewma(
         pdf["ewma"] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
         return pdf
 
-    return df.groupBy(on).applyInPandas(fn, schema=out_schema)
+    return grouped_apply(df, [on], fn, out_schema)
 
 
 def counter_increase(
@@ -509,7 +511,7 @@ def brown_smooth(
         pdf["brown_fcst"] = pdf["brown_level"] + pdf["brown_trend"]
         return pdf
 
-    return df.groupBy(on).applyInPandas(fn, schema=out_schema)
+    return grouped_apply(df, [on], fn, out_schema)
 
 
 def time_weighted_avg(
