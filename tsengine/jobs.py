@@ -110,3 +110,51 @@ def run_pipeline(
             executed += 1
 
     return paths
+
+
+def run_compaction(
+    spark: SparkSession,
+    out_root: str,
+    *,
+    to_span: str = "7d",
+    n_buckets: int = 4,
+    job_id: str = "compaction",
+    fingerprint: str = "na",
+    resume: bool = True,
+) -> str:
+    """Recompress a pipeline run's chunk table into coarser blobs — the
+    scheduled retention job that follows ``run_pipeline`` once a period's
+    chunks stop receiving writes (see ``chunks.compact_chunks``). Reuses
+    the pipeline's unit layout (one sub-job per conv-hash bucket) and the
+    same lineage log, so a killed compaction resumes exactly like the
+    pipeline does and every unit leaves rows_in/rows_out/wall_ms rows
+    behind. Returns the compacted table path (``chunks_{to_span}``)."""
+    log = lineage.LineageLog(spark, out_root)
+    src = os.path.join(out_root, "chunks")
+    dst = os.path.join(out_root, f"chunks_{to_span}")
+    stage = f"compact_{to_span}"
+    done = log.completed_units(job_id, stage, fingerprint) if resume else set()
+    for k in range(n_buckets):
+        unit = f"bucket={k}"
+        if unit in done:
+            continue
+
+        def work(k=k):
+            src_df = spark.read.parquet(f"{src}/unit={k}")
+            merged = chunks_mod.compact_chunks(src_df, to_span=to_span)
+            merged.write.mode("overwrite").parquet(f"{dst}/unit={k}")
+            out_df = spark.read.parquet(f"{dst}/unit={k}")
+            n_in = src_df.count()
+            n_out = out_df.count()
+            # invariant worth failing loudly on: compaction must conserve
+            # points exactly (blobs merge, points never drop or duplicate)
+            pts_in = src_df.agg(F.sum("n")).first()[0]
+            pts_out = out_df.agg(F.sum("n")).first()[0]
+            if pts_in != pts_out:
+                raise RuntimeError(
+                    f"compaction lost points in {unit}: {pts_in} -> {pts_out}"
+                )
+            return n_in, n_out
+
+        lineage.run_unit(log, job_id, stage, unit, fingerprint, work)
+    return dst
