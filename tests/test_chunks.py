@@ -133,3 +133,32 @@ def test_decode_range_prunes_and_keeps_bounds(spark, transcripts):
         & (F.col("chunk_start") >= F.lit(str(t0 - span)))
     ).count()
     assert n_candidates < enc.count()
+
+
+def test_decode_range_on_compacted_table(spark, transcripts):
+    # a compacted (7d-span) table must stay range-readable: passing the
+    # table's ACTUAL span prunes correctly; the old 1d width would drop
+    # blobs whose week started 2-6 days before the range
+    long = features.to_long(
+        features.derive_features(transcripts.where(F.col("conv_id") < "conv-00000005")),
+        ["char_rate"],
+    )
+    filled = gapfill.gapfill_sql(long, "1m", "linear").cache()
+    weekly = chunks.compact_chunks(
+        chunks.encode_chunks(filled, chunk_span="1d"), to_span="7d"
+    ).cache()
+    lo, hi = filled.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    import pandas as pd
+
+    t0 = pd.Timestamp(lo) + pd.Timedelta(days=2)   # mid-week boundary
+    t1 = t0 + pd.Timedelta(hours=6)
+    got = chunks.decode_range(weekly, str(t0), str(t1), chunk_span="7d").toPandas()
+    want = filled.where(
+        F.col("bucket_ts").between(F.lit(str(t0)), F.lit(str(t1)))
+    ).toPandas()
+    assert len(got) == len(want) > 0
+    a = want.sort_values(["conv_id", "metric", "bucket_ts"]).reset_index(drop=True)
+    b = got.sort_values(["conv_id", "metric", "bucket_ts"]).reset_index(drop=True)
+    assert np.array_equal(
+        a["value"].to_numpy().view(np.uint64), b["value"].to_numpy().view(np.uint64)
+    )

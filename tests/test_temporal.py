@@ -273,3 +273,20 @@ def test_state_durations_entries_and_spans(spark):
     assert got[("b", "view")]["n_entries"] == 1
     # total time across states == first->last span per key
     assert sum(r["total_s"] for k, r in got.items() if k[0] == "a") == 1800.0
+
+
+def test_time_weighted_avg_skips_null_samples(spark):
+    # a null sample is "no observation": the previous value keeps holding
+    # across it — it must not dilute the integral or count as a point
+    rows = [
+        ("a", "m", 1, _ts(9, 0), 10.0),
+        ("a", "m", 2, _ts(9, 1), None),
+        ("a", "m", 3, _ts(9, 2), 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, event_id long, ts timestamp, value double"
+    )
+    [r] = temporal.time_weighted_avg(df).collect()
+    assert r["twa"] == 10.0          # not 5.0 (the dilution bug)
+    assert r["n_pts"] == 2           # null row is not a sample
+    assert r["duration_s"] == 120.0  # span still first->last non-null

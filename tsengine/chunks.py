@@ -35,6 +35,53 @@ CHUNK_SPANS = {"1h": "hour", "1d": "day"}
 CHUNK_SPAN_SECONDS = {"1h": 3600, "1d": 86400}
 
 
+
+_CHUNK_COLS = [
+    "conv_id", "metric", "chunk_start", "n", "ts_codec",
+    "val_codec", "ts_blob", "val_blob", "v_min", "v_max",
+]
+
+
+def _run_bounds(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Start/end indices of equal-value runs in a sorted key array — the
+    vectorized window split shared by encode and compaction (one Arrow
+    group spans many chunks; per-chunk pandas groupby overhead dominated
+    encode ~2× before this)."""
+    starts = np.flatnonzero(np.r_[True, arr[1:] != arr[:-1]])
+    return starts, np.r_[starts[1:], len(arr)]
+
+
+def _blob_row(conv, metric, start, ts_all, val_all, ts_codec: str, val_codec: str):
+    """One encoded CHUNKS row from raw int64-ns timestamps + float64 values
+    (shared by encode_chunks and compact_chunks so the finite-min/max and
+    codec-call conventions cannot drift apart)."""
+    finite = val_all[np.isfinite(val_all)]
+    return (
+        conv,
+        metric,
+        start,
+        len(val_all),
+        ts_codec,
+        val_codec,
+        TS_CODECS_ENC[ts_codec](ts_all),
+        CODECS_ENC[val_codec](val_all),
+        float(finite.min()) if len(finite) else None,
+        float(finite.max()) if len(finite) else None,
+    )
+
+
+def _blob_frame(rows) -> pd.DataFrame:
+    out = pd.DataFrame(rows, columns=_CHUNK_COLS)
+    # tuples carry np.datetime64 scalars → object dtype; restore the
+    # timestamp dtype Arrow expects
+    out["chunk_start"] = pd.to_datetime(out["chunk_start"])
+    return out
+
+
+TS_CODECS_ENC = {k: v[0] for k, v in codec.TS_CODECS.items()}
+CODECS_ENC = {k: v[0] for k, v in codec.CODECS.items()}
+
+
 def encode_chunks(
     series: DataFrame,
     ts_col: str = "bucket_ts",
@@ -70,39 +117,16 @@ def encode_chunks(
         cs_all = pdf["chunk_start"].to_numpy()
         ts_all = pdf[ts_col].astype("int64").to_numpy()
         val_all = pdf["value"].to_numpy(dtype=np.float64)
-        starts = np.flatnonzero(np.r_[True, cs_all[1:] != cs_all[:-1]])
-        ends = np.r_[starts[1:], len(cs_all)]
+        starts, ends = _run_bounds(cs_all)
         conv = pdf["conv_id"].iloc[0]
         metric = pdf["metric"].iloc[0]
-        rows = []
-        for s, e in zip(starts, ends):
-            vals = val_all[s:e]
-            finite = vals[np.isfinite(vals)]
-            rows.append(
-                (
-                    conv,
-                    metric,
-                    cs_all[s],
-                    e - s,
-                    ts_codec,
-                    value_codec,
-                    tenc(ts_all[s:e]),
-                    venc(vals),
-                    float(finite.min()) if len(finite) else None,
-                    float(finite.max()) if len(finite) else None,
-                )
-            )
-        out = pd.DataFrame(
-            rows,
-            columns=[
-                "conv_id", "metric", "chunk_start", "n", "ts_codec",
-                "val_codec", "ts_blob", "val_blob", "v_min", "v_max",
-            ],
+        return _blob_frame(
+            [
+                _blob_row(conv, metric, cs_all[s], ts_all[s:e], val_all[s:e],
+                          ts_codec, value_codec)
+                for s, e in zip(starts, ends)
+            ]
         )
-        # tuples carry np.datetime64 scalars → object dtype; restore the
-        # timestamp dtype Arrow expects
-        out["chunk_start"] = pd.to_datetime(out["chunk_start"])
-        return out
 
     keyed = series.withColumn(
         "chunk_start", F.date_trunc(unit, F.col(ts_col))
@@ -216,8 +240,7 @@ def compact_chunks(
         # (measured 60 s -> ~2 s at sf0.1 with one-window groups)
         pdf = pdf.sort_values(["compact_start", "chunk_start"], kind="mergesort")
         cs_all = pdf["compact_start"].to_numpy()
-        starts = np.flatnonzero(np.r_[True, cs_all[1:] != cs_all[:-1]])
-        ends = np.r_[starts[1:], len(cs_all)]
+        starts, ends = _run_bounds(cs_all)
         ts_codecs = pdf["ts_codec"].to_numpy()
         val_codecs = pdf["val_codec"].to_numpy()
         ts_blobs = pdf["ts_blob"].to_numpy()
@@ -234,31 +257,11 @@ def compact_chunks(
                 [codec.CODECS[val_codecs[i]][1](bytes(val_blobs[i]))
                  for i in range(s, e)]
             ).astype(np.float64)
-            ts_codec, val_codec = ts_codecs[s], val_codecs[s]
-            finite = val_all[np.isfinite(val_all)]
             rows.append(
-                (
-                    conv,
-                    metric,
-                    cs_all[s],
-                    len(val_all),
-                    ts_codec,
-                    val_codec,
-                    codec.TS_CODECS[ts_codec][0](ts_all),
-                    codec.CODECS[val_codec][0](val_all),
-                    float(finite.min()) if len(finite) else None,
-                    float(finite.max()) if len(finite) else None,
-                )
+                _blob_row(conv, metric, cs_all[s], ts_all, val_all,
+                          ts_codecs[s], val_codecs[s])
             )
-        out = pd.DataFrame(
-            rows,
-            columns=[
-                "conv_id", "metric", "chunk_start", "n", "ts_codec",
-                "val_codec", "ts_blob", "val_blob", "v_min", "v_max",
-            ],
-        )
-        out["chunk_start"] = pd.to_datetime(out["chunk_start"])
-        return out
+        return _blob_frame(rows)
 
     span_hint_s = {"1d": 86400, "7d": 7 * 86400, "1mo": 31 * 86400}[to_span]
     keyed = chunks_df.withColumn(
@@ -278,6 +281,16 @@ def compact_chunks(
     return grouped_apply(keyed, ["conv_id", "metric", "_salt"], merge, CHUNKS)
 
 
+# blob widths accepted by decode_range: the encode spans plus the spans
+# compact_chunks produces (a compacted table must stay range-readable)
+RANGE_SPAN_SECONDS = {
+    "1h": 3600,
+    "1d": 86400,
+    "7d": 7 * 86400,
+    "1mo": 31 * 86400,  # pruning width: calendar-safe upper bound
+}
+
+
 def decode_range(
     chunks_df: DataFrame,
     t0,
@@ -288,17 +301,23 @@ def decode_range(
     ``chunk_start`` BEFORE any decode work, then post-filter the decoded
     rows to the exact [t0, t1] bounds. A blob whose span cannot intersect
     the range (`chunk_start > t1` or `chunk_start + span ≤ t0`) is never
-    decoded — and because ``chunk_start`` is a plain parquet column, the
+    decoded — pass the table's ACTUAL blob span (including the "7d"/"1mo"
+    spans a compacted table carries; a narrower span would prune blobs
+    that still hold in-range points) — and because ``chunk_start`` is a plain parquet column, the
     pruning predicate pushes down to the scan's row-group min/max stats
     when the chunk table is read from storage (PushedFilters, verified in
     tools/audit_plans.py), so a "last week of one conversation" query
     touches ~week/span blobs, not the table.
     """
-    span_s = CHUNK_SPAN_SECONDS[chunk_span]
+    span_s = RANGE_SPAN_SECONDS[chunk_span]
     lo = F.lit(t0).cast("timestamp")
     hi = F.lit(t1).cast("timestamp")
+    # strict >: a blob starting exactly at t0 - span covers [t0-span, t0)
+    # and cannot contain an in-range point; calendar months vary, so 1mo
+    # uses a 31-day width — over-covering only ever decodes a little
+    # extra, under-covering would silently drop rows
     pruned = chunks_df.where(
         (F.col("chunk_start") <= hi)
-        & (F.col("chunk_start") >= lo - F.expr(f"INTERVAL {span_s} SECONDS"))
+        & (F.col("chunk_start") > lo - F.expr(f"INTERVAL {span_s} SECONDS"))
     )
     return decode_chunks(pruned).where(F.col("bucket_ts").between(lo, hi))

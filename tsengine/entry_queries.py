@@ -4092,7 +4092,7 @@ s AS (SELECT conv_id, metric, value,
         lead(epoch_us(ts)) OVER (PARTITION BY conv_id, metric
                                  ORDER BY ts, event_id)
           - epoch_us(ts) AS w_us
-      FROM ev),
+      FROM ev WHERE value IS NOT NULL),
 m AS (SELECT conv_id, metric, count(*)::BIGINT AS n_pts,
              sum(value * w_us::DOUBLE) AS vw, sum(w_us) AS tot_us
       FROM s GROUP BY 1, 2)

@@ -21,6 +21,7 @@ run sequentially to exercise the checkpoint/resume path.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -117,7 +118,6 @@ def run_compaction(
     out_root: str,
     *,
     to_span: str = "7d",
-    n_buckets: int = 4,
     job_id: str = "compaction",
     fingerprint: str = "na",
     resume: bool = True,
@@ -134,7 +134,17 @@ def run_compaction(
     dst = os.path.join(out_root, f"chunks_{to_span}")
     stage = f"compact_{to_span}"
     done = log.completed_units(job_id, stage, fingerprint) if resume else set()
-    for k in range(n_buckets):
+    # discover the pipeline's ACTUAL unit layout rather than assuming a
+    # bucket count: an independent default silently compacts a subset
+    # when the pipeline ran with more buckets (found in self-review)
+    units = sorted(
+        int(d.name.split("=", 1)[1])
+        for d in Path(src).iterdir()
+        if d.is_dir() and d.name.startswith("unit=")
+    )
+    if not units:
+        raise FileNotFoundError(f"no unit=* bucket dirs under {src}")
+    for k in units:
         unit = f"bucket={k}"
         if unit in done:
             continue
@@ -144,12 +154,11 @@ def run_compaction(
             merged = chunks_mod.compact_chunks(src_df, to_span=to_span)
             merged.write.mode("overwrite").parquet(f"{dst}/unit={k}")
             out_df = spark.read.parquet(f"{dst}/unit={k}")
-            n_in = src_df.count()
-            n_out = out_df.count()
+            # one bookkeeping scan per side: blob count + point count
+            n_in, pts_in = src_df.agg(F.count("*"), F.sum("n")).first()
+            n_out, pts_out = out_df.agg(F.count("*"), F.sum("n")).first()
             # invariant worth failing loudly on: compaction must conserve
             # points exactly (blobs merge, points never drop or duplicate)
-            pts_in = src_df.agg(F.sum("n")).first()[0]
-            pts_out = out_df.agg(F.sum("n")).first()[0]
             if pts_in != pts_out:
                 raise RuntimeError(
                     f"compaction lost points in {unit}: {pts_in} -> {pts_out}"

@@ -549,7 +549,12 @@ def time_weighted_avg(
     ties = [c for c in order_cols if c in df.columns]
     w = W.partitionBy(*keys).orderBy(ts_col, *ties)
     x_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    seg = df.select(
+    # null samples are "no observation", not a segment boundary: without
+    # this filter a null row's segment width lands in the denominator
+    # while its v*w term null-skips out of the numerator, silently
+    # diluting the average toward zero (found in self-review; the
+    # previous value simply keeps holding across the gap)
+    seg = df.where(F.col(value_col).isNotNull()).select(
         *keys,
         F.col(value_col).alias("_v"),
         (F.lead(x_us).over(w) - x_us).alias("_w_us"),
