@@ -86,18 +86,33 @@ def warmup_setup(spark) -> str:
 
 
 def transcript_pipeline(spark, out_root: str, raw: str) -> None:
-    """scan transcripts → signal pack → 1m→1h→1d cascade. Each tier is
-    written to parquet so the cascade rescans the materialized tier, never
-    raw data — raw is scanned exactly once. (Counting the outputs is
-    bookkeeping, not pipeline — see count_outputs.)"""
+    """scan transcripts → signal pack → 1m→1h→1d cascade. The raw-volume
+    job writes the 1m tier once in WIDE-STATS form (one row per
+    (conv, minute), all metrics' components — the TimescaleDB continuous-
+    aggregate shape); every other output derives from re-reading that
+    small scratch, so raw is scanned exactly once and no cascade shuffle
+    ever carries per-metric rows or a string metric key. Public long-form
+    tiers are post-agg unpivots. (Counting the outputs is bookkeeping, not
+    pipeline — see count_outputs.)"""
+    mets = features.DEFAULT_METRICS
     t = spark.read.parquet(raw)
     wide = features.derive_features_chunked(t)
-    t1m = rollup.rollup_from_raw_wide(wide, features.DEFAULT_METRICS, "1m")
-    t1m.write.mode("overwrite").parquet(f"{out_root}/tier_1m")
-    t1m_r = spark.read.parquet(f"{out_root}/tier_1m")
-    rollup.cascade(t1m_r, "1h").write.mode("overwrite").parquet(f"{out_root}/tier_1h")
-    t1h_r = spark.read.parquet(f"{out_root}/tier_1h")
-    rollup.cascade(t1h_r, "1d").write.mode("overwrite").parquet(f"{out_root}/tier_1d")
+    g1m = rollup.rollup_from_raw_wide_stats(wide, mets, "1m")
+    g1m.write.mode("overwrite").parquet(f"{out_root}/tier_1m_wide")
+    g1m_r = spark.read.parquet(f"{out_root}/tier_1m_wide")
+    rollup.unpivot_stats(g1m_r, mets).write.mode("overwrite").parquet(
+        f"{out_root}/tier_1m"
+    )
+    g1h = rollup.cascade_wide(g1m_r, mets, "1h")
+    g1h.write.mode("overwrite").parquet(f"{out_root}/tier_1h_wide")
+    g1h_r = spark.read.parquet(f"{out_root}/tier_1h_wide")
+    rollup.unpivot_stats(g1h_r, mets).write.mode("overwrite").parquet(
+        f"{out_root}/tier_1h"
+    )
+    g1d = rollup.cascade_wide(g1h_r, mets, "1d")
+    rollup.unpivot_stats(g1d, mets).write.mode("overwrite").parquet(
+        f"{out_root}/tier_1d"
+    )
 
 
 def count_outputs(spark, out_root: str) -> tuple[int, int]:

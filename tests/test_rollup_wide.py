@@ -28,3 +28,32 @@ def test_wide_cascade_consistent(transcripts):
     long = features.to_long(wide)
     direct = _canon(rollup.rollup_from_raw(long, "1h"))
     pd.testing.assert_frame_equal(_canon(t1h), direct, rtol=1e-9)
+
+
+def test_cascade_wide_equals_long_cascade(transcripts):
+    """cascade_wide must reproduce the long-path cascade at every tier —
+    it is the same shuffle-volume optimization applied to the cascade."""
+    mets = features.DEFAULT_METRICS
+    wide = features.derive_features_chunked(transcripts)
+    g1m = rollup.rollup_from_raw_wide_stats(wide, mets, "1m")
+    t1m_long = rollup.rollup_from_raw_wide(wide, mets, "1m")
+
+    g1h = rollup.cascade_wide(g1m, mets, "1h")
+    a = _canon(rollup.unpivot_stats(g1h, mets))
+    b = _canon(rollup.cascade(t1m_long, "1h"))
+    pd.testing.assert_frame_equal(a, b, rtol=1e-9)
+
+    g1d = rollup.cascade_wide(g1h, mets, "1d")
+    c = _canon(rollup.unpivot_stats(g1d, mets))
+    d = _canon(rollup.cascade(rollup.cascade(t1m_long, "1h"), "1d"))
+    pd.testing.assert_frame_equal(c, d, rtol=1e-9)
+
+
+def test_unpivot_stats_roundtrips_wide_rollup(transcripts):
+    """unpivot_stats(rollup_from_raw_wide_stats(...)) ≡ rollup_from_raw_wide
+    (the public long tier is a pure view of the wide scratch)."""
+    mets = features.DEFAULT_METRICS
+    wide = features.derive_features_chunked(transcripts)
+    a = _canon(rollup.unpivot_stats(rollup.rollup_from_raw_wide_stats(wide, mets, "1m"), mets))
+    b = _canon(rollup.rollup_from_raw_wide(wide, mets, "1m"))
+    pd.testing.assert_frame_equal(a, b, rtol=1e-12)

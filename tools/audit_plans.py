@@ -85,6 +85,18 @@ def main() -> None:
           ["partial_agg", "codegen"])
     audit("tier cascade 1h", rollup.cascade(rollup.rollup_from_raw(ev, "1m"), "1h"),
           ["partial_agg", "codegen"])
+    # the pipeline's actual cascade path: wide-stats 1m → wide 1h → long view
+    _tr = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("event_id").cast("string").alias("conv_id"),
+        F.col("ts"),
+        F.col("value").alias("m_a"),
+        (F.col("value") * 2).alias("m_b"),
+    )
+    _g1m = rollup.rollup_from_raw_wide_stats(_tr, ["m_a", "m_b"], "1m")
+    audit("tier cascade wide 1h (pipeline path)",
+          rollup.unpivot_stats(rollup.cascade_wide(_g1m, ["m_a", "m_b"], "1h"),
+                               ["m_a", "m_b"]),
+          ["partial_agg", "codegen", "no_cartesian"])
     audit("filter pushdown (metric=view)",
           ev.where(F.col("metric") == "view").select("conv_id", "value"),
           ["pushed_filters", "codegen"])

@@ -6,8 +6,10 @@ The flagship job reproduces the reference's E1/E3 lifecycle shape
     scan transcripts
       → per-turn signal pack (features.py, pure Column exprs)
       → long format
-      → 1m tier  (one shuffle over raw, map-side partial agg)
-      → 1h tier  (from 1m)   → 1d tier (from 1h)      # cascade, never raw
+      → 1m wide-stats tier (ONE shuffle over raw, map-side partial agg,
+        one row per (conv, minute) carrying all metrics — never per-metric)
+      → 1h wide (from 1m wide) → 1d wide (from 1h wide)   # cascade, never raw
+      → public long tiers = post-agg unpivots of the wide scratch
       → gap-filled 1m grid (gapfill.py, Catalyst path)
       → chunk blobs (chunks.py: delta-of-delta + Gorilla-XOR)
     with per-unit lineage rows → resumable (lineage.py)
@@ -57,7 +59,12 @@ def run_pipeline(
     log = lineage.LineageLog(spark, out_root)
     paths = {
         t: os.path.join(out_root, f"tier_{t}") for t in rollup.TIER_ORDER
-    } | {"chunks": os.path.join(out_root, "chunks"), "filled": os.path.join(out_root, "filled_1m")}
+    } | {
+        "1m_wide": os.path.join(out_root, "tier_1m_wide"),
+        "1h_wide": os.path.join(out_root, "tier_1h_wide"),
+        "chunks": os.path.join(out_root, "chunks"),
+        "filled": os.path.join(out_root, "filled_1m"),
+    }
 
     done = {
         stage: (log.completed_units(job_id, stage, fingerprint) if resume else set())
@@ -74,17 +81,28 @@ def run_pipeline(
                 raise PipelineFailure(f"injected failure before {unit}")
 
             def tier_work(part=part, k=k):
+                mets = features.DEFAULT_METRICS
                 wide = features.derive_features_chunked(part)
-                # wide-path rollup: the only raw-volume shuffle carries one
-                # row per (conv, minute), not one per (conv, minute, metric)
-                t1m = rollup.rollup_from_raw_wide(
-                    wide, features.DEFAULT_METRICS, "1m"
+                # wide-path rollup AND cascade: the only raw-volume shuffle
+                # carries one row per (conv, minute) — not per metric — and
+                # the coarser tiers re-aggregate the wide scratch, so no
+                # shuffle in the whole cascade carries a string metric key.
+                # Public long tiers are post-agg unpivots of the scratch.
+                g1m = rollup.rollup_from_raw_wide_stats(wide, mets, "1m")
+                g1m.write.mode("overwrite").parquet(f"{paths['1m_wide']}/unit={k}")
+                g1m_r = spark.read.parquet(f"{paths['1m_wide']}/unit={k}")
+                rollup.unpivot_stats(g1m_r, mets).write.mode("overwrite").parquet(
+                    f"{paths['1m']}/unit={k}"
                 )
-                t1m.write.mode("overwrite").parquet(f"{paths['1m']}/unit={k}")
-                t1m_r = spark.read.parquet(f"{paths['1m']}/unit={k}")
-                t1h = rollup.cascade(t1m_r, "1h")
-                t1h.write.mode("overwrite").parquet(f"{paths['1h']}/unit={k}")
-                t1d = rollup.cascade(spark.read.parquet(f"{paths['1h']}/unit={k}"), "1d")
+                g1h = rollup.cascade_wide(g1m_r, mets, "1h")
+                g1h.write.mode("overwrite").parquet(f"{paths['1h_wide']}/unit={k}")
+                g1h_r = spark.read.parquet(f"{paths['1h_wide']}/unit={k}")
+                rollup.unpivot_stats(g1h_r, mets).write.mode("overwrite").parquet(
+                    f"{paths['1h']}/unit={k}"
+                )
+                t1d = rollup.unpivot_stats(
+                    rollup.cascade_wide(g1h_r, mets, "1d"), mets
+                )
                 t1d.write.mode("overwrite").parquet(f"{paths['1d']}/unit={k}")
                 n_out = spark.read.parquet(f"{paths['1m']}/unit={k}").count()
                 return None, n_out

@@ -53,18 +53,22 @@ def rollup_from_raw(features_long: DataFrame, tier: str = "1m") -> DataFrame:
     )
 
 
-def rollup_from_raw_wide(
+def rollup_from_raw_wide_stats(
     wide_features: DataFrame, metrics: list[str], tier: str = "1m"
 ) -> DataFrame:
-    """Same output as ``to_long() → rollup_from_raw()`` but aggregates the
-    WIDE frame first and unpivots the (already tiny) tier afterwards.
+    """Finest tier in WIDE-STATS form: one row per (conv_id, bucket_ts)
+    carrying ``{m}__cnt/__sum/__min/__max/__sumsq`` for every metric —
+    this is the shape TimescaleDB materializes continuous aggregates in
+    (one row per bucket, per-column stat columns).
 
     Why it matters at 100 TB: the long path multiplies raw rows by
     |metrics| BEFORE the shuffle (7 metrics → 7× exchange volume); this
     path shuffles one row per (conv, bucket) carrying all metrics' partial
     stats — the exchange is the pipeline's only raw-volume shuffle, so this
-    is a ~|metrics|× cut of total shuffle bytes. Bucket-level stack() runs
-    on post-aggregation data (≥60× smaller), JVM-side."""
+    is a ~|metrics|× cut of total shuffle bytes. Keeping the CASCADE in
+    this form too (``cascade_wide``) extends the same cut to every tier:
+    no per-metric row inflation and no string metric key ever enters a
+    shuffle; the long public view is a post-agg ``unpivot_stats`` stack."""
     unit = TIER_SPECS[tier]
     aggs = []
     for m in metrics:
@@ -76,9 +80,18 @@ def rollup_from_raw_wide(
             F.max(v).alias(f"{m}__max"),
             F.sum(v * v).alias(f"{m}__sumsq"),
         ]
-    g = wide_features.groupBy(
+    return wide_features.groupBy(
         "conv_id", F.date_trunc(unit, F.col("ts")).alias("bucket_ts")
     ).agg(*aggs)
+
+
+def unpivot_stats(g: DataFrame, metrics: list[str]) -> DataFrame:
+    """Wide-stats frame → the public long tier format
+    (conv_id, bucket_ts, metric, cnt, sum, min, max, sumsq).
+
+    stack() is a JVM-side generator on post-aggregation data (≥60× smaller
+    than raw); all-null metric buckets (cnt 0) are dropped because they do
+    not exist in the long form."""
     pairs = ", ".join(
         f"'{m}', {m}__cnt, {m}__sum, {m}__min, {m}__max, {m}__sumsq"
         for m in metrics
@@ -89,7 +102,42 @@ def rollup_from_raw_wide(
         F.expr(
             f"stack({len(metrics)}, {pairs}) as (metric, cnt, sum, min, max, sumsq)"
         ),
-    ).where(F.col("cnt") > 0)  # all-null metric buckets don't exist in long form
+    ).where(F.col("cnt") > 0)
+
+
+def rollup_from_raw_wide(
+    wide_features: DataFrame, metrics: list[str], tier: str = "1m"
+) -> DataFrame:
+    """Same output as ``to_long() → rollup_from_raw()`` — wide-exchange
+    aggregation (``rollup_from_raw_wide_stats``) + post-agg unpivot."""
+    return unpivot_stats(
+        rollup_from_raw_wide_stats(wide_features, metrics, tier), metrics
+    )
+
+
+def cascade_wide(g: DataFrame, metrics: list[str], to_tier: str) -> DataFrame:
+    """Re-aggregate a finer WIDE-STATS tier into a coarser one without
+    leaving the wide form (1m→1h, 1h→1d).
+
+    vs ``cascade`` on the long tier: |metrics|× fewer input rows per
+    exchange and a (conv_id, bucket) key with no metric string — at 100 TB
+    the cascade never re-inflates to per-metric rows. Null semantics match
+    the long path: an all-null metric bucket has cnt 0 and null sum/min/
+    max/sumsq, and Spark's sum/min/max skip nulls, so it contributes
+    nothing — exactly as its absent long-form row would."""
+    unit = TIER_SPECS[to_tier]
+    aggs = []
+    for m in metrics:
+        aggs += [
+            F.sum(f"{m}__cnt").alias(f"{m}__cnt"),
+            F.sum(f"{m}__sum").alias(f"{m}__sum"),
+            F.min(f"{m}__min").alias(f"{m}__min"),
+            F.max(f"{m}__max").alias(f"{m}__max"),
+            F.sum(f"{m}__sumsq").alias(f"{m}__sumsq"),
+        ]
+    return g.groupBy(
+        "conv_id", F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts")
+    ).agg(*aggs)
 
 
 def cascade(tier_df: DataFrame, to_tier: str) -> DataFrame:
