@@ -1578,15 +1578,138 @@ def vec_kmeans_iter(spark, sf_dir):
     ).agg(F.count("*").alias("n"), *mean_aggs)
 
 
-@q("vec_ivf_kmeans_topk")
+def _ivf_kmeans_sql(
+    k: int = 8,
+    ell: int = 16,
+    init_rounds: int = 2,
+    w_iters: int = 8,
+    n_iter: int = 3,
+    seed: int = 1,
+    nprobe: int = 3,
+    topk: int = 5,
+    d: int = 64,
+    rd: int = 6,
+) -> str:
+    """Full DuckDB oracle for the k-means|| → Lloyd → IVF-top-k pipeline,
+    generated by unrolling every loop. This is expressible because every
+    source of nondeterminism was already pinned for the numpy twin
+    (``vecops.kmeans_centroids``): the init sampler is plain int64
+    arithmetic (``_hash_u01``), every distance/mean/threshold is rounded
+    before any compare, and all argmin ties break on the lowest id. The
+    early-break loops are fixed-point iterations (once the centroid set
+    stops changing, further iterations are identities), so unrolling the
+    MAXIMUM iteration count — 8 driver-side weighted-Lloyd rounds, then
+    ``n_iter`` distributed rounds — computes the identical final state
+    without needing the data-dependent break."""
+    dims = f"range(1, {d + 1})"
+
+    def d2(x: str, y: str) -> str:  # squared L2, unrounded (k-means|| weight)
+        return f"list_sum(list_transform({dims}, i -> ({x}[i]-{y}[i])*({x}[i]-{y}[i])))"
+
+    def u01(salt: int) -> str:  # vecops._hash_u01, replayed in int64 SQL
+        return (
+            f"(((id % 1000003) * 1315423911 + {salt}) % 2147483647)::DOUBLE"
+            " / 2147483647.0"
+        )
+
+    # -- k-means|| init: s0 = lowest-id vector; each round appends every
+    # point whose hash-uniform clears the rounded ell*d2/tot threshold,
+    # keeping discovery order (ord) = round order then id order.
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v"
+        " FROM embeddings WHERE vec_id <> 0),",
+        "qq AS MATERIALIZED (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),",
+        "s0 AS MATERIALIZED (SELECT 0::BIGINT AS ord, v AS cv FROM e ORDER BY id LIMIT 1),",
+    ]
+    for r in range(init_rounds):
+        salt = seed * 7_919 + r
+        parts += [
+            f"d{r} AS MATERIALIZED (SELECT e.id, any_value(e.v) AS v,"
+            f" min({d2('e.v', 's.cv')}) AS d2"
+            f" FROM e CROSS JOIN s{r} s GROUP BY e.id),",
+            f"n{r} AS MATERIALIZED (SELECT id, v FROM d{r}"
+            f" WHERE {u01(salt)} < round({float(ell)} * d2 /"
+            f" (SELECT sum(d2) FROM d{r}), 9)),",
+            f"s{r + 1} AS MATERIALIZED (SELECT * FROM s{r} UNION ALL"
+            f" SELECT (SELECT count(*) FROM s{r}) - 1"
+            f" + row_number() OVER (ORDER BY id) AS ord, v AS cv FROM n{r}),",
+        ]
+    cand = f"s{init_rounds}"
+    # -- basin weights: one rounded-distance argmin scan of e over the
+    # candidate set (ties -> lowest ord), count per candidate, missing -> 0
+    parts += [
+        f"wa AS MATERIALIZED (SELECT e.id, s.ord, row_number() OVER (PARTITION BY e.id"
+        f" ORDER BY round(list_distance(e.v, s.cv), {rd}), s.ord) AS rk"
+        f" FROM e CROSS JOIN {cand} s),",
+        f"w AS MATERIALIZED (SELECT s.ord, s.cv, coalesce(c.n, 0)::DOUBLE AS w"
+        f" FROM {cand} s LEFT JOIN (SELECT ord, count(*) AS n FROM wa"
+        f" WHERE rk = 1 GROUP BY ord) c USING (ord)),",
+        # weighted-Lloyd init: the k heaviest candidates (ties by discovery
+        # order), re-indexed j = 0..k-1 in ascending discovery order
+        f"l0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY ord) - 1 AS j, cv FROM"
+        f" (SELECT ord, cv, row_number() OVER (ORDER BY w DESC, ord) AS rk"
+        f" FROM w) WHERE rk <= {k}),",
+    ]
+    wmeans = ", ".join(
+        f"round(sum(cv[{i + 1}]*w)/sum(w), {rd})" for i in range(d)
+    )
+    for it in range(1, w_iters + 1):
+        parts += [
+            f"a{it} AS MATERIALIZED (SELECT c.ord, c.cv, c.w, l.j,"
+            f" row_number() OVER (PARTITION BY c.ord"
+            f" ORDER BY round(list_distance(c.cv, l.cv), {rd}), l.j) AS rk"
+            f" FROM w c CROSS JOIN l{it - 1} l),",
+            f"m{it} AS MATERIALIZED (SELECT j, sum(w) AS sw, [{wmeans}] AS mv"
+            f" FROM a{it} WHERE rk = 1 GROUP BY j),",
+            # zero-weight basins keep the previous center (0/0 -> NULL mv,
+            # rejected by the sw > 0 guard, same as the numpy twin)
+            f"l{it} AS MATERIALIZED (SELECT l.j, CASE WHEN m.sw > 0 THEN m.mv ELSE l.cv"
+            f" END AS cv FROM l{it - 1} l LEFT JOIN m{it} m USING (j)),",
+        ]
+    # -- distributed Lloyd over the full table: rounded-distance argmin
+    # assignment, per-dim rounded means, empty centroids keep their center
+    gmeans = ", ".join(f"round(avg(v[{i + 1}]), {rd})" for i in range(d))
+    parts.append(f"g0 AS MATERIALIZED (SELECT j, cv FROM l{w_iters}),")
+    for it in range(1, n_iter + 1):
+        parts += [
+            f"b{it} AS MATERIALIZED (SELECT e.id, e.v, g.j,"
+            f" row_number() OVER (PARTITION BY e.id"
+            f" ORDER BY round(list_distance(e.v, g.cv), {rd}), g.j) AS rk"
+            f" FROM e CROSS JOIN g{it - 1} g),",
+            f"h{it} AS MATERIALIZED (SELECT j, [{gmeans}] AS mv FROM b{it}"
+            f" WHERE rk = 1 GROUP BY j),",
+            f"g{it} AS MATERIALIZED (SELECT g.j, coalesce(h.mv, g.cv) AS cv"
+            f" FROM g{it - 1} g LEFT JOIN h{it} h USING (j)),",
+        ]
+    final = f"g{n_iter}"
+    # -- ivf_topk over the trained centroids: probe = nprobe nearest
+    # centroids to the query (unrounded, ties by id), assignment unrounded
+    # (ivf_assign's dist_round=None default), cosine top-k in probed lists
+    parts += [
+        f"probe AS MATERIALIZED (SELECT j FROM {final}, qq"
+        f" ORDER BY list_distance(cv, q), j LIMIT {nprobe}),",
+        f"fa AS MATERIALIZED (SELECT e.id, g.j, row_number() OVER (PARTITION BY e.id"
+        f" ORDER BY list_distance(e.v, g.cv), g.j) AS rk"
+        f" FROM e CROSS JOIN {final} g)",
+        f"SELECT e.id AS vec_id, fa.j::BIGINT AS centroid_id,",
+        f"       round(list_cosine_similarity(e.v, q), 5) AS cosine_sim",
+        f"FROM fa JOIN e ON e.id = fa.id, qq",
+        f"WHERE fa.rk = 1 AND fa.j IN (SELECT j FROM probe)",
+        f"ORDER BY list_cosine_similarity(e.v, q) DESC, e.id",
+        f"LIMIT {topk}",
+    ]
+    return "\n".join(parts)
+
+
+@q("vec_ivf_kmeans_topk", _ivf_kmeans_sql())
 def vec_ivf_kmeans_topk(spark, sf_dir):
     """IVF top-k over TRAINED centroids: k-means|| init (deterministic
     hash sampling) + distributed Lloyd, then the same probe/assign path
-    as ``vec_ivf_topk``. No SQL oracle — the iterative training loop is
-    not SQL-expressible (driver records the rows-only check); instead the
-    per-iteration machinery is oracle-paired via ``vec_kmeans_iter`` and
-    the end-to-end result is pinned to a numpy twin in
-    tests/test_vecops.py."""
+    as ``vec_ivf_topk``. Oracle-paired against a fully-unrolled DuckDB
+    replay of the training loop (see ``_ivf_kmeans_sql`` — expressible
+    because the init hash is int64 arithmetic and the early-break loops
+    are fixed-point), on top of the per-iteration pairing in
+    ``vec_kmeans_iter`` and the numpy twin in tests/test_vecops.py."""
     qv = _query_vec(spark, sf_dir)
     emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     cents = vecops.kmeans_centroids(
