@@ -99,20 +99,11 @@ def transcript_pipeline(spark, out_root: str, raw: str) -> None:
     wide = features.derive_features_chunked(t)
     g1m = rollup.rollup_from_raw_wide_stats(wide, mets, "1m")
     g1m.write.mode("overwrite").parquet(f"{out_root}/tier_1m_wide")
-    g1m_r = spark.read.parquet(f"{out_root}/tier_1m_wide")
-    rollup.unpivot_stats(g1m_r, mets).write.mode("overwrite").parquet(
-        f"{out_root}/tier_1m"
-    )
-    g1h = rollup.cascade_wide(g1m_r, mets, "1h")
-    g1h.write.mode("overwrite").parquet(f"{out_root}/tier_1h_wide")
-    g1h_r = spark.read.parquet(f"{out_root}/tier_1h_wide")
-    rollup.unpivot_stats(g1h_r, mets).write.mode("overwrite").parquet(
-        f"{out_root}/tier_1h"
-    )
-    g1d = rollup.cascade_wide(g1h_r, mets, "1d")
-    rollup.unpivot_stats(g1d, mets).write.mode("overwrite").parquet(
-        f"{out_root}/tier_1d"
-    )
+    # overlapped publish: each tier's long-form unpivot write runs
+    # concurrently with the next cascade level (independent jobs over the
+    # same scratch) — the post-rollup tail is two overlap groups instead
+    # of five sequential small jobs (see rollup.publish_cascade_wide)
+    rollup.publish_cascade_wide(spark, out_root, mets)
 
 
 def count_outputs(spark, out_root: str) -> tuple[int, int]:

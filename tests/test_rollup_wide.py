@@ -57,3 +57,32 @@ def test_unpivot_stats_roundtrips_wide_rollup(transcripts):
     a = _canon(rollup.unpivot_stats(rollup.rollup_from_raw_wide_stats(wide, mets, "1m"), mets))
     b = _canon(rollup.rollup_from_raw_wide(wide, mets, "1m"))
     pd.testing.assert_frame_equal(a, b, rtol=1e-12)
+
+
+def test_publish_cascade_wide_matches_sequential(transcripts, spark, tmp_path):
+    """publish_cascade_wide (threaded, overlapped writes) must produce tier
+    tables identical to the sequential unpivot/cascade chain — overlap is a
+    scheduling change, not a semantics change."""
+    mets = features.DEFAULT_METRICS
+    out = str(tmp_path / "tiers")
+    wide = features.derive_features_chunked(transcripts)
+    g1m = rollup.rollup_from_raw_wide_stats(wide, mets, "1m")
+    g1m.write.mode("overwrite").parquet(f"{out}/tier_1m_wide")
+    rollup.publish_cascade_wide(spark, out, mets)
+
+    g1m_r = spark.read.parquet(f"{out}/tier_1m_wide")
+    seq = {
+        "1m": rollup.unpivot_stats(g1m_r, mets),
+        "1h": rollup.unpivot_stats(rollup.cascade_wide(g1m_r, mets, "1h"), mets),
+        "1d": rollup.unpivot_stats(
+            rollup.cascade_wide(rollup.cascade_wide(g1m_r, mets, "1h"), mets, "1d"),
+            mets,
+        ),
+    }
+    for tier, want in seq.items():
+        got = _canon(spark.read.parquet(f"{out}/tier_{tier}"))
+        pd.testing.assert_frame_equal(got, _canon(want), rtol=1e-12)
+    # the intermediate wide scratch for 1h is written; 1d publishes directly
+    import os
+    assert os.path.exists(f"{out}/tier_1h_wide/_SUCCESS")
+    assert not os.path.exists(f"{out}/tier_1d_wide")

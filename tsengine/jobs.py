@@ -90,20 +90,13 @@ def run_pipeline(
                 # Public long tiers are post-agg unpivots of the scratch.
                 g1m = rollup.rollup_from_raw_wide_stats(wide, mets, "1m")
                 g1m.write.mode("overwrite").parquet(f"{paths['1m_wide']}/unit={k}")
-                g1m_r = spark.read.parquet(f"{paths['1m_wide']}/unit={k}")
-                rollup.unpivot_stats(g1m_r, mets).write.mode("overwrite").parquet(
-                    f"{paths['1m']}/unit={k}"
+                # overlapped publish: each tier's long-form unpivot write
+                # runs concurrently with the next cascade level — the
+                # coarse-tier tail is two overlap groups, not five
+                # sequential small jobs (rollup.publish_cascade_wide)
+                rollup.publish_cascade_wide(
+                    spark, out_root, mets, suffix=f"/unit={k}"
                 )
-                g1h = rollup.cascade_wide(g1m_r, mets, "1h")
-                g1h.write.mode("overwrite").parquet(f"{paths['1h_wide']}/unit={k}")
-                g1h_r = spark.read.parquet(f"{paths['1h_wide']}/unit={k}")
-                rollup.unpivot_stats(g1h_r, mets).write.mode("overwrite").parquet(
-                    f"{paths['1h']}/unit={k}"
-                )
-                t1d = rollup.unpivot_stats(
-                    rollup.cascade_wide(g1h_r, mets, "1d"), mets
-                )
-                t1d.write.mode("overwrite").parquet(f"{paths['1d']}/unit={k}")
                 n_out = spark.read.parquet(f"{paths['1m']}/unit={k}").count()
                 return None, n_out
 
