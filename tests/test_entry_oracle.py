@@ -41,8 +41,10 @@ def test_entry_smoke(spark):
 
 # entries with no ANSI-SQL oracle (iterative training loops etc.) — the
 # driver records a rows-only check for these; keep the set EXPLICIT so a
-# forgotten oracle fails this test instead of silently weakening coverage
-NON_SQL_QUERIES = {"vec_ivf_kmeans_topk"}
+# forgotten oracle fails this test instead of silently weakening coverage.
+# Empty since the k-means|| training loop gained a full unrolled DuckDB
+# oracle — every registered entry is now SQL-checked.
+NON_SQL_QUERIES: set[str] = set()
 
 
 def test_every_query_has_oracle_or_is_flagged():
