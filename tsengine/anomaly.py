@@ -858,3 +858,81 @@ def changepoint(
             F.round((sn - s) / (n - i) - s / i, 6).alias("delta"),
         )
     )
+
+
+def ramp_events(
+    df: DataFrame,
+    threshold: float,
+    keys: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Ramp-event extraction — maximal runs of same-direction large steps.
+
+    The canonical wind-power question the reference's users ask of its
+    per-cell series (rewemo's power-curve output feeds exactly this kind
+    of ramp screening downstream): find every maximal stretch where the
+    series keeps moving in one direction by at least ``threshold`` per
+    step. A step is ``Δ = v_i − v_{i−1}``; direction +1 if Δ ≥ threshold,
+    −1 if Δ ≤ −threshold, else 0 (not part of any ramp). Consecutive
+    same-direction steps merge into ONE event (gaps-and-islands).
+
+    Returns one row per ramp: (keys..., direction, start_ts, end_ts,
+    n_steps, total_change, max_step) where ``start_ts`` is the timestamp
+    of the point BEFORE the first qualifying step (the ramp's base),
+    ``end_ts`` the last point of the run, and ``total_change`` the exact
+    telescoped ``v_end − v_base`` (a sum of consecutive deltas collapses
+    to last-minus-first, so the value is a single subtraction — immune to
+    summation-order ulps across engines).
+
+    Shape for 100 TB: two window passes (lag + running island id) and one
+    groupBy, ALL partitioned by the series key — one exchange of the raw
+    volume, then map-side-combinable aggregation over islands. No joins,
+    no self-cross; a 10^12-turn table ramps at scan speed per partition.
+    """
+    ties = [c for c in order_cols if c in df.columns]
+    wseq = W.partitionBy(*keys).orderBy(ts_col, *ties)
+    v = F.col(value_col).cast("double")
+    d = df.select(
+        *keys,
+        F.col(ts_col),
+        *ties,
+        v.alias("_v"),
+        F.lag(v).over(wseq).alias("_vp"),
+        F.lag(ts_col).over(wseq).alias("_tsp"),
+    ).withColumn("_delta", F.col("_v") - F.col("_vp"))
+    thr = F.lit(float(threshold))
+    dirn = (
+        F.when(F.col("_delta") >= thr, F.lit(1))
+        .when(F.col("_delta") <= -thr, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    flagged = d.where(F.col("_vp").isNotNull()).withColumn("_dir", dirn)
+    # island id: running count of direction changes along the series
+    boundary = F.when(
+        F.lag("_dir").over(wseq).isNull()
+        | (F.col("_dir") != F.lag("_dir").over(wseq)),
+        1,
+    ).otherwise(0)
+    grp = flagged.withColumn(
+        "_grp",
+        F.sum(boundary).over(
+            wseq.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        grp.where(F.col("_dir") != 0)
+        .groupBy(*keys, "_grp")
+        .agg(
+            F.first("_dir").cast("long").alias("direction"),
+            F.min("_tsp").alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+            F.count("*").cast("long").alias("n_steps"),
+            # telescoped: v at end_ts minus v before the first step — exact
+            (F.max_by("_v", F.col(ts_col)) - F.min_by("_vp", F.col(ts_col)))
+            .alias("total_change"),
+            F.max(F.abs(F.col("_delta"))).alias("max_step"),
+        )
+        .drop("_grp")
+    )

@@ -4412,6 +4412,52 @@ def ts_changepoint(spark, sf_dir):
     return anomaly.changepoint(ev)
 
 
+@q(
+    "ts_ramp_events",
+    f"""
+WITH ev AS ({_EV}),
+d AS (SELECT conv_id, metric, ts, event_id, value::DOUBLE AS v,
+             lag(value::DOUBLE) OVER w AS vp,
+             lag(ts) OVER w AS tsp
+      FROM ev WINDOW w AS (PARTITION BY conv_id, metric ORDER BY ts, event_id)),
+f AS (SELECT *, v - vp AS delta,
+             CASE WHEN v - vp >= 20.0::DOUBLE THEN 1
+                  WHEN v - vp <= -20.0::DOUBLE THEN -1
+                  ELSE 0 END AS dir
+      FROM d WHERE vp IS NOT NULL),
+b AS (SELECT *, CASE WHEN lag(dir) OVER w2 IS NULL
+                       OR dir <> lag(dir) OVER w2 THEN 1 ELSE 0 END AS bnd
+      FROM f WINDOW w2 AS (PARTITION BY conv_id, metric ORDER BY ts, event_id)),
+g AS (SELECT *, sum(bnd) OVER (PARTITION BY conv_id, metric
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM b)
+SELECT conv_id, metric, min(dir)::BIGINT AS direction,
+       min(tsp) AS start_ts, max(ts) AS end_ts,
+       count(*)::BIGINT AS n_steps,
+       arg_max(v, ts) - arg_min(vp, ts) AS total_change,
+       max(abs(delta)) AS max_step
+FROM g WHERE dir <> 0
+GROUP BY conv_id, metric, grp
+""",
+)
+def ts_ramp_events(spark, sf_dir):
+    """Ramp-event extraction (`anomaly.ramp_events`): maximal runs of
+    same-direction steps |Δ| ≥ 20 merged into one event each
+    (gaps-and-islands: lag → direction → boundary-count island id →
+    one groupBy). ``total_change`` telescopes to v_end − v_base — a
+    single exact subtraction, immune to summation-order ulps — and the
+    whole operator is two window passes plus one aggregate, all on the
+    series key's ONE exchange. The downstream screening rewemo's
+    per-cell power series feed (wind ramps)."""
+    ev = _events_long(spark, sf_dir)
+    out = anomaly.ramp_events(ev, threshold=20.0)
+    return out.select(
+        "conv_id", "metric", "direction", "start_ts", "end_ts",
+        "n_steps", "total_change", "max_step",
+    )
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================
