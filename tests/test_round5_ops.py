@@ -73,3 +73,44 @@ def test_ramp_flat_series_yields_nothing(spark):
         "event_id long"
     )
     assert anomaly.ramp_events(df, threshold=20.0).count() == 0
+
+
+# ---------------------------------------------------------- holt linear ---
+
+def test_holt_linear_matches_reference_recursion(spark):
+    from tsengine import temporal
+
+    ys = [10.0, 12.0, 13.0, 20.0, 18.0, 25.0]
+    rows = [("a", "m", _t(10 + i), y, i + 1) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    a, b = 0.5, 0.25
+    got = {
+        r["event_id"]: r
+        for r in temporal.holt_linear(df, a, b, tiebreak="event_id").collect()
+    }
+    # reference recursion, FPP §8.2 form
+    l, tr = ys[0], 0.0
+    for i, y in enumerate(ys):
+        if i:
+            l_new = a * y + (1 - a) * (l + tr)
+            tr = b * (l_new - l) + (1 - b) * tr
+            l = l_new
+        r = got[i + 1]
+        assert abs(r["holt_level"] - l) < 1e-12
+        assert abs(r["holt_trend"] - tr) < 1e-12
+        assert abs(r["holt_fcst"] - (l + tr)) < 1e-12
+
+
+def test_holt_linear_constant_series_zero_trend(spark):
+    from tsengine import temporal
+
+    rows = [("a", "m", _t(10 + i), 7.0, i + 1) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    out = temporal.holt_linear(df, 0.5, 0.25, tiebreak="event_id").collect()
+    assert all(r["holt_level"] == 7.0 and r["holt_trend"] == 0.0 for r in out)

@@ -4458,6 +4458,57 @@ def ts_ramp_events(spark, sf_dir):
     )
 
 
+@q(
+    "ts_holt_linear",
+    f"""
+WITH RECURSIVE pts AS (
+  SELECT conv_id, metric, ts, event_id, value::DOUBLE AS y,
+         row_number() OVER (PARTITION BY conv_id, metric
+                            ORDER BY ts, event_id) AS i
+  FROM ({_EV}) e WHERE value IS NOT NULL
+),
+hw AS (
+  SELECT conv_id, metric, ts, event_id, i, y,
+         y AS l, 0.0::DOUBLE AS b
+  FROM pts WHERE i = 1
+  UNION ALL
+  SELECT p.conv_id, p.metric, p.ts, p.event_id, p.i, p.y,
+         0.5::DOUBLE * p.y + 0.5::DOUBLE * (h.l + h.b) AS l,
+         0.25::DOUBLE * ((0.5::DOUBLE * p.y + 0.5::DOUBLE * (h.l + h.b)) - h.l)
+           + 0.75::DOUBLE * h.b AS b
+  FROM hw h JOIN pts p
+    ON p.conv_id = h.conv_id AND p.metric = h.metric AND p.i = h.i + 1
+)
+SELECT conv_id, metric, event_id,
+       round(l + 5e-10, 6) AS holt_level,
+       round(b + 5e-10, 6) AS holt_trend,
+       round(l + b + 5e-10, 6) AS holt_fcst
+FROM hw
+""",
+)
+def ts_holt_linear(spark, sf_dir):
+    """Holt's two-parameter linear-trend smoothing (`temporal.holt_linear`,
+    α=0.5, β=0.25): coupled level/trend recurrence with no closed form —
+    the Spark side is one applyInPandas shuffle keyed by the series,
+    the oracle a DuckDB recursive CTE advancing every series in lockstep
+    over the turn ordinal. The gains are exactly representable binary
+    fractions and both sides evaluate the update in the same association
+    order, so the recursion stays bitwise-identical at every step; only
+    the final 6-dp print needs the usual +5e-10 nudge (DuckDB rounds the
+    scaled double, Spark the exact BigDecimal — they split at ulp edges)."""
+    ev = _events_long(spark, sf_dir).where(F.col("value").isNotNull())
+    out = temporal.holt_linear(
+        ev, alpha=0.5, beta=0.25, on=("conv_id", "metric"),
+        tiebreak="event_id",
+    )
+    return out.select(
+        "conv_id", "metric", "event_id",
+        F.round(F.col("holt_level") + F.lit(5e-10), 6).alias("holt_level"),
+        F.round(F.col("holt_trend") + F.lit(5e-10), 6).alias("holt_trend"),
+        F.round(F.col("holt_fcst") + F.lit(5e-10), 6).alias("holt_fcst"),
+    )
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================

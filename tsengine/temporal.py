@@ -28,6 +28,7 @@ outgrows a task.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -512,6 +513,76 @@ def brown_smooth(
         return pdf
 
     return grouped_apply(df, [on], fn, out_schema)
+
+
+def holt_linear(
+    df: DataFrame,
+    alpha: float,
+    beta: float,
+    on: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Holt's linear-trend smoothing per series — the two-parameter
+    generalization of ``brown_smooth`` (Brown is the α=β special case up
+    to reparameterization): separate level and trend gains
+
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    initialized l_1 = y_1, b_1 = 0 (Holt 1957 / Hyndman & Athanasopoulos
+    FPP §8.2). Adds ``holt_level`` / ``holt_trend`` / ``holt_fcst``
+    (= level + trend, the one-step-ahead forecast, matching
+    ``brown_fcst``'s convention).
+
+    The recurrence is genuinely sequential in TWO coupled states, so
+    there is no ewm/prefix-sum closed form — this is the documented
+    legitimate Python path: one ``applyInPandas`` shuffle keyed by the
+    series key, a per-group state loop inside the Arrow batch. Groups
+    run in parallel across executors; a single series serializes within
+    one task (pre-split mega-series with the salted chunk machinery).
+
+    Cross-engine parity: the update expressions are written in ONE
+    association order and mirrored verbatim by the SQL oracle's
+    recursive CTE, and the default gains used by the entry (α=0.5,
+    β=0.25) make every coefficient exactly representable — both engines
+    produce bitwise-identical doubles at every step, no drift over the
+    recursion. Nulls must be filtered upstream (same contract as
+    ``ewma``/``brown_smooth``)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    order = [ts_col] if tiebreak is None else [ts_col, tiebreak]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("holt_level", DoubleType()),
+            StructField("holt_trend", DoubleType()),
+            StructField("holt_fcst", DoubleType()),
+        ]
+    )
+    a, b_gain = float(alpha), float(beta)
+    one_a, one_b = 1.0 - a, 1.0 - b_gain
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        y = pdf[value_col].to_numpy(dtype="float64")
+        n = len(y)
+        lv = np.empty(n)
+        tr = np.empty(n)
+        if n:
+            lv[0], tr[0] = y[0], 0.0
+            for i in range(1, n):
+                l_prev, b_prev = lv[i - 1], tr[i - 1]
+                l_new = a * y[i] + one_a * (l_prev + b_prev)
+                tr[i] = b_gain * (l_new - l_prev) + one_b * b_prev
+                lv[i] = l_new
+        pdf["holt_level"] = lv
+        pdf["holt_trend"] = tr
+        pdf["holt_fcst"] = lv + tr
+        return pdf
+
+    return grouped_apply(df, list(on), fn, out_schema)
 
 
 def time_weighted_avg(
