@@ -114,3 +114,66 @@ def test_holt_linear_constant_series_zero_trend(spark):
     )
     out = temporal.holt_linear(df, 0.5, 0.25, tiebreak="event_id").collect()
     assert all(r["holt_level"] == 7.0 and r["holt_trend"] == 0.0 for r in out)
+
+
+# ------------------------------------------------------------------ lttb ---
+
+def test_lttb_small_series_passes_through(spark):
+    from tsengine import rolling
+
+    rows = [("a", "m", _t(10 + i), float(i), i + 1) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    got = sorted(
+        rolling.lttb_downsample(df, n_out=8).collect(),
+        key=lambda r: r["sel_ord"],
+    )
+    assert [r["event_id"] for r in got] == [1, 2, 3, 4, 5]
+    assert [r["sel_ord"] for r in got] == [0, 1, 2, 3, 4]
+
+
+def test_lttb_keeps_endpoints_and_spikes(spark):
+    from tsengine import rolling
+
+    # 20 points: flat at 1.0 except one huge spike in each middle stretch;
+    # LTTB must keep first, last, and pick the spike wherever its bucket
+    # holds one (triangle area dominated by the outlier y)
+    n = 20
+    spikes = {4: 100.0, 9: -80.0, 15: 120.0}
+    rows = [
+        ("a", "m", _t(0, i), spikes.get(i, 1.0), i + 1) for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    got = sorted(
+        rolling.lttb_downsample(df, n_out=8).collect(),
+        key=lambda r: r["sel_ord"],
+    )
+    assert len(got) == 8
+    assert got[0]["event_id"] == 1 and got[-1]["event_id"] == n
+    picked = {r["event_id"] for r in got}
+    # every spike sits strictly inside the middle range -> must be kept
+    assert {5, 10, 16} <= picked
+
+
+def test_lttb_output_count_is_n_out(spark):
+    from tsengine import rolling
+
+    rows = [
+        (c, "m", _t(0, i), float((i * 7) % 13), i + 1)
+        for c in ("a", "b")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    out = rolling.lttb_downsample(df, n_out=8)
+    cnt = {r["conv_id"]: r["c"] for r in
+           out.groupBy("conv_id").agg(__import__("pyspark").sql.functions
+                                      .count("*").alias("c")).collect()}
+    assert cnt == {"a": 8, "b": 8}

@@ -4509,6 +4509,79 @@ def ts_holt_linear(spark, sf_dir):
     )
 
 
+@q(
+    "ts_lttb_downsample",
+    f"""
+WITH RECURSIVE base AS (
+  SELECT conv_id, metric, ts, event_id, value, value::DOUBLE AS y,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY conv_id, metric) AS n,
+         (epoch_us(ts)
+          - min(epoch_us(ts)) OVER (PARTITION BY conv_id, metric))::DOUBLE AS xs
+  FROM ({_EV}) e
+  WINDOW w AS (PARTITION BY conv_id, metric ORDER BY ts, event_id)
+),
+midp AS (
+  SELECT *, (rn - 2) * 6 // (n - 2) AS bkt
+  FROM base WHERE n > 8 AND rn BETWEEN 2 AND n - 1
+),
+anch AS (
+  SELECT conv_id, metric, bkt, avg(xs) AS ax, round(avg(y), 6) AS ay
+  FROM midp GROUP BY 1, 2, 3
+),
+nxt AS (
+  SELECT conv_id, metric, bkt - 1 AS bkt, ax, ay FROM anch WHERE bkt >= 1
+  UNION ALL
+  SELECT conv_id, metric, 5 AS bkt, xs AS ax, round(y, 6) AS ay
+  FROM base WHERE n > 8 AND rn = n
+),
+sel AS (
+  SELECT conv_id, metric, -1 AS bkt, ts, event_id, value, xs, y
+  FROM base WHERE n > 8 AND rn = 1
+  UNION ALL
+  SELECT c.conv_id, c.metric, c.bkt, c.ts, c.event_id, c.value, c.xs, c.y
+  FROM sel s, LATERAL (
+    SELECT p.conv_id, p.metric, p.bkt, p.ts, p.event_id, p.value, p.xs, p.y
+    FROM midp p JOIN nxt nx
+      ON nx.conv_id = p.conv_id AND nx.metric = p.metric AND nx.bkt = p.bkt
+    WHERE p.conv_id = s.conv_id AND p.metric = s.metric
+      AND p.bkt = s.bkt + 1
+    ORDER BY abs((s.xs - nx.ax) * (p.y - s.y)
+                 - (s.xs - p.xs) * (nx.ay - s.y)) DESC, p.ts ASC
+    LIMIT 1
+  ) c
+)
+SELECT conv_id, metric, (bkt + 1)::BIGINT AS sel_ord, ts, event_id,
+       value::DOUBLE AS value
+FROM sel
+UNION ALL
+SELECT conv_id, metric, 7::BIGINT AS sel_ord, ts, event_id,
+       value::DOUBLE AS value
+FROM base WHERE n > 8 AND rn = n
+UNION ALL
+SELECT conv_id, metric, (rn - 1)::BIGINT AS sel_ord, ts, event_id,
+       value::DOUBLE AS value
+FROM base WHERE n <= 8
+""",
+)
+def ts_lttb_downsample(spark, sf_dir):
+    """Largest-Triangle-THREE-Buckets (`rolling.lttb_downsample`,
+    Steinarsson 2013) at n_out=8 — the sequential shape-optimal
+    downsampler: each middle bucket's winner maximizes the triangle with
+    the previously selected point and the next bucket's average. The
+    Spark side is one applyInPandas shuffle with the greedy loop in
+    numpy; the oracle replays the recurrence as a DuckDB recursive CTE
+    whose recursive term is a LATERAL argmax (ORDER BY area DESC LIMIT
+    1), advancing every series in lockstep over the bucket ordinal. The
+    x axis is integer µs relative to the series start so anchor
+    averages are exact; the area expression is mirrored verbatim."""
+    ev = _events_long(spark, sf_dir)
+    out = rolling.lttb_downsample(ev, n_out=8)
+    return out.select(
+        "conv_id", "metric", "sel_ord", "ts", "event_id", "value"
+    )
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================
