@@ -215,6 +215,15 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
             cr, "2024-01-10 00:00:00", "2024-01-20 23:59:59", chunk_span="1d"))
     thunks["tier_merge_late"] = lambda: count_action(
         eq.QUERIES["ts_tier_merge_late"](spark, sf_dir))
+    # continuation pack (keys appended, never renamed)
+    thunks["ramp_events"] = lambda: count_action(
+        eq.QUERIES["ts_ramp_events"](spark, sf_dir))
+    thunks["holt_linear"] = lambda: count_action(
+        eq.QUERIES["ts_holt_linear"](spark, sf_dir))
+    thunks["lttb_downsample"] = lambda: count_action(
+        eq.QUERIES["ts_lttb_downsample"](spark, sf_dir))
+    thunks["pq_topk"] = lambda: count_action(
+        eq.QUERIES["vec_pq_topk"](spark, sf_dir))
     return thunks
 
 

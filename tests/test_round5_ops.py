@@ -177,3 +177,56 @@ def test_lttb_output_count_is_n_out(spark):
            out.groupBy("conv_id").agg(__import__("pyspark").sql.functions
                                       .count("*").alias("c")).collect()}
     assert cnt == {"a": 8, "b": 8}
+
+
+# -------------------------------------------------------------------- pq ---
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_pq_codebook_members_encode_to_own_codes(spark):
+    from tsengine import vecops
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(6, 8).astype("float32") * 0.3
+    df = _emb_df(spark, vecs)
+    cbs = vecops.pq_codebooks(df, n_codes=4, m_sub=2)
+    enc = {r["vec_id"]: r for r in
+           vecops.pq_encode(df, cbs).collect()}
+    # the first 4 vectors ARE the codebook -> each encodes to itself
+    for c in range(4):
+        assert (enc[c]["code_0"], enc[c]["code_1"]) == (c, c)
+
+
+def test_pq_topk_matches_numpy_adc(spark):
+    from tsengine import vecops
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype("float32") * 0.3
+    df = _emb_df(spark, vecs)
+    q = [float(x) for x in (rng.randn(8) * 0.3)]
+    got = vecops.pq_topk(df, q, k=5, n_codes=4, m_sub=2).collect()
+
+    # independent numpy replay of the same deterministic convention
+    X = vecs.astype("float64")
+    C = X[:4]                      # codebook = first 4 vectors, vec_id order
+    sub = lambda A, j: A[..., j * 4:(j + 1) * 4]
+    qa = np.asarray(q, dtype="float64")
+    adc = np.zeros(len(X))
+    codes = []
+    for j in range(2):
+        d = ((sub(X, j)[:, None, :] - sub(C, j)[None, :, :]) ** 2).sum(2)
+        cj = np.argmin(np.round(d, 6), axis=1)
+        codes.append(cj)
+        qd = ((sub(qa, j)[None, :] - sub(C, j)) ** 2).sum(1)
+        adc += qd[cj]
+    order = np.lexsort((np.arange(len(X)), np.round(adc, 6)))[:5]
+    assert [r["vec_id"] for r in got] == [int(i) for i in order]
+    for r in got:
+        assert abs(r["pq_dist"] - adc[r["vec_id"]]) < 1e-5
+        c0, c1 = (int(x) for x in r["pq_code"].split("-"))
+        assert (c0, c1) == (codes[0][r["vec_id"]], codes[1][r["vec_id"]])

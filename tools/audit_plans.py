@@ -336,6 +336,31 @@ def main() -> None:
               rollup.rollup_from_raw(ev.where(F.col("ts") >= cutoff), "1m")),
           ["partial_agg", "no_cartesian"])
 
+    # continuation pack: ramps are two window passes + one island groupBy
+    # on the series key's ONE exchange; Holt and LTTB are single
+    # grouped-pandas shuffles (repartition satisfies the groupBy
+    # clustering, no second exchange); PQ top-k is scan-speed encode +
+    # ADC lookups with a partial top-k — its one exchange is the final
+    # k-row singlePartition merge, and the 16-code "join" must compile
+    # to literal array exprs, never a real join
+    audit("ramp events (islands on one exchange)",
+          anomaly.ramp_events(ev, threshold=20.0),
+          ["single_exchange", "partial_agg", "no_cartesian"])
+    audit("holt linear (one grouped-pandas shuffle)",
+          temporal.holt_linear(ev.where(F.col("value").isNotNull()),
+                               alpha=0.5, beta=0.25, tiebreak="event_id"),
+          ["single_exchange", "no_cartesian"])
+    audit("lttb (one grouped-pandas shuffle)",
+          rolling.lttb_downsample(ev, n_out=8),
+          ["single_exchange", "no_cartesian"])
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") != 0)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    audit("pq top-k (scan-speed ADC, no join)",
+          vecops.pq_topk(base, qv, k=10, n_codes=16, m_sub=8),
+          ["no_cartesian"])
+
 
 if __name__ == "__main__":
     main()

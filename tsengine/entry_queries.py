@@ -4582,6 +4582,56 @@ def ts_lttb_downsample(spark, sf_dir):
     )
 
 
+def _pq_sql(m_sub: int = 8, dsub: int = 8, n_codes: int = 16, k: int = 10) -> str:
+    """PQ oracle, loop-unrolled per subspace: every squared-L2 is the same
+    left-associated 8-term chain the Spark side and the driver-side lut
+    use, so the three computations are bitwise-identical doubles."""
+    def chain(a: str, b: str, j: int) -> str:
+        return " + ".join(
+            f"({a}[{j * dsub + i + 1}] - {b}[{j * dsub + i + 1}])"
+            f" * ({a}[{j * dsub + i + 1}] - {b}[{j * dsub + i + 1}])"
+            for i in range(dsub)
+        )
+
+    parts = []
+    for j in range(m_sub):
+        parts.append(f"""a{j} AS (SELECT vec_id, cid AS c{j}, qd AS d{j} FROM (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round({chain('e.v', 'c.cv', j)}, 6), c.cid) AS rk,
+         {chain('q.qv', 'c.cv', j)} AS qd
+  FROM e CROSS JOIN cb c, q) t WHERE rk = 1)""")
+    joins = " ".join(f"JOIN a{j} USING (vec_id)" for j in range(1, m_sub))
+    adc = " + ".join(f"d{j}" for j in range(m_sub))
+    code = " || '-' || ".join(f"c{j}::VARCHAR" for j in range(m_sub))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id <> 0),
+cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             WHERE vec_id <> 0 ORDER BY vec_id LIMIT {n_codes}) s),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+{','.join(parts)}
+SELECT vec_id, {code} AS pq_code, round(({adc}) + 5e-10, 6) AS pq_dist
+FROM a0 {joins}
+ORDER BY round({adc}, 6), vec_id LIMIT {k}
+"""
+
+
+@q("vec_pq_topk", _pq_sql())
+def vec_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (`vecops.pq_topk`, Jégou et al. 2011):
+    8 subspaces × 16 deterministic codes, scan-speed encoding (argmin as
+    array_min over rounded-distance structs, no join), per-query ADC lut
+    built driver-side, top-10 by the 6-dp-rounded asymmetric distance
+    with vec_id tie-break. The compressed-domain path that makes
+    billion-vector search feasible: queries read ONLY the code columns.
+    The all-pairs code assignment join lives solely in the oracle."""
+    qv = _query_vec(spark, sf_dir)
+    base = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    return vecops.pq_topk(base, qv, k=10, n_codes=16, m_sub=8)
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================

@@ -574,3 +574,144 @@ def label_centroid_stats(
         .groupBy(label_col)
         .agg(F.count("*").alias("cnt"), F.avg("_n").alias("avg_norm"))
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid 2011, "Product Quantization
+# for Nearest Neighbor Search") — the compressed-domain ANN scale path:
+# encode each vector as m_sub small codes, answer queries with asymmetric
+# distance computation (ADC) against a per-query lookup table, never
+# touching the raw vectors at query time.
+# --------------------------------------------------------------------------
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    n_codes: int = 16,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic PQ codebooks: subspace j's codes are the j-th
+    sub-vectors of the first ``n_codes`` vectors in ``id_col`` order —
+    the same seeded-deterministic convention as ``ivf_centroids`` (a
+    trained variant would swap in ``kmeans_centroids`` per subspace; the
+    encode/ADC machinery below is identical either way). Driver-side
+    collect of ``n_codes`` rows — O(KB), broadcast as literals."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_codes)
+        .collect()
+    )
+    dim = len(rows[0][vec_col])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    return [
+        [
+            (c, [float(x) for x in row[vec_col][j * dsub:(j + 1) * dsub]])
+            for c, row in enumerate(rows)
+        ]
+        for j in range(m_sub)
+    ]
+
+
+def _dlit(v: float) -> str:
+    """A double literal in Spark-SQL text: shortest round-trip repr (the
+    JVM parses it back to the bitwise-identical double); plain decimals
+    need the D suffix or Spark types them DECIMAL, exponent forms are
+    already DOUBLE."""
+    s = repr(float(v))
+    return s if ("e" in s or "E" in s) else s + "D"
+
+
+def _sub_l2sq_sql(dv: str, code_vec: list[float], off: int) -> str:
+    """Squared L2 between a sub-vector slice and a literal code, as an
+    UNROLLED left-associated chain — the one association order mirrored
+    verbatim by the SQL oracle and by the driver-side Python lut, so all
+    three produce bitwise-identical doubles. Emitted as SQL TEXT, not
+    stacked Column objects: the 16-code × 8-term trees cost thousands of
+    py4j round trips to build (~10 s/plan measured) but parse JVM-side
+    in milliseconds."""
+    return " + ".join(
+        f"({dv}[{off + i}] - {_dlit(cv)}) * ({dv}[{off + i}] - {_dlit(cv)})"
+        for i, cv in enumerate(code_vec)
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_round: int = 6,
+) -> DataFrame:
+    """PQ encoding at scan speed: per subspace, argmin over the code list
+    as ``array_min`` over (rounded dist, cid) structs — pure scalar
+    exprs, no join, no shuffle (the ``nearest_centroid_expr`` shape, one
+    per subspace). At 100 TB the output is the stored index: m_sub
+    small ints per vector (here 8 × 4 bits of information ≈ 64× smaller
+    than the raw float32[64]), written once, scanned by every query."""
+    dsub = len(codebooks[0][0][1])
+    cols = []
+    for j, cb in enumerate(codebooks):
+        structs = ", ".join(
+            f"named_struct('d', round({_sub_l2sq_sql('_dv', c, j * dsub)},"
+            f" {dist_round}), 'cid', {int(cid)})"
+            for cid, c in cb
+        )
+        cols.append(f"array_min(array({structs}))['cid'] AS code_{j}")
+    return embeddings.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("_dv")
+    ).selectExpr(id_col, *cols)
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_codes: int = 16,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ top-k by asymmetric distance: encode the base vectors (or read
+    the stored codes), build the per-query lut ``qd[j][c]`` driver-side
+    (m_sub·n_codes doubles, sequential left-to-right accumulation — the
+    same association order as ``_sub_l2sq``), then ADC is a chain of
+    ``element_at`` lookups summed j-ascending. The query never touches a
+    raw vector: at 100 TB the scan reads only the code columns
+    (column-pruned), each row costs m_sub array lookups + adds, and the
+    top-k is one ``orderBy ... limit`` (map-side partial top-k). Ranking
+    uses the 6-dp-rounded distance with a vec_id tie-break — the
+    cross-engine determinism rule every distance rank here follows."""
+    cbs = pq_codebooks(embeddings, n_codes, m_sub, id_col, vec_col)
+    enc = pq_encode(embeddings, cbs, id_col, vec_col)
+    dsub = len(query_vec) // m_sub
+    terms = []
+    for j, cb in enumerate(cbs):
+        lut = []
+        for _cid, c in cb:
+            acc = None
+            for i, cv in enumerate(c):
+                x = float(query_vec[j * dsub + i]) - cv
+                t = x * x
+                acc = t if acc is None else acc + t
+            lut.append(acc)
+        arr = ", ".join(_dlit(v) for v in lut)
+        terms.append(f"element_at(array({arr}), code_{j} + 1)")
+    # j-ascending left-associated sum, as SQL text for the same
+    # build-cost reason as _sub_l2sq_sql
+    adc = F.expr(" + ".join(terms))
+    return (
+        enc.withColumn("_adc", adc)
+        .orderBy(F.round(F.col("_adc"), 6).asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            F.concat_ws(
+                "-", *[F.col(f"code_{j}").cast("string") for j in range(m_sub)]
+            ).alias("pq_code"),
+            F.round(F.col("_adc") + F.lit(5e-10), 6).alias("pq_dist"),
+        )
+    )
