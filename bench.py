@@ -224,6 +224,8 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
         eq.QUERIES["ts_lttb_downsample"](spark, sf_dir))
     thunks["pq_topk"] = lambda: count_action(
         eq.QUERIES["vec_pq_topk"](spark, sf_dir))
+    thunks["ivfpq_topk"] = lambda: count_action(
+        eq.QUERIES["vec_ivfpq_topk"](spark, sf_dir))
     return thunks
 
 

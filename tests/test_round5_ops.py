@@ -230,3 +230,55 @@ def test_pq_topk_matches_numpy_adc(spark):
         assert abs(r["pq_dist"] - adc[r["vec_id"]]) < 1e-5
         c0, c1 = (int(x) for x in r["pq_code"].split("-"))
         assert (c0, c1) == (codes[0][r["vec_id"]], codes[1][r["vec_id"]])
+
+
+def test_ivfpq_topk_matches_python_replay(spark):
+    from tsengine import vecops
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(30, 8).astype("float32") * 0.4
+    df = _emb_df(spark, vecs)
+    q = [float(x) for x in (rng.randn(8) * 0.4)]
+    got = vecops.ivfpq_topk(
+        df, q, k=6, n_centroids=2, nprobe=1, n_codes=4, m_sub=2
+    ).collect()
+
+    # plain-Python replay of the identical convention (left-assoc chains,
+    # round-6 argmins, lowest-id ties) — independent of Spark and SQL
+    X = [[float(x) for x in row] for row in vecs.astype("float64")]
+    cents = {i: X[i] for i in range(2)}           # first 2 by vec_id
+
+    def l2sq(a, b, lo, hi):
+        acc, first = 0.0, True
+        for i in range(lo, hi):
+            t = (a[i] - b[i]) * (a[i] - b[i])
+            acc, first = (t if first else acc + t), False
+        return acc
+
+    assign = {vid: min(cents, key=lambda c: (l2sq(X[vid], cents[c], 0, 8) ** 0.5, c))
+              for vid in range(len(X))}
+    probe = min(cents, key=lambda c: (l2sq(q, cents[c], 0, 8) ** 0.5, c))
+    rescb = [[X[vid][i] - cents[assign[vid]][i] for i in range(8)]
+             for vid in range(4)]                  # first 4 by vec_id
+
+    scored = []
+    for vid in range(len(X)):
+        if assign[vid] != probe:
+            continue
+        rv = [X[vid][i] - cents[assign[vid]][i] for i in range(8)]
+        qrv = [q[i] - cents[probe][i] for i in range(8)]
+        codes, dist = [], 0.0
+        for j in range(2):
+            lo, hi = j * 4, (j + 1) * 4
+            cj = min(range(4),
+                     key=lambda c: (round(l2sq(rv, rescb[c], lo, hi), 6), c))
+            codes.append(cj)
+            dist += l2sq(qrv, rescb[cj], lo, hi)
+        scored.append((round(dist, 6), vid, codes, dist))
+    scored.sort(key=lambda t: (t[0], t[1]))
+
+    assert [r["vec_id"] for r in got] == [t[1] for t in scored[:6]]
+    for r, t in zip(got, scored):
+        assert r["centroid_id"] == probe
+        assert [int(x) for x in r["pq_code"].split("-")] == t[2]
+        assert abs(r["pq_dist"] - t[3]) < 1e-5

@@ -360,6 +360,13 @@ def main() -> None:
     audit("pq top-k (scan-speed ADC, no join)",
           vecops.pq_topk(base, qv, k=10, n_codes=16, m_sub=8),
           ["no_cartesian"])
+    # ivf-pq: the probe filter must stay a pushable IN on the scan (at
+    # scale that is partition pruning) and the whole residual encode +
+    # ADC must compile to scalar exprs, never a join
+    audit("ivf-pq top-k (probe prune + residual ADC, no join)",
+          vecops.ivfpq_topk(base, qv, k=10, n_centroids=8, nprobe=2,
+                            n_codes=16, m_sub=8),
+          ["pushed_filters", "no_cartesian"])
 
 
 if __name__ == "__main__":

@@ -4632,6 +4632,93 @@ def vec_pq_topk(spark, sf_dir):
     return vecops.pq_topk(base, qv, k=10, n_codes=16, m_sub=8)
 
 
+def _ivfpq_sql(
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m_sub: int = 8,
+    dsub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    k: int = 10,
+) -> str:
+    """IVF-PQ oracle: coarse assignment + probe selection + residual
+    codebook + per-subspace residual code assignment + ADC, all
+    loop-unrolled into the same left-associated chains the Spark side
+    and its driver-built luts use (§ vecops.ivfpq_topk)."""
+    def l2(a: str, b: str) -> str:
+        return " + ".join(
+            f"({a}[{i + 1}] - {b}[{i + 1}]) * ({a}[{i + 1}] - {b}[{i + 1}])"
+            for i in range(dim)
+        )
+
+    def rchain(x: str, cv: str, rv: str, j: int) -> str:
+        # (( x[i] - centroid[i] ) - residual_code[i])², left-associated
+        return " + ".join(
+            f"(({x}[{j * dsub + i + 1}] - {cv}[{j * dsub + i + 1}])"
+            f" - {rv}[{j * dsub + i + 1}])"
+            f" * (({x}[{j * dsub + i + 1}] - {cv}[{j * dsub + i + 1}])"
+            f" - {rv}[{j * dsub + i + 1}])"
+            for i in range(dsub)
+        )
+
+    parts = []
+    for j in range(m_sub):
+        parts.append(f"""s{j} AS (SELECT vec_id, code AS c{j}, qd AS d{j} FROM (
+  SELECT pe.vec_id, cb.code,
+         row_number() OVER (PARTITION BY pe.vec_id
+           ORDER BY round({rchain('pe.v', 'pe.cv', 'cb.rv', j)}, 6), cb.code) AS rk,
+         {rchain('q.qv', 'pe.cv', 'cb.rv', j)} AS qd
+  FROM pe CROSS JOIN cb, q) t WHERE rk = 1)""")
+    joins = " ".join(
+        f"JOIN s{j} ON s{j}.vec_id = pe.vec_id" for j in range(1, m_sub)
+    )
+    adc = " + ".join(f"d{j}" for j in range(m_sub))
+    code = " || '-' || ".join(f"c{j}::VARCHAR" for j in range(m_sub))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id <> 0),
+c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {n_centroids}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT cid FROM c, q
+          ORDER BY sqrt({l2('q.qv', 'c.cv')}), cid LIMIT {nprobe}),
+assign AS (SELECT e.vec_id, e.v, c.cid, c.cv,
+                  row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY sqrt({l2('e.v', 'c.cv')}), c.cid) AS rk
+           FROM e CROSS JOIN c),
+a1 AS MATERIALIZED (SELECT vec_id, v, cid, cv FROM assign WHERE rk = 1),
+cb AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+              list_transform(range(1, {dim + 1}), i -> v[i] - cv[i]) AS rv
+       FROM (SELECT vec_id, v, cv FROM a1 ORDER BY vec_id LIMIT {n_codes}) t),
+pe AS MATERIALIZED (SELECT vec_id, v, cid, cv FROM a1
+       WHERE cid IN (SELECT cid FROM probe)),
+{','.join(parts)}
+SELECT pe.vec_id, pe.cid::BIGINT AS centroid_id, {code} AS pq_code,
+       round(({adc}) + 5e-10, 6) AS pq_dist
+FROM pe JOIN s0 ON s0.vec_id = pe.vec_id {joins}
+ORDER BY round({adc}, 6), pe.vec_id LIMIT {k}
+"""
+
+
+@q("vec_ivfpq_topk", _ivfpq_sql())
+def vec_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ / IVFADC (`vecops.ivfpq_topk`, Jégou et al. 2011 §IV) —
+    the composition both ANN halves exist for: 8 coarse lists pruned to
+    nprobe=2 (a pushable IN-filter → partition pruning at scale), then
+    PQ over RESIDUALS from the coarse centroid (8 subspaces × 16 codes,
+    scan-speed array_min argmin), ranked by asymmetric distance against
+    per-(probe, subspace) luts built from the query's own residuals.
+    Every distance is one shared left-associated chain, so Spark, the
+    Python luts, and the DuckDB oracle agree bitwise; ties (the first 8
+    codebook rows ARE the centroids → zero residuals) break by lowest
+    code id identically everywhere. All-pairs joins live solely in the
+    oracle."""
+    qv = _query_vec(spark, sf_dir)
+    base = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    return vecops.ivfpq_topk(
+        base, qv, k=10, n_centroids=8, nprobe=2, n_codes=16, m_sub=8
+    )
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================

@@ -715,3 +715,160 @@ def pq_topk(
             F.round(F.col("_adc") + F.lit(5e-10), 6).alias("pq_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ (IVFADC; Jégou, Douze & Schmid 2011 §IV) — the billion-vector
+# composition: a coarse quantizer prunes the scan to nprobe inverted
+# lists, and within each list vectors are PQ-encoded as RESIDUALS from
+# their coarse centroid, so a query pays m_sub table lookups per
+# candidate against a per-(probe, subspace) lookup table.
+# --------------------------------------------------------------------------
+
+def _l2_py(a: list[float], b: list[float]) -> float:
+    """Left-associated L2 in plain Python — the driver-side mirror of
+    ``_l2_to``'s zip_with/aggregate fold (same IEEE association order;
+    numpy's pairwise summation would NOT match near ties)."""
+    acc = 0.0
+    first = True
+    for x, y in zip(a, b):
+        t = (float(x) - float(y)) * (float(x) - float(y))
+        acc = t if first else acc + t
+        first = False
+    return acc ** 0.5
+
+
+def _res_chain_sql(
+    dv: str, cc: str, code_res: list[float], off: int, dsub: int
+) -> str:
+    """Squared L2 between a row's RESIDUAL sub-vector ((dv[i] - cc[i]),
+    computed in-expression) and a literal residual code, unrolled
+    left-associated — one association order shared with the Python lut
+    builder and the SQL oracle."""
+    return " + ".join(
+        f"(({dv}[{off + i}] - {cc}[{off + i}]) - {_dlit(code_res[off + i])})"
+        f" * (({dv}[{off + i}] - {cc}[{off + i}]) - {_dlit(code_res[off + i])})"
+        for i in range(dsub)
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    n_codes: int = 16,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    dist_round: int = 6,
+) -> DataFrame:
+    """IVF-PQ top-k: probe the ``nprobe`` coarse lists nearest the query,
+    PQ-encode each candidate's residual (vector − its coarse centroid) at
+    scan speed, and rank by asymmetric distance against per-(probe,
+    subspace) lookup tables built driver-side from the query's OWN
+    residual to each probed centroid. The 100 TB shape: the table is
+    written partitioned by ``centroid_id`` with the m_sub code columns
+    stored, so a query prunes to nprobe partitions, reads only codes,
+    and pays m_sub map+array lookups per row — never a raw vector.
+
+    Codebooks are the residuals of the first ``n_codes`` vectors in
+    ``id_col`` order (the deterministic, oracle-checkable convention of
+    ``ivf_centroids``/``pq_codebooks``; production swaps in per-subspace
+    k-means residuals through the identical machinery). Every distance
+    is the one left-associated chain the SQL oracle replays, rounded at
+    ``dist_round`` with lowest-id tie-breaks."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    )
+    cmap = {int(cid): [float(x) for x in v] for cid, v in cents}
+    probe = [
+        cid for cid, _ in
+        sorted(cents, key=lambda c: (_l2_py(query_vec, c[1]), int(c[0])))[:nprobe]
+    ]
+
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+
+    # residual codebook: first n_codes vectors, each minus ITS OWN coarse
+    # centroid (Spark computes the assignment; the subtraction is exact
+    # IEEE, identical on every engine)
+    cb_rows = assigned.orderBy(id_col).limit(n_codes).collect()
+    dim = len(cb_rows[0][vec_col])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    rescb: list[tuple[int, list[float]]] = []
+    for ci, r in enumerate(cb_rows):
+        cc = cmap[int(r["centroid_id"])]
+        rescb.append(
+            (ci, [float(r[vec_col][i]) - cc[i] for i in range(dim)])
+        )
+
+    # probed rows only (the partition-pruned scan), residual encode at
+    # scan speed — SQL text for the same plan-build-cost reason as
+    # _sub_l2sq_sql
+    centmap = "map(" + ", ".join(
+        f"{int(p)}, array({', '.join(_dlit(x) for x in cmap[int(p)])})"
+        for p in probe
+    ) + ")"
+    base = (
+        assigned.where(F.col("centroid_id").isin([int(p) for p in probe]))
+        .select(
+            id_col, "centroid_id",
+            F.col(vec_col).cast("array<double>").alias("_dv"),
+        )
+        .withColumn("_cc", F.expr(f"{centmap}[centroid_id]"))
+    )
+    code_cols = []
+    for j in range(m_sub):
+        structs = ", ".join(
+            f"named_struct('d', round("
+            f"{_res_chain_sql('_dv', '_cc', rv, j * dsub, dsub)},"
+            f" {dist_round}), 'cid', {ci})"
+            for ci, rv in rescb
+        )
+        code_cols.append(f"array_min(array({structs}))['cid'] AS code_{j}")
+    enc = base.selectExpr(id_col, "centroid_id", *code_cols)
+
+    # per-(probe, subspace) ADC luts from the query residual, Python
+    # left-to-right accumulation — the shared association order
+    terms = []
+    for j in range(m_sub):
+        entries = []
+        for p in probe:
+            cc = cmap[int(p)]
+            lut = []
+            for _ci, rv in rescb:
+                acc = 0.0
+                first = True
+                for i in range(j * dsub, (j + 1) * dsub):
+                    x = (float(query_vec[i]) - cc[i]) - rv[i]
+                    t = x * x
+                    acc = t if first else acc + t
+                    first = False
+                lut.append(acc)
+            entries.append(
+                f"{int(p)}, array({', '.join(_dlit(v) for v in lut)})"
+            )
+        terms.append(
+            f"element_at(map({', '.join(entries)})[centroid_id],"
+            f" code_{j} + 1)"
+        )
+    adc = F.expr(" + ".join(terms))
+    return (
+        enc.withColumn("_adc", adc)
+        .orderBy(F.round(F.col("_adc"), 6).asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.concat_ws(
+                "-", *[F.col(f"code_{j}").cast("string") for j in range(m_sub)]
+            ).alias("pq_code"),
+            F.round(F.col("_adc") + F.lit(5e-10), 6).alias("pq_dist"),
+        )
+    )
