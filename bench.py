@@ -220,6 +220,8 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
         eq.QUERIES["ts_ramp_events"](spark, sf_dir))
     thunks["holt_linear"] = lambda: count_action(
         eq.QUERIES["ts_holt_linear"](spark, sf_dir))
+    thunks["holt_winters"] = lambda: count_action(
+        eq.QUERIES["ts_holt_winters"](spark, sf_dir))
     thunks["lttb_downsample"] = lambda: count_action(
         eq.QUERIES["ts_lttb_downsample"](spark, sf_dir))
     thunks["pq_topk"] = lambda: count_action(

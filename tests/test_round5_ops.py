@@ -116,6 +116,77 @@ def test_holt_linear_constant_series_zero_trend(spark):
     assert all(r["holt_level"] == 7.0 and r["holt_trend"] == 0.0 for r in out)
 
 
+# ---------------------------------------------------------- holt winters ---
+
+def test_holt_winters_matches_reference_recursion(spark):
+    from tsengine import temporal
+
+    ys = [10.0, 14.0, 8.0, 12.0, 11.0, 15.5, 9.0, 13.0, 12.0]
+    rows = [("a", "m", _t(10 + i), y, i + 1) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    a, b, g, m = 0.5, 0.25, 0.25, 4
+    got = {
+        r["event_id"]: r
+        for r in temporal.holt_winters(
+            df, a, b, g, m=m, tiebreak="event_id"
+        ).collect()
+    }
+    # output starts at t = m+1 only
+    assert sorted(got) == list(range(m + 1, len(ys) + 1))
+    # reference recursion, FPP §8.3 additive form
+    l = sum(ys[:m]) / m
+    tr = 0.0
+    s = [y - l for y in ys[:m]]
+    for i in range(m, len(ys)):
+        s_old, prior = s[0], l + tr
+        fc = prior + s_old
+        l_new = a * (ys[i] - s_old) + (1 - a) * prior
+        tr = b * (l_new - l) + (1 - b) * tr
+        s = s[1:] + [g * (ys[i] - prior) + (1 - g) * s_old]
+        l = l_new
+        r = got[i + 1]
+        assert abs(r["hw_level"] - l) < 1e-12
+        assert abs(r["hw_trend"] - tr) < 1e-12
+        assert abs(r["hw_season"] - s[-1]) < 1e-12
+        assert abs(r["hw_fcst"] - fc) < 1e-12
+
+
+def test_holt_winters_exact_on_pure_seasonal_series(spark):
+    from tsengine import temporal
+
+    # exactly periodic series: the FPP init is already the fixed point, so
+    # every one-step forecast is exact and level/trend never move
+    cycle = [3.0, 9.0, 5.0, 7.0]
+    ys = cycle * 3
+    rows = [("a", "m", _t(0, i), y, i + 1) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    out = temporal.holt_winters(
+        df, 0.5, 0.25, 0.25, m=4, tiebreak="event_id"
+    ).collect()
+    assert len(out) == len(ys) - 4
+    for r in out:
+        assert r["hw_level"] == 6.0
+        assert r["hw_trend"] == 0.0
+        assert abs(r["hw_fcst"] - ys[r["event_id"] - 1]) < 1e-12
+
+
+def test_holt_winters_short_series_emits_nothing(spark):
+    from tsengine import temporal
+
+    rows = [("a", "m", _t(10 + i), float(i), i + 1) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    assert temporal.holt_winters(df, 0.5, 0.25, 0.25, m=4).count() == 0
+
+
 # ------------------------------------------------------------------ lttb ---
 
 def test_lttb_small_series_passes_through(spark):

@@ -350,6 +350,11 @@ def main() -> None:
           temporal.holt_linear(ev.where(F.col("value").isNotNull()),
                                alpha=0.5, beta=0.25, tiebreak="event_id"),
           ["single_exchange", "no_cartesian"])
+    audit("holt winters (one grouped-pandas shuffle)",
+          temporal.holt_winters(ev.where(F.col("value").isNotNull()),
+                                alpha=0.5, beta=0.25, gamma=0.25, m=4,
+                                tiebreak="event_id"),
+          ["single_exchange", "no_cartesian"])
     audit("lttb (one grouped-pandas shuffle)",
           rolling.lttb_downsample(ev, n_out=8),
           ["single_exchange", "no_cartesian"])

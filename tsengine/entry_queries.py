@@ -4510,6 +4510,75 @@ def ts_holt_linear(spark, sf_dir):
 
 
 @q(
+    "ts_holt_winters",
+    f"""
+WITH RECURSIVE pts AS (
+  SELECT conv_id, metric, ts, event_id, value::DOUBLE AS y,
+         row_number() OVER (PARTITION BY conv_id, metric
+                            ORDER BY ts, event_id) AS i
+  FROM ({_EV}) e WHERE value IS NOT NULL
+),
+init AS (
+  SELECT conv_id, metric,
+         (((ys[1] + ys[2]) + ys[3]) + ys[4]) / 4.0::DOUBLE AS l0, ys
+  FROM (SELECT conv_id, metric, list(y ORDER BY i) AS ys
+        FROM pts WHERE i <= 4 GROUP BY conv_id, metric)
+  WHERE len(ys) = 4
+),
+hw AS (
+  SELECT conv_id, metric, 4::BIGINT AS i,
+         l0 AS l, 0.0::DOUBLE AS b,
+         [ys[1] - l0, ys[2] - l0, ys[3] - l0, ys[4] - l0] AS s,
+         NULL::DOUBLE AS fc
+  FROM init
+  UNION ALL
+  SELECT p.conv_id, p.metric, p.i,
+         0.5::DOUBLE * (p.y - h.s[1]) + 0.5::DOUBLE * (h.l + h.b) AS l,
+         0.25::DOUBLE * ((0.5::DOUBLE * (p.y - h.s[1])
+                          + 0.5::DOUBLE * (h.l + h.b)) - h.l)
+           + 0.75::DOUBLE * h.b AS b,
+         h.s[2:4] || [0.25::DOUBLE * (p.y - (h.l + h.b))
+                      + 0.75::DOUBLE * h.s[1]] AS s,
+         (h.l + h.b) + h.s[1] AS fc
+  FROM hw h JOIN pts p
+    ON p.conv_id = h.conv_id AND p.metric = h.metric AND p.i = h.i + 1
+)
+SELECT hw.conv_id, hw.metric, p.event_id,
+       round(hw.l + 5e-10, 6) AS hw_level,
+       round(hw.b + 5e-10, 6) AS hw_trend,
+       round(hw.s[4] + 5e-10, 6) AS hw_season,
+       round(hw.fc + 5e-10, 6) AS hw_fcst
+FROM hw JOIN pts p
+  ON p.conv_id = hw.conv_id AND p.metric = hw.metric AND p.i = hw.i
+WHERE hw.i >= 5
+""",
+)
+def ts_holt_winters(spark, sf_dir):
+    """Holt-Winters additive seasonal smoothing (`temporal.holt_winters`,
+    α=0.5, β=0.25, γ=0.25, m=4): the triple-exponential extension of
+    `ts_holt_linear` with an m-slot seasonal state. FPP init (l_m = mean
+    of the first m points, s_i = y_i − l_m, b_m = 0), output from t=m+1.
+    The oracle's recursive CTE carries the seasonal state as a DOUBLE[4]
+    list that slides one slot per step (s[2:4] ++ [s_t]); with the
+    exactly-representable gains and one shared association order per
+    update, Spark's per-group Python loop and DuckDB's recursion stay
+    bitwise-identical at every step — only the 6-dp print needs the
+    usual +5e-10 nudge."""
+    ev = _events_long(spark, sf_dir).where(F.col("value").isNotNull())
+    out = temporal.holt_winters(
+        ev, alpha=0.5, beta=0.25, gamma=0.25, m=4,
+        on=("conv_id", "metric"), tiebreak="event_id",
+    )
+    return out.select(
+        "conv_id", "metric", "event_id",
+        F.round(F.col("hw_level") + F.lit(5e-10), 6).alias("hw_level"),
+        F.round(F.col("hw_trend") + F.lit(5e-10), 6).alias("hw_trend"),
+        F.round(F.col("hw_season") + F.lit(5e-10), 6).alias("hw_season"),
+        F.round(F.col("hw_fcst") + F.lit(5e-10), 6).alias("hw_fcst"),
+    )
+
+
+@q(
     "ts_lttb_downsample",
     f"""
 WITH RECURSIVE base AS (

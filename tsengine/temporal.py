@@ -585,6 +585,91 @@ def holt_linear(
     return grouped_apply(df, list(on), fn, out_schema)
 
 
+def holt_winters(
+    df: DataFrame,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    m: int = 4,
+    on: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing per series — the triple
+    exponential extension of ``holt_linear`` with an m-slot seasonal
+    state (Winters 1960 / Hyndman & Athanasopoulos FPP §8.3):
+
+        l_t = α·(y_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(y_t − (l_{t−1} + b_{t−1})) + (1−γ)·s_{t−m}
+        ŷ_t = (l_{t−1} + b_{t−1}) + s_{t−m}   (one-step-ahead fit)
+
+    initialized the FPP way: l_m = mean(y_1..y_m) (left-associated sum),
+    b_m = 0, s_i = y_i − l_m for i ≤ m; output starts at t = m+1, so
+    series shorter than m+1 points emit nothing (documented contract).
+
+    Same execution shape and parity rules as ``holt_linear``: one
+    ``applyInPandas`` shuffle keyed by the series (the recurrence has
+    three coupled states, no prefix-sum closed form), groups parallel
+    across executors; every update is written in ONE association order
+    mirrored by the oracle's recursive CTE, whose seasonal state rides
+    along as a DOUBLE[m] list column (slide = s[2:] ++ [s_t]) — with
+    exactly-representable gains both engines stay bitwise-identical at
+    every step. Nulls must be filtered upstream."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    order = [ts_col] if tiebreak is None else [ts_col, tiebreak]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("hw_level", DoubleType()),
+            StructField("hw_trend", DoubleType()),
+            StructField("hw_season", DoubleType()),
+            StructField("hw_fcst", DoubleType()),
+        ]
+    )
+    a, bg, g = float(alpha), float(beta), float(gamma)
+    one_a, one_b, one_g = 1.0 - a, 1.0 - bg, 1.0 - g
+    mm = int(m)
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        y = pdf[value_col].to_numpy(dtype="float64")
+        n = len(y)
+        if n <= mm:
+            return pdf.iloc[0:0].assign(
+                hw_level=0.0, hw_trend=0.0, hw_season=0.0, hw_fcst=0.0
+            )
+        acc = float(y[0])
+        for i in range(1, mm):
+            acc = acc + float(y[i])
+        level = acc / float(mm)
+        trend = 0.0
+        season = [float(y[i]) - level for i in range(mm)]
+        lv, tr, se, fc = [], [], [], []
+        for i in range(mm, n):
+            s_old = season[0]
+            prior = level + trend
+            fc.append(prior + s_old)
+            l_new = a * (float(y[i]) - s_old) + one_a * prior
+            b_new = bg * (l_new - level) + one_b * trend
+            s_new = g * (float(y[i]) - prior) + one_g * s_old
+            lv.append(l_new)
+            tr.append(b_new)
+            se.append(s_new)
+            level, trend = l_new, b_new
+            season = season[1:] + [s_new]
+        out = pdf.iloc[mm:].copy()
+        out["hw_level"] = lv
+        out["hw_trend"] = tr
+        out["hw_season"] = se
+        out["hw_fcst"] = fc
+        return out
+
+    return grouped_apply(df, list(on), fn, out_schema)
+
+
 def time_weighted_avg(
     df: DataFrame,
     keys: tuple[str, ...] = ("conv_id", "metric"),
