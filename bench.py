@@ -222,6 +222,10 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
         eq.QUERIES["ts_holt_linear"](spark, sf_dir))
     thunks["holt_winters"] = lambda: count_action(
         eq.QUERIES["ts_holt_winters"](spark, sf_dir))
+    thunks["peaks"] = lambda: count_action(
+        eq.QUERIES["ts_peaks"](spark, sf_dir))
+    thunks["dtw_profile"] = lambda: count_action(
+        eq.QUERIES["ts_dtw_profile"](spark, sf_dir))
     thunks["lttb_downsample"] = lambda: count_action(
         eq.QUERIES["ts_lttb_downsample"](spark, sf_dir))
     thunks["pq_topk"] = lambda: count_action(

@@ -353,3 +353,101 @@ def test_ivfpq_topk_matches_python_replay(spark):
         assert r["centroid_id"] == probe
         assert [int(x) for x in r["pq_code"].split("-")] == t[2]
         assert abs(r["pq_dist"] - t[3]) < 1e-5
+
+
+# ------------------------------------------------------------------ peaks ---
+
+def test_peaks_strict_interior_maxima_only(spark):
+    # 1, 9, 3, 8, 8, 2, 12  — 9 is a peak; the 8,8 plateau is not (strict);
+    # trailing 12 is an endpoint (no right neighbour) so it never qualifies
+    ys = [1.0, 9.0, 3.0, 8.0, 8.0, 2.0, 12.0]
+    rows = [("a", "m", _t(10 + i), y, i + 1) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    got = anomaly.peaks(df, delta=0.0).collect()
+    assert [(r["event_id"], r["peak_value"], r["peak_gap"]) for r in got] == [
+        (2, 9.0, 6.0)  # gap = 9 − max(1, 3)
+    ]
+
+
+def test_peaks_delta_floor_filters_small_spikes(spark):
+    # peaks at 5 (gap 2) and 50 (gap 30): delta=10 keeps only the second
+    ys = [3.0, 5.0, 3.0, 20.0, 50.0, 4.0]
+    rows = [("a", "m", _t(10 + i), y, i + 1) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    got = anomaly.peaks(df, delta=10.0).collect()
+    assert [(r["event_id"], r["peak_gap"]) for r in got] == [(5, 30.0)]
+
+
+# -------------------------------------------------------------------- dtw ---
+
+def _dtw_ref(x, r, band, big=1e12):
+    # independent textbook DP used as the test oracle
+    import math
+    n = len(r)
+    prev = [math.inf] * (n + 1)
+    prev[0] = 0.0
+    for i in range(1, n + 1):
+        cur = [math.inf] * (n + 1)
+        for j in range(1, n + 1):
+            c = big if band is not None and abs(i - j) > band else \
+                abs(x[i - 1] - r[j - 1])
+            cur[j] = c + min(prev[j], prev[j - 1], cur[j - 1])
+        prev = cur
+    return prev[n]
+
+
+def test_dtw_profile_zero_for_identical_shape(spark):
+    from tsengine import temporal
+
+    rows = []
+    for cid in ("0", "same"):
+        for i, h in enumerate((1, 1, 2)):
+            rows.append((cid, _t(h, i), i + 1))
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, event_id long")
+    got = temporal.dtw_hour_profile(df, ref_key="0", band=6).collect()
+    assert [(r["conv_id"], r["dtw"]) for r in got] == [("same", 0.0)]
+
+
+def test_dtw_profile_matches_textbook_dp(spark):
+    from tsengine import temporal
+
+    # ref active in hours 1,1,2; candidates shifted / denser
+    series = {"0": (1, 1, 2), "shift": (2, 2, 3), "dense": (1, 1, 1, 2, 2)}
+    rows = []
+    for cid, hs in series.items():
+        for i, h in enumerate(hs):
+            rows.append((cid, _t(h, i), i + 1))
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, event_id long")
+    prof = {cid: [float(sum(1 for h in hs if h == b)) for b in range(24)]
+            for cid, hs in series.items()}
+    got = {r["conv_id"]: r["dtw"]
+           for r in temporal.dtw_hour_profile(df, ref_key="0", band=6).collect()}
+    assert got == {
+        cid: _dtw_ref(p, prof["0"], band=6)
+        for cid, p in prof.items() if cid != "0"
+    }
+    # the band must bite: without it the shifted series could warp freely
+    got_nb = {r["conv_id"]: r["dtw"]
+              for r in temporal.dtw_hour_profile(df, ref_key="0", band=None).collect()}
+    assert got_nb == {
+        cid: _dtw_ref(p, prof["0"], band=None)
+        for cid, p in prof.items() if cid != "0"
+    }
+
+
+def test_dtw_profile_missing_ref_raises(spark):
+    from tsengine import temporal
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", _t(1), 1)], "conv_id string, ts timestamp, event_id long"
+    )
+    with pytest.raises(ValueError):
+        temporal.dtw_hour_profile(df, ref_key="nope")

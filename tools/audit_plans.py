@@ -355,6 +355,12 @@ def main() -> None:
                                 alpha=0.5, beta=0.25, gamma=0.25, m=4,
                                 tiebreak="event_id"),
           ["single_exchange", "no_cartesian"])
+    audit("peaks (one window pass, scan-speed filter)",
+          anomaly.peaks(ev, delta=5.0),
+          ["single_exchange", "no_cartesian"])
+    audit("dtw profile (one partial-agg groupBy + scan UDF)",
+          temporal.dtw_hour_profile(ev, ref_key="0", band=6),
+          ["single_exchange", "partial_agg", "no_cartesian"])
     audit("lttb (one grouped-pandas shuffle)",
           rolling.lttb_downsample(ev, n_out=8),
           ["single_exchange", "no_cartesian"])

@@ -936,3 +936,59 @@ def ramp_events(
         )
         .drop("_grp")
     )
+
+
+def peaks(
+    df: DataFrame,
+    delta: float = 0.0,
+    keys: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Local-maximum (spike) detection with a prominence-lite floor.
+
+    A point is a peak iff it is STRICTLY greater than both its immediate
+    neighbours along the series and clears them by at least ``delta``:
+    ``v − max(v_prev, v_next) ≥ delta``. Endpoints (missing a neighbour)
+    never qualify — a peak needs evidence on both sides. The screening
+    every alerting stack runs over gauge series ("which latency samples
+    spike above their surroundings"), and the seed step of prominence-
+    based peak pickers; the reference's per-cell power series feed the
+    same question downstream of `rw/windpower.py`.
+
+    Determinism: the test is pure comparisons and ONE subtraction of two
+    stored doubles (IEEE-exact, association-free), so Spark and any SQL
+    engine agree bitwise — no rounding needed. Ties (plateau of equal
+    values) are NOT peaks by the strict-> rule, the standard plateau
+    convention that avoids double-reporting.
+
+    Shape for 100 TB: a single window pass partitioned by the series key
+    — one exchange of the raw volume, lag/lead in the same window frame,
+    then a filter. No joins, no second shuffle; peaks stream out at scan
+    speed per partition.
+    """
+    ties = [c for c in order_cols if c in df.columns]
+    wseq = W.partitionBy(*keys).orderBy(ts_col, *ties)
+    v = F.col(value_col).cast("double")
+    d = df.select(
+        *keys,
+        F.col(ts_col),
+        *ties,
+        v.alias("_v"),
+        F.lag(v).over(wseq).alias("_vp"),
+        F.lead(v).over(wseq).alias("_vn"),
+    )
+    gap = F.col("_v") - F.greatest(F.col("_vp"), F.col("_vn"))
+    return (
+        d.where(
+            F.col("_vp").isNotNull()
+            & F.col("_vn").isNotNull()
+            & (F.col("_v") > F.col("_vp"))
+            & (F.col("_v") > F.col("_vn"))
+            & (gap >= F.lit(float(delta)))
+        )
+        .withColumn("peak_gap", gap)
+        .select(*keys, ts_col, *ties,
+                F.col("_v").alias("peak_value"), "peak_gap")
+    )

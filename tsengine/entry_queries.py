@@ -4459,6 +4459,90 @@ def ts_ramp_events(spark, sf_dir):
 
 
 @q(
+    "ts_peaks",
+    f"""
+WITH ev AS ({_EV}),
+d AS (SELECT conv_id, metric, ts, event_id, value::DOUBLE AS v,
+             lag(value::DOUBLE) OVER w AS vp,
+             lead(value::DOUBLE) OVER w AS vn
+      FROM ev WINDOW w AS (PARTITION BY conv_id, metric ORDER BY ts, event_id))
+SELECT conv_id, metric, ts, event_id, v AS peak_value,
+       v - greatest(vp, vn) AS peak_gap
+FROM d
+WHERE vp IS NOT NULL AND vn IS NOT NULL AND v > vp AND v > vn
+  AND v - greatest(vp, vn) >= 5.0::DOUBLE
+""",
+)
+def ts_peaks(spark, sf_dir):
+    """Local-maximum spike detection (`anomaly.peaks`): points strictly
+    above both neighbours that clear them by ≥ 5.0. Pure comparisons
+    plus ONE subtraction of stored doubles (IEEE-exact, association-
+    free), so no rounding is needed for parity. A single window pass on
+    the series key's one exchange — lag and lead share the same frame —
+    then a filter; peaks stream out at scan speed."""
+    ev = _events_long(spark, sf_dir)
+    return anomaly.peaks(ev, delta=5.0)
+
+
+@q(
+    "ts_dtw_profile",
+    f"""
+WITH RECURSIVE ev AS ({_EV}),
+hrs AS (SELECT unnest(range(0, 24))::INT AS h),
+counts AS (
+  SELECT conv_id, hour(ts)::INT AS h, count(*)::DOUBLE AS c
+  FROM ev GROUP BY conv_id, hour(ts)::INT
+),
+prof AS (
+  SELECT s.conv_id,
+         list(coalesce(counts.c, 0.0) ORDER BY hrs.h) AS p
+  FROM (SELECT DISTINCT conv_id FROM ev) s
+  CROSS JOIN hrs
+  LEFT JOIN counts ON counts.conv_id = s.conv_id AND counts.h = hrs.h
+  GROUP BY s.conv_id
+),
+ref AS (SELECT p AS rp FROM prof WHERE conv_id = '0'),
+cand AS (SELECT conv_id, p FROM prof WHERE conv_id <> '0'),
+dp AS (
+  SELECT conv_id, 0::BIGINT AS i,
+         [0.0::DOUBLE] || list_transform(range(1, 25),
+                                         j -> 'infinity'::DOUBLE) AS prev
+  FROM cand
+  UNION ALL
+  SELECT conv_id, i, nxt AS prev FROM (
+    SELECT d.conv_id, d.i + 1 AS i,
+      list_transform(range(1, 25), j ->
+        CASE WHEN abs((d.i + 1) - j) > 6 THEN 1e12
+             ELSE abs(c.p[(d.i + 1)::INT] - r.rp[j::INT]) END) AS cost,
+      [0.0::DOUBLE] || list_transform(range(1, 25),
+                                      j -> list_sum(cost[1:j::INT])) AS cc,
+      ['infinity'::DOUBLE] || list_transform(range(1, 25), j ->
+        cc[(j + 1)::INT] + list_min(list_transform(range(1, j + 1), k ->
+          least(d.prev[(k + 1)::INT], d.prev[k::INT]) - cc[k::INT]))) AS nxt
+    FROM dp d JOIN cand c USING (conv_id) CROSS JOIN ref r
+    WHERE d.i < 24
+  )
+)
+SELECT conv_id, prev[25] AS dtw FROM dp WHERE i = 24
+""",
+)
+def ts_dtw_profile(spark, sf_dir):
+    """Sakoe-Chiba-banded DTW distance (`temporal.dtw_hour_profile`,
+    band=6) from conversation '0's hour-of-day activity-count profile to
+    every other conversation's — temporal-shape similarity search.
+    Profiles are integer counts so every DP sum is exact and association-
+    free: Spark runs the textbook O(24²) row recurrence in an Arrow-
+    batched pandas UDF while the oracle's recursive CTE advances whole
+    DP rows as DOUBLE[25] list columns via the prefix-min reformulation
+    ``D[i][j] = C[j] + min_k(min(D[i−1][k], D[i−1][k−1]) − C[k−1])`` —
+    different evaluation orders, bitwise-identical exact results. One
+    profile groupBy (partial agg) + one scan-stage UDF; no join of raw
+    volume anywhere."""
+    ev = _events_long(spark, sf_dir)
+    return temporal.dtw_hour_profile(ev, ref_key="0", band=6)
+
+
+@q(
     "ts_holt_linear",
     f"""
 WITH RECURSIVE pts AS (

@@ -29,6 +29,7 @@ outgrows a task.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -768,4 +769,89 @@ def state_durations(
         F.round((F.sum("_w_us") / F.lit(1e6)).cast("double"), 6).alias("total_s"),
         F.sum("_entered").cast("long").alias("n_entries"),
         F.count("*").cast("long").alias("n_events"),
+    )
+
+
+def dtw_hour_profile(
+    df: DataFrame,
+    ref_key: str,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    band: int | None = 6,
+) -> DataFrame:
+    """Dynamic-time-warping distance between each key's hour-of-day
+    activity profile and a reference key's — "which conversations have
+    the same temporal shape as this one, even if their activity is
+    shifted or stretched a few hours?" (Sakoe & Chiba 1978; Berndt &
+    Clifford 1994). The profile is the 24-vector of event COUNTS per
+    hour-of-day; DTW then aligns the two profiles with a monotone
+    warping path, optionally constrained to the classic Sakoe-Chiba
+    band of width ``band`` (out-of-band cells get a 1e12 big-M cost —
+    finite so banded paths stay exactly representable, huge so they
+    never win while any in-band path exists).
+
+    Determinism/parity: counts are integers, |a−b| of integers is an
+    integer, and every path sum stays ≤ 24·1e12 ≪ 2^53 — ALL DP
+    arithmetic is exact, so ANY mathematically correct evaluation order
+    agrees bitwise. The Spark side runs the textbook O(24²) row DP; the
+    DuckDB oracle runs the prefix-reformulated scan
+    ``D[i][j] = C[j] + min_k(min(D[i−1][k], D[i−1][k−1]) − C[k−1])``
+    (the inner-loop dependence rewritten as a prefix-min so a recursive
+    CTE can advance whole rows as list columns) — different association,
+    identical exact results.
+
+    Shape for 100 TB: profiles come from ONE groupBy with 24 conditional
+    counts (single exchange, map-side partial agg — the raw volume is
+    reduced to |keys|·24 before anything else happens); the reference
+    profile is one collected row (dimension-sized by definition); the DP
+    is a scalar Arrow-batched pandas UDF over the profile column — an
+    embarrassingly parallel scan stage of O(24²) work per key, no join,
+    no second shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    hours = list(range(24))
+    h = F.hour(F.col(ts_col))
+    prof = (
+        df.groupBy(key)
+        .agg(*[
+            F.sum(F.when(h == i, 1).otherwise(0)).cast("double").alias(f"_h{i}")
+            for i in hours
+        ])
+        .select(
+            F.col(key),
+            F.array(*[F.col(f"_h{i}") for i in hours]).alias("profile"),
+        )
+    )
+    ref_row = prof.where(F.col(key) == F.lit(ref_key)).head()
+    if ref_row is None:
+        raise ValueError(f"reference key {ref_key!r} has no rows")
+    ref = [float(x) for x in ref_row["profile"]]
+    n = 24
+    big = 1e12
+    w = None if band is None else int(band)
+
+    @pandas_udf("double")
+    def dtw(col: pd.Series) -> pd.Series:
+        inf = float("inf")
+        out = []
+        for x in col:
+            xs = [float(v) for v in x]
+            prev = [inf] * (n + 1)
+            prev[0] = 0.0
+            for i in range(1, n + 1):
+                cur = [inf] * (n + 1)
+                xi = xs[i - 1]
+                for j in range(1, n + 1):
+                    c = (
+                        big
+                        if w is not None and abs(i - j) > w
+                        else abs(xi - ref[j - 1])
+                    )
+                    cur[j] = c + min(prev[j], prev[j - 1], cur[j - 1])
+                prev = cur
+            out.append(prev[n])
+        return pd.Series(out, dtype="float64")
+
+    return prof.where(F.col(key) != F.lit(ref_key)).select(
+        F.col(key), dtw("profile").alias("dtw")
     )
