@@ -451,3 +451,70 @@ def test_dtw_profile_missing_ref_raises(spark):
     )
     with pytest.raises(ValueError):
         temporal.dtw_hour_profile(df, ref_key="nope")
+
+
+# ----------------------------------------------------------------- kalman ---
+
+def test_kalman_matches_reference_recursion(spark):
+    from tsengine import temporal
+
+    ys = [10.0, 12.0, 9.0, 20.0, 18.0, 25.0, 14.0]
+    rows = [("a", "m", _t(10 + i), y, i + 1) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    got = {
+        r["event_id"]: r
+        for r in temporal.kalman_filter(
+            df, q=0.25, r=1.0, tiebreak="event_id"
+        ).collect()
+    }
+    assert sorted(got) == list(range(2, len(ys) + 1))
+    l, v = ys[0], 0.0
+    p11, p12, p22 = 1.0, 0.0, 1.0
+    for i in range(1, len(ys)):
+        lp = l + v
+        p11p = ((p11 + p12) + (p12 + p22)) + 0.0625
+        p12p = (p12 + p22) + 0.125
+        p22p = p22 + 0.25
+        s = p11p + 1.0
+        k1, k2 = p11p / s, p12p / s
+        innov = ys[i] - lp
+        l = lp + k1 * innov
+        v = v + k2 * innov
+        p11, p12 = (1.0 - k1) * p11p, (1.0 - k1) * p12p
+        p22 = p22p - k2 * p12p
+        r = got[i + 1]
+        assert r["kf_level"] == l
+        assert r["kf_velocity"] == v
+        assert r["kf_innov"] == innov
+        assert r["kf_gain"] == k1
+
+
+def test_kalman_constant_series_is_a_fixed_point(spark):
+    from tsengine import temporal
+
+    rows = [("a", "m", _t(10 + i), 7.0, i + 1) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    out = temporal.kalman_filter(df, tiebreak="event_id").collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["kf_level"] == 7.0
+        assert r["kf_velocity"] == 0.0
+        assert r["kf_innov"] == 0.0
+        assert 0.0 < r["kf_gain"] < 1.0
+
+
+def test_kalman_single_point_emits_nothing(spark):
+    from tsengine import temporal
+
+    df = spark.createDataFrame(
+        [("a", "m", _t(10), 7.0, 1)],
+        "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long",
+    )
+    assert temporal.kalman_filter(df).count() == 0

@@ -355,6 +355,10 @@ def main() -> None:
                                 alpha=0.5, beta=0.25, gamma=0.25, m=4,
                                 tiebreak="event_id"),
           ["single_exchange", "no_cartesian"])
+    audit("kalman (one grouped-pandas shuffle)",
+          temporal.kalman_filter(ev.where(F.col("value").isNotNull()),
+                                 q=0.25, r=1.0, tiebreak="event_id"),
+          ["single_exchange", "no_cartesian"])
     audit("peaks (one window pass, scan-speed filter)",
           anomaly.peaks(ev, delta=5.0),
           ["single_exchange", "no_cartesian"])

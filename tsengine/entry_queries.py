@@ -4663,6 +4663,78 @@ def ts_holt_winters(spark, sf_dir):
 
 
 @q(
+    "ts_kalman",
+    f"""
+WITH RECURSIVE pts AS (
+  SELECT conv_id, metric, ts, event_id, value::DOUBLE AS y,
+         row_number() OVER (PARTITION BY conv_id, metric
+                            ORDER BY ts, event_id) AS i
+  FROM ({_EV}) e WHERE value IS NOT NULL
+),
+kf AS (
+  SELECT conv_id, metric, 1::BIGINT AS i, y AS l, 0.0::DOUBLE AS v,
+         1.0::DOUBLE AS p11, 0.0::DOUBLE AS p12, 1.0::DOUBLE AS p22,
+         NULL::DOUBLE AS innov, NULL::DOUBLE AS k1
+  FROM pts WHERE i = 1
+  UNION ALL
+  -- lateral aliases deliberately avoid the CTE's own column names
+  -- (innov/k1): DuckDB resolves a bare colliding name to the joined
+  -- recursive table's column (NULL on the anchor row), not the alias
+  SELECT conv_id, metric, i, l_new, v_new, p11n, p12n, p22n, inn, g1
+  FROM (
+    SELECT h.conv_id, h.metric, p.i,
+      h.l + h.v AS lp,
+      ((h.p11 + h.p12) + (h.p12 + h.p22)) + 0.0625::DOUBLE AS p11p,
+      (h.p12 + h.p22) + 0.125::DOUBLE AS p12p,
+      h.p22 + 0.25::DOUBLE AS p22p,
+      p11p + 1.0::DOUBLE AS sv,
+      p11p / sv AS g1,
+      p12p / sv AS g2,
+      p.y - lp AS inn,
+      lp + g1 * inn AS l_new,
+      h.v + g2 * inn AS v_new,
+      (1.0::DOUBLE - g1) * p11p AS p11n,
+      (1.0::DOUBLE - g1) * p12p AS p12n,
+      p22p - g2 * p12p AS p22n
+    FROM kf h JOIN pts p
+      ON p.conv_id = h.conv_id AND p.metric = h.metric AND p.i = h.i + 1
+  )
+)
+SELECT kf.conv_id, kf.metric, p.event_id,
+       round(kf.l + 5e-10, 6) AS kf_level,
+       round(kf.v + 5e-10, 6) AS kf_velocity,
+       round(kf.innov + 5e-10, 6) AS kf_innov,
+       round(kf.k1 + 5e-10, 6) AS kf_gain
+FROM kf JOIN pts p
+  ON p.conv_id = kf.conv_id AND p.metric = kf.metric AND p.i = kf.i
+WHERE kf.i >= 2
+""",
+)
+def ts_kalman(spark, sf_dir):
+    """1-D constant-velocity Kalman filter (`temporal.kalman_filter`,
+    q=1/4, r=1): per-series optimal linear tracker emitting filtered
+    level/velocity plus the innovation and adaptive gain — the
+    probabilistic sibling of `ts_holt_linear`, whose fixed gains a
+    steady-state Kalman converges to. The oracle's recursive CTE carries
+    the full state (l, v, P as p11/p12/p22) and mirrors every predict/
+    update expression — including both gain divisions — in the same
+    association order via lateral column aliases, so the engines stay
+    bitwise-identical at every step; only the 6-dp print needs the usual
+    +5e-10 nudge."""
+    ev = _events_long(spark, sf_dir).where(F.col("value").isNotNull())
+    out = temporal.kalman_filter(
+        ev, q=0.25, r=1.0, on=("conv_id", "metric"), tiebreak="event_id",
+    )
+    return out.select(
+        "conv_id", "metric", "event_id",
+        F.round(F.col("kf_level") + F.lit(5e-10), 6).alias("kf_level"),
+        F.round(F.col("kf_velocity") + F.lit(5e-10), 6).alias("kf_velocity"),
+        F.round(F.col("kf_innov") + F.lit(5e-10), 6).alias("kf_innov"),
+        F.round(F.col("kf_gain") + F.lit(5e-10), 6).alias("kf_gain"),
+    )
+
+
+@q(
     "ts_lttb_downsample",
     f"""
 WITH RECURSIVE base AS (

@@ -855,3 +855,91 @@ def dtw_hour_profile(
     return prof.where(F.col(key) != F.lit(ref_key)).select(
         F.col(key), dtw("profile").alias("dtw")
     )
+
+
+def kalman_filter(
+    df: DataFrame,
+    q: float = 0.25,
+    r: float = 1.0,
+    on: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """1-D constant-velocity Kalman filter per series — the optimal
+    linear denoiser/tracker for a locally-linear signal in white noise
+    (Kalman 1960): state (level, velocity), transition
+    F = [[1,1],[0,1]] over ROW steps, piecewise-constant-acceleration
+    process noise Q = q·[[1/4,1/2],[1/2,1]], scalar observation of the
+    level with variance ``r``. The probabilistic sibling of
+    ``holt_linear`` (whose fixed gains a steady-state Kalman filter
+    converges to); unlike Holt, the gain adapts per step and is emitted
+    (``kf_gain``) along with the innovation — the standard residual for
+    anomaly flagging.
+
+    Init: level = first observation, velocity = 0, P = I; outputs start
+    at the second point. Defaults q=1/4, r=1 are exactly representable.
+
+    Parity contract (same template as ``holt_winters``): EVERY predict/
+    update expression — including both divisions k = P'/S — is written
+    in ONE fixed association order that the oracle's recursive CTE
+    mirrors verbatim via lateral column aliases, so Spark's per-group
+    Python loop and DuckDB's recursion stay bitwise-identical at every
+    step; only the 6-dp print needs the usual +5e-10 nudge. Nulls must
+    be filtered upstream.
+
+    Shape for 100 TB: one ``applyInPandas`` shuffle keyed by the series
+    (the Riccati recursion has no prefix-sum closed form), groups
+    parallel across executors, O(1) state per series."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    order = [ts_col] if tiebreak is None else [ts_col, tiebreak]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("kf_level", DoubleType()),
+            StructField("kf_velocity", DoubleType()),
+            StructField("kf_innov", DoubleType()),
+            StructField("kf_gain", DoubleType()),
+        ]
+    )
+    qq, rr = float(q), float(r)
+    q11, q12, q22 = 0.25 * qq, 0.5 * qq, qq
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        y = pdf[value_col].to_numpy(dtype="float64")
+        n = len(y)
+        if n < 2:
+            return pdf.iloc[0:0].assign(
+                kf_level=0.0, kf_velocity=0.0, kf_innov=0.0, kf_gain=0.0
+            )
+        l, v = float(y[0]), 0.0
+        p11, p12, p22 = 1.0, 0.0, 1.0
+        ls, vs, innovs, gains = [], [], [], []
+        for i in range(1, n):
+            lp = l + v
+            p11p = ((p11 + p12) + (p12 + p22)) + q11
+            p12p = (p12 + p22) + q12
+            p22p = p22 + q22
+            s = p11p + rr
+            k1 = p11p / s
+            k2 = p12p / s
+            innov = float(y[i]) - lp
+            l = lp + k1 * innov
+            v = v + k2 * innov
+            p11 = (1.0 - k1) * p11p
+            p12 = (1.0 - k1) * p12p
+            p22 = p22p - k2 * p12p
+            ls.append(l)
+            vs.append(v)
+            innovs.append(innov)
+            gains.append(k1)
+        out = pdf.iloc[1:].copy()
+        out["kf_level"] = ls
+        out["kf_velocity"] = vs
+        out["kf_innov"] = innovs
+        out["kf_gain"] = gains
+        return out
+
+    return grouped_apply(df, list(on), fn, out_schema)
