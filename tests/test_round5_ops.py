@@ -518,3 +518,51 @@ def test_kalman_single_point_emits_nothing(spark):
         "event_id long",
     )
     assert temporal.kalman_filter(df).count() == 0
+
+
+# --------------------------------------------------------- matrix profile ---
+
+def _mp_ref(xs, w=4):
+    nw = len(xs) - w + 1
+    out = {}
+    for i in range(nw):
+        best = None
+        for j in range(nw):
+            if abs(i - j) < w:
+                continue
+            d = 0.0
+            for t in range(w):
+                e = xs[i + t] - xs[j + t]
+                d = d + e * e
+            if best is None or d < best:
+                best = d
+        if best is not None:
+            out[i] = best
+    return out
+
+
+def test_matrix_profile_finds_motif_and_discord(spark):
+    # two exact copies of the shape [1,5,1,2] separated by a discord burst
+    xs = [1.0, 5.0, 1.0, 2.0, 40.0, -7.0, 33.0, 0.0, 1.0, 5.0, 1.0, 2.0]
+    rows = [("a", "m", _t(0, i), x, i + 1) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    got = {r["event_id"] - 1: r["mp"]
+           for r in anomaly.matrix_profile(df, w=4).collect()}
+    assert got == _mp_ref(xs)
+    # the twin windows at i=0 and i=8 are exact motifs → mp 0
+    assert got[0] == 0.0 and got[8] == 0.0
+    # the burst window is the top discord
+    assert max(got, key=got.get) in (3, 4, 5)
+
+
+def test_matrix_profile_short_series_emits_nothing(spark):
+    rows = [("a", "m", _t(0, i), float(i), i + 1) for i in range(7)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long"
+    )
+    # n=7 < 2w: every pair of windows overlaps the exclusion zone
+    assert anomaly.matrix_profile(df, w=4).count() == 0

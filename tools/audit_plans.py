@@ -359,6 +359,9 @@ def main() -> None:
           temporal.kalman_filter(ev.where(F.col("value").isNotNull()),
                                  q=0.25, r=1.0, tiebreak="event_id"),
           ["single_exchange", "no_cartesian"])
+    audit("matrix profile (one grouped-pandas shuffle)",
+          anomaly.matrix_profile(ev.where(F.col("value").isNotNull()), w=4),
+          ["single_exchange", "no_cartesian"])
     audit("peaks (one window pass, scan-speed filter)",
           anomaly.peaks(ev, delta=5.0),
           ["single_exchange", "no_cartesian"])

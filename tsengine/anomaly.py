@@ -992,3 +992,73 @@ def peaks(
         .select(*keys, ts_col, *ties,
                 F.col("_v").alias("peak_value"), "peak_gap")
     )
+
+
+def matrix_profile(
+    df: DataFrame,
+    w: int = 4,
+    keys: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Matrix profile (Yeh et al., ICDM 2016): for every length-``w``
+    window of a series, the squared Euclidean distance to its nearest
+    OTHER window of the same series (exclusion zone |i−j| < w bans
+    trivial self-matches). Low values mark motifs (repeated shapes),
+    the maximum marks the top discord (the series' most anomalous
+    shape) — the modern one-primitive answer to both motif discovery
+    and shape-anomaly detection.
+
+    Returns one row per window start that has at least one admissible
+    neighbour (series shorter than 2·w emit nothing): (keys..., ts,
+    order_cols..., mp). Values are EXACT: each distance is squares of
+    differences of stored doubles summed in one fixed association
+    ``((d1+d2)+d3)+d4`` that the SQL oracle unrolls verbatim, and min
+    is comparison-only — bitwise parity with no rounding.
+
+    Shape for 100 TB: one ``applyInPandas`` shuffle keyed by the series;
+    per-series cost O(n²·w) with n = points per series — fine for the
+    bounded per-conversation series this engine rolls up (and the
+    chunked-mega-series path caps n per task); for very long single
+    series the streaming STOMP ordering is the known refinement, same
+    output contract."""
+    ww = int(w)
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    order = [ts_col] + [c for c in order_cols if c in df.columns]
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("mp", DoubleType())]
+    )
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype="float64")
+        n = len(x)
+        nw = n - ww + 1
+        keep, mps = [], []
+        for i in range(nw):
+            best = None
+            for j in range(nw):
+                if abs(i - j) < ww:
+                    continue
+                d = 0.0
+                for t in range(ww):
+                    e = x[i + t] - x[j + t]
+                    d = d + e * e
+                if best is None or d < best:
+                    best = d
+            if best is not None:
+                keep.append(i)
+                mps.append(best)
+        out = pdf.iloc[keep].copy()
+        out["mp"] = mps
+        return out
+
+    from tsengine.session import grouped_apply
+
+    return grouped_apply(df, list(keys), fn, out_schema).select(
+        *keys, ts_col, *[c for c in order_cols if c in df.columns],
+        value_col, "mp",
+    )

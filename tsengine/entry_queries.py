@@ -4485,6 +4485,57 @@ def ts_peaks(spark, sf_dir):
 
 
 @q(
+    "ts_matrix_profile",
+    f"""
+WITH ev AS (SELECT * FROM ({_EV}) WHERE value IS NOT NULL),
+ser AS (
+  SELECT conv_id, metric,
+         list(ts ORDER BY ts, event_id) AS tss,
+         list(event_id ORDER BY ts, event_id) AS ids,
+         list(value::DOUBLE ORDER BY ts, event_id) AS ys,
+         count(*)::BIGINT AS n
+  FROM ev GROUP BY conv_id, metric
+),
+prof AS (
+  SELECT conv_id, metric, tss, ids, ys,
+    n - 3 AS nw,
+    list_transform(range(1, nw + 1), i ->
+      list_min(list_transform(range(1, nw + 1), j ->
+        CASE WHEN abs(i - j) >= 4 THEN
+          (((ys[i::INT] - ys[j::INT]) * (ys[i::INT] - ys[j::INT])
+            + (ys[(i+1)::INT] - ys[(j+1)::INT])
+              * (ys[(i+1)::INT] - ys[(j+1)::INT]))
+           + (ys[(i+2)::INT] - ys[(j+2)::INT])
+             * (ys[(i+2)::INT] - ys[(j+2)::INT]))
+          + (ys[(i+3)::INT] - ys[(j+3)::INT])
+            * (ys[(i+3)::INT] - ys[(j+3)::INT])
+        ELSE NULL END))) AS mps
+  FROM ser WHERE n >= 8
+)
+SELECT * FROM (
+  SELECT conv_id, metric,
+         unnest(tss[1:nw::INT]) AS ts,
+         unnest(ids[1:nw::INT]) AS event_id,
+         unnest(ys[1:nw::INT]) AS value,
+         unnest(mps) AS mp
+  FROM prof
+) WHERE mp IS NOT NULL
+""",
+)
+def ts_matrix_profile(spark, sf_dir):
+    """Matrix profile (`anomaly.matrix_profile`, w=4): per-series
+    squared-Euclidean distance from every length-4 window to its nearest
+    other window, exclusion zone |i−j| < 4 — lows are motifs, the max is
+    the top discord. Exact parity with no rounding: each distance is
+    unrolled in ONE association order ``((d1+d2)+d3)+d4`` on both
+    engines and min is comparison-only. The oracle builds each series as
+    ordered list columns and zips parallel ``unnest`` calls back to
+    rows."""
+    ev = _events_long(spark, sf_dir).where(F.col("value").isNotNull())
+    return anomaly.matrix_profile(ev, w=4)
+
+
+@q(
     "ts_dtw_profile",
     f"""
 WITH RECURSIVE ev AS ({_EV}),
