@@ -230,6 +230,8 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
         eq.QUERIES["ts_kalman"](spark, sf_dir))
     thunks["matrix_profile"] = lambda: count_action(
         eq.QUERIES["ts_matrix_profile"](spark, sf_dir))
+    thunks["streaming_dedup"] = lambda: count_action(
+        eq.QUERIES["ts_streaming_dedup"](spark, sf_dir))
     thunks["lttb_downsample"] = lambda: count_action(
         eq.QUERIES["ts_lttb_downsample"](spark, sf_dir))
     thunks["pq_topk"] = lambda: count_action(

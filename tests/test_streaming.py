@@ -292,3 +292,55 @@ def test_streaming_m4_matches_batch(spark, tmp_path):
         pd.testing.assert_series_equal(
             merged[f"{c}_s"], merged[f"{c}_b"], check_names=False, rtol=1e-12
         )
+
+
+def test_streaming_dedup_suppresses_replay_across_batches(spark, tmp_path):
+    """The at-least-once scenario: the SAME file is delivered twice in two
+    separate micro-batches (a replay); dropDuplicatesWithinWatermark must
+    emit each key exactly once."""
+    import glob
+    import shutil
+
+    src = str(tmp_path / "src")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+
+    t = synth.generate_transcripts(spark, n_convs=6, mega_turns=100)
+    keyed = t.select(
+        "conv_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("bucket_ts"),
+    )
+    keyed.coalesce(1).write.parquet(src)
+    part = sorted(glob.glob(f"{src}/part-*.parquet"))[0]
+    shutil.copy(part, f"{flat}/000.parquet")
+    shutil.copy(part, f"{flat}/001.parquet")  # the replay
+
+    stream = (
+        spark.readStream.schema(keyed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    deduped = streaming.streaming_dedup(
+        stream, ["conv_id", "bucket_ts"], watermark="10 minutes"
+    )
+    qname = "t_stream_dedup_replay"
+    q = (
+        deduped.select("conv_id", "bucket_ts")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    got = spark.table(qname).toPandas()
+    want = keyed.select("conv_id", "bucket_ts").distinct().toPandas()
+    assert len(got) == len(want), (
+        f"replay not suppressed: {len(got)} rows vs {len(want)} distinct keys"
+    )
+    assert not got.duplicated().any()

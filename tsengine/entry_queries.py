@@ -1950,6 +1950,55 @@ def ts_streaming_tier(spark, sf_dir):
     )
 
 
+@q(
+    "ts_streaming_dedup",
+    """
+SELECT DISTINCT user_id::VARCHAR AS conv_id, event_type AS metric,
+       date_trunc('hour', ts) AS bucket_ts
+FROM events
+""",
+)
+def ts_streaming_dedup(spark, sf_dir):
+    """Streaming idempotent-ingest dedup (`streaming.streaming_dedup`,
+    `dropDuplicatesWithinWatermark`): replayed deliveries of the same
+    (conv, metric, hour) key are suppressed with state bounded by the
+    watermark horizon, drained with trigger(availableNow=True). The
+    batch oracle is plain DISTINCT over the same key — the projection
+    keeps only the dedup keys because WHICH physical duplicate survives
+    is arrival-order-dependent in any engine (non-vacuous at every sf:
+    the events table carries real same-hour duplicates)."""
+    from tsengine import streaming as streaming_mod
+
+    sch = _read(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    keyed = stream.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_type").alias("metric"),
+        # watermarks require TIMESTAMP (LTZ); session pinned UTC so the
+        # cast is value-preserving (same note as ts_streaming_tier)
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("bucket_ts"),
+    )
+    deduped = streaming_mod.streaming_dedup(
+        keyed, ["conv_id", "metric", "bucket_ts"], watermark="10 minutes"
+    )
+    qname = "ts_streaming_dedup_mem"
+    sq = (
+        deduped.select("conv_id", "metric", "bucket_ts")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(qname)
+
+
 # ===========================================================================
 # EMPS fixed-text sink lines (SURVEY §2.1 S10, export_emps.py)
 # ===========================================================================

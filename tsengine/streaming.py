@@ -321,3 +321,31 @@ def streaming_cusum(stream: DataFrame, k: float) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Idempotent-ingest dedup: drop re-deliveries of the same logical
+    event across micro-batches — the streaming guard every at-least-once
+    source (Kafka replays, file re-drops, retried producers) needs in
+    front of the tier pipeline, and the streaming counterpart of the
+    lineage log's batch resume-without-recompute rule.
+
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST arrival of each
+    key and suppresses later copies for as long as the key can still
+    legally reappear; state is purged once the event-time watermark
+    passes a key's horizon, so memory is bounded by (keys arriving per
+    watermark window), NOT by stream history — the property that lets
+    this run forever at 10^12-turn scale. Which physical row survives a
+    duplicate race is arrival-order-dependent (as in any engine), so
+    downstream comparisons should project the dedup keys or
+    order-insensitive aggregates; exact-once semantics come from the
+    checkpoint + idempotent sink pairing as usual.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
