@@ -1,0 +1,178 @@
+"""Unit tests for the late-pack additions: PELT multi-changepoint
+segmentation and the Page-Hinkley adaptive drift test — hand-computed
+oracles on tiny fixtures (the entry-level SQL parity is covered separately
+by tools/compare_oracle.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+
+from tsengine import anomaly, temporal
+
+
+def _t(h, m=0, s=0):
+    return datetime(2024, 3, 1, h, m, s)
+
+
+def _series(spark, vals, conv="a", metric="m"):
+    rows = [
+        (conv, metric, _t(10 + i // 60, i % 60), float(v), i + 1)
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, metric string, ts timestamp, value double, "
+        "event_id long",
+    )
+
+
+# ----------------------------------------------------------------- PELT ---
+
+def test_pelt_finds_two_level_shift(spark):
+    # 5 points at 0, 5 points at 100: one changepoint exactly at the jump
+    df = _series(spark, [0.0] * 5 + [100.0] * 5)
+    got = sorted(
+        anomaly.pelt_segments(df, penalty=100.0).collect(),
+        key=lambda r: r["seg_idx"],
+    )
+    assert len(got) == 2
+    s1, s2 = got
+    assert (s1["n_pts"], s2["n_pts"]) == (5, 5)
+    assert s1["seg_mean"] == 0.0 and s2["seg_mean"] == 100.0
+    assert s1["seg_cost"] == 0.0 and s2["seg_cost"] == 0.0
+    assert s1["n_segs"] == 2 and s2["n_segs"] == 2
+    assert s1["end_ts"] < s2["start_ts"]
+    assert s1["start_ts"] == _t(10, 0) and s2["end_ts"] == _t(10, 9)
+
+
+def test_pelt_huge_penalty_single_segment(spark):
+    # the same shifted series, but beta exceeds the split's cost saving
+    df = _series(spark, [0.0] * 5 + [100.0] * 5)
+    got = anomaly.pelt_segments(df, penalty=1e9).collect()
+    assert len(got) == 1
+    (s,) = got
+    assert s["n_pts"] == 10 and s["seg_idx"] == 1 and s["n_segs"] == 1
+    assert s["seg_mean"] == 50.0
+    # cost = sum((x - 50)^2) = 10 * 2500
+    assert abs(s["seg_cost"] - 25000.0) < 1e-9
+
+
+def test_pelt_constant_series_one_zero_cost_segment(spark):
+    df = _series(spark, [7.0] * 8)
+    got = anomaly.pelt_segments(df, penalty=1.0).collect()
+    assert len(got) == 1
+    assert got[0]["seg_cost"] == 0.0 and got[0]["seg_mean"] == 7.0
+
+
+def test_pelt_matches_bruteforce_optimal_partitioning(spark):
+    # pruning must not change the exact optimum: compare against an
+    # exhaustive search over all 2^(n-1) segmentations of a random series
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [rng.normal(0, 1, 6), rng.normal(12, 1, 5), rng.normal(-4, 1, 4)]
+    )
+    beta = 30.0
+
+    def seg_cost(a, b):  # points a..b-1 (0-based, half-open)
+        x = vals[a:b]
+        return float(np.sum(x * x) - x.sum() ** 2 / len(x))
+
+    n = len(vals)
+    best_cost, best_bounds = None, None
+    for mask in range(1 << (n - 1)):
+        bounds = [0] + [i + 1 for i in range(n - 1) if mask >> i & 1] + [n]
+        c = sum(
+            seg_cost(bounds[k], bounds[k + 1]) for k in range(len(bounds) - 1)
+        ) + beta * (len(bounds) - 1)
+        if best_cost is None or c < best_cost - 1e-12:
+            best_cost, best_bounds = c, bounds
+
+    df = _series(spark, vals.tolist())
+    got = sorted(
+        anomaly.pelt_segments(df, penalty=beta).collect(),
+        key=lambda r: r["seg_idx"],
+    )
+    got_bounds = [0] + list(np.cumsum([r["n_pts"] for r in got]))
+    assert got_bounds == best_bounds
+    total = sum(r["seg_cost"] for r in got) + beta * len(got)
+    assert abs(total - best_cost) < 1e-6
+
+
+def test_pelt_multiseries_independent(spark):
+    a = _series(spark, [0.0] * 4 + [50.0] * 4, conv="a")
+    b = _series(spark, [3.0] * 6, conv="b")
+    got = anomaly.pelt_segments(a.unionByName(b), penalty=10.0).collect()
+    by_conv = {}
+    for r in got:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    assert len(by_conv["a"]) == 2 and len(by_conv["b"]) == 1
+
+
+# --------------------------------------------------------- Page-Hinkley ---
+
+def test_page_hinkley_flags_upward_drift(spark):
+    # 30 points at 0, then 30 at 10: m_t grows once the level jumps
+    df = _series(spark, [0.0] * 30 + [10.0] * 30)
+    got = sorted(
+        temporal.page_hinkley(df, delta=0.1, lam=20.0, tiebreak="event_id")
+        .collect(),
+        key=lambda r: r["event_id"],
+    )
+    pre = [r for r in got if r["event_id"] <= 30]
+    assert all(r["alarm"] == 0 for r in pre)
+    assert any(r["alarm"] == 1 for r in got[30:])
+    # and only the UPWARD statistic fires
+    assert all(r["ph_dec"] <= 20.0 for r in got)
+
+
+def test_page_hinkley_flags_downward_drift(spark):
+    df = _series(spark, [10.0] * 30 + [0.0] * 30)
+    got = sorted(
+        temporal.page_hinkley(df, delta=0.1, lam=20.0, tiebreak="event_id")
+        .collect(),
+        key=lambda r: r["event_id"],
+    )
+    assert all(r["alarm"] == 0 for r in got[:30])
+    assert any(r["alarm"] == 1 for r in got[30:])
+    assert all(r["ph_inc"] <= 20.0 for r in got)
+
+
+def test_page_hinkley_constant_series_never_alarms(spark):
+    df = _series(spark, [5.0] * 50)
+    got = temporal.page_hinkley(df, delta=0.01, lam=1.0,
+                                tiebreak="event_id").collect()
+    assert all(r["alarm"] == 0 for r in got)
+    # every deviation-from-running-mean is exactly 0, so PH = t * delta bound
+    assert all(r["ph_inc"] <= 0.01 * 50 + 1e-9 for r in got)
+
+
+def test_page_hinkley_matches_reference_recursion(spark):
+    # classic sequential formulation computed in plain python
+    rng = np.random.RandomState(3)
+    vals = np.concatenate([rng.normal(0, 1, 40), rng.normal(6, 1, 20)])
+    delta, lam = 0.05, 15.0
+    m = g = 0.0
+    mn, mx = float("inf"), float("-inf")
+    exp_inc, exp_dec = [], []
+    csum = 0.0
+    for t, x in enumerate(vals, 1):
+        csum += x
+        ravg = csum / t
+        m += x - ravg - delta
+        g += x - ravg + delta
+        mn = min(mn, m)
+        mx = max(mx, g)
+        exp_inc.append(m - mn)
+        exp_dec.append(mx - g)
+    df = _series(spark, vals.tolist())
+    got = sorted(
+        temporal.page_hinkley(df, delta=delta, lam=lam,
+                              tiebreak="event_id").collect(),
+        key=lambda r: r["event_id"],
+    )
+    for r, ei, ed in zip(got, exp_inc, exp_dec):
+        assert abs(r["ph_inc"] - ei) < 1e-5
+        assert abs(r["ph_dec"] - ed) < 1e-5
+        assert r["alarm"] == (1 if ei > lam or ed > lam else 0)

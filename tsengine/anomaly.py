@@ -1062,3 +1062,137 @@ def matrix_profile(
         *keys, ts_col, *[c for c in order_cols if c in df.columns],
         value_col, "mp",
     )
+
+
+def pelt_segments(
+    df: DataFrame,
+    penalty: float = 5000.0,
+    keys: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """PELT multi-changepoint segmentation (Killick, Fearnhead & Eckley,
+    JASA 2012): the exact minimizer of Σ segment L2 cost + β·(#segments)
+    over ALL segmentations, via the pruned optimal-partitioning DP
+    F(t) = min_s F(s) + C(s+1..t) + β with C(a..b) = Σy² − (Σy)²/len
+    (the mean-shift cost from the series' prefix sums). Generalizes
+    ``changepoint`` (AMOC = the best SINGLE split) to an optimal
+    multi-split; the DP is exact, and PELT's pruning — drop s once
+    F(s) + C(s+1..t) > F(t) — only removes candidates the subadditivity
+    of C proves can never be optimal again (strictly: the classic K=0
+    argument), so pruned and unpruned DPs return identical segmentations.
+
+    Returns one row per SEGMENT: (keys..., seg_idx, n_segs, n_pts,
+    start_ts, end_ts, seg_mean, seg_cost). Every series emits ≥ 1 row.
+
+    Parity contract (the ``kalman_filter`` template): prefix sums
+    accumulate sequentially, every candidate score is the one fixed
+    association ``(F[s] + ((Q_t−Q_s) − (S_t−S_s)·(S_t−S_s)/len)) + β``,
+    and the argmin breaks ties on the EARLIEST s — the oracle's
+    recursive CTE mirrors each expression verbatim on list columns, so
+    both engines carry bitwise-identical DP state and pick identical
+    backpointers; only the 6-dp print is rounded.
+
+    Shape for 100 TB: one ``applyInPandas`` shuffle keyed by the series;
+    per-series cost is O(n) expected under PELT's linear-penalty regime
+    (O(n²) worst case with no changepoints to prune on), state is the
+    prefix arrays — bounded because per-conversation series are bounded
+    (the chunked-mega-series path caps n per task)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    beta = float(penalty)
+    order = [ts_col] + [c for c in order_cols if c in df.columns]
+    kf = [f for f in df.schema.fields if f.name in keys]
+    ts_f = [f for f in df.schema.fields if f.name == ts_col]
+    out_schema = StructType(
+        kf
+        + [
+            StructField("seg_idx", LongType()),
+            StructField("n_segs", LongType()),
+            StructField("n_pts", LongType()),
+        ]
+        + [StructField("start_ts", ts_f[0].dataType)]
+        + [StructField("end_ts", ts_f[0].dataType)]
+        + [
+            StructField("seg_mean", DoubleType()),
+            StructField("seg_cost", DoubleType()),
+        ]
+    )
+    klist = list(keys)
+
+    def fn(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order, kind="mergesort")
+        y = pdf[value_col].to_numpy(dtype="float64")
+        ts = pdf[ts_col].reset_index(drop=True)
+        n = len(y)
+        # sequential prefix sums — S[t], Q[t] cover points 1..t
+        S = [0.0] * (n + 1)
+        Q = [0.0] * (n + 1)
+        for t in range(1, n + 1):
+            v = float(y[t - 1])
+            S[t] = S[t - 1] + v
+            Q[t] = Q[t - 1] + v * v
+        # PELT DP with strict-inequality pruning (result ≡ full OP)
+        Fv = [-beta] + [0.0] * n
+        bp = [0] * (n + 1)
+        cand = [0]
+        for t in range(1, n + 1):
+            best = None
+            bs = 0
+            for s in cand:
+                d = S[t] - S[s]
+                c = (Fv[s] + ((Q[t] - Q[s]) - d * d / float(t - s))) + beta
+                if best is None or c < best:
+                    best = c
+                    bs = s
+            Fv[t] = best
+            bp[t] = bs
+            kept = []
+            for s in cand:
+                d = S[t] - S[s]
+                if Fv[s] + ((Q[t] - Q[s]) - d * d / float(t - s)) <= best:
+                    kept.append(s)
+            kept.append(t)
+            cand = kept
+        # backtrack segment end boundaries
+        ends = []
+        t = n
+        while t > 0:
+            ends.append(t)
+            t = bp[t]
+        ends.reverse()
+        rows = []
+        kvals = [pdf.iloc[0][k] for k in klist]
+        for idx, b in enumerate(ends, 1):
+            a = bp[b]
+            d = S[b] - S[a]
+            rows.append(
+                kvals
+                + [
+                    idx,
+                    len(ends),
+                    b - a,
+                    ts.iloc[a],
+                    ts.iloc[b - 1],
+                    d / (b - a),
+                    (Q[b] - Q[a]) - d * d / float(b - a),
+                ]
+            )
+        cols = klist + [
+            "seg_idx", "n_segs", "n_pts", "start_ts", "end_ts",
+            "seg_mean", "seg_cost",
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    from tsengine.session import grouped_apply
+
+    base = df.where(F.col(value_col).isNotNull())
+    return grouped_apply(base, klist, fn, out_schema)

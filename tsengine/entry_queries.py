@@ -5044,6 +5044,151 @@ def vec_ivfpq_topk(spark, sf_dir):
     )
 
 
+
+
+@q(
+    "ts_pelt",
+    f"""
+WITH RECURSIVE pts AS (
+  SELECT conv_id, metric, ts, event_id, value::DOUBLE AS y,
+         row_number() OVER (PARTITION BY conv_id, metric
+                            ORDER BY ts, event_id) AS i
+  FROM ({_EV}) e WHERE value IS NOT NULL
+),
+dp AS (
+  SELECT conv_id, metric, 0::BIGINT AS t, 0.0::DOUBLE AS s, 0.0::DOUBLE AS qq,
+         [0.0::DOUBLE] AS sl, [0.0::DOUBLE] AS ql,
+         [-5000.0::DOUBLE] AS fl, []::BIGINT[] AS bpl
+  FROM (SELECT DISTINCT conv_id, metric FROM pts)
+  UNION ALL
+  -- one fixed association per candidate score; list position j holds
+  -- prefix index j-1, so segment (s..t] has length t - j + 1
+  SELECT conv_id, metric, t, s_new, q_new,
+         list_append(sl, s_new), list_append(ql, q_new),
+         list_append(fl, fmin), list_append(bpl, bpv)
+  FROM (
+    SELECT h.conv_id, h.metric, p.i AS t,
+      h.s + p.y AS s_new, h.qq + p.y * p.y AS q_new,
+      list_transform(generate_series(1, p.i::INT), j ->
+        (h.fl[j] + ((q_new - h.ql[j]) - (s_new - h.sl[j]) * (s_new - h.sl[j])
+                    / (p.i - j + 1)::DOUBLE)) + 5000.0::DOUBLE) AS cand,
+      list_min(cand) AS fmin,
+      (list_position(cand, fmin) - 1)::BIGINT AS bpv,
+      h.sl AS sl, h.ql AS ql, h.fl AS fl, h.bpl AS bpl
+    FROM dp h JOIN pts p
+      ON p.conv_id = h.conv_id AND p.metric = h.metric AND p.i = h.t + 1
+  )
+),
+fin AS (
+  SELECT d.* FROM dp d
+  JOIN (SELECT conv_id, metric, count(*) AS n FROM pts GROUP BY 1, 2) c
+    ON d.conv_id = c.conv_id AND d.metric = c.metric AND d.t = c.n
+),
+bt AS (
+  SELECT conv_id, metric, t AS b FROM fin
+  UNION ALL
+  SELECT bt.conv_id, bt.metric, f.bpl[bt.b::INT] AS b
+  FROM bt JOIN fin f ON f.conv_id = bt.conv_id AND f.metric = bt.metric
+  WHERE f.bpl[bt.b::INT] > 0
+),
+seg AS (
+  SELECT bt.conv_id, bt.metric, f.bpl[bt.b::INT] AS a, bt.b, f.sl, f.ql
+  FROM bt JOIN fin f ON f.conv_id = bt.conv_id AND f.metric = bt.metric
+)
+SELECT seg.conv_id, seg.metric,
+       row_number() OVER (PARTITION BY seg.conv_id, seg.metric
+                          ORDER BY seg.b) AS seg_idx,
+       count(*) OVER (PARTITION BY seg.conv_id, seg.metric) AS n_segs,
+       (seg.b - seg.a)::BIGINT AS n_pts,
+       ps.ts AS start_ts, pe.ts AS end_ts,
+       round((sl[(seg.b+1)::INT] - sl[(seg.a+1)::INT]) / (seg.b - seg.a)
+             + 5e-10, 6) AS seg_mean,
+       round((ql[(seg.b+1)::INT] - ql[(seg.a+1)::INT])
+             - (sl[(seg.b+1)::INT] - sl[(seg.a+1)::INT])
+               * (sl[(seg.b+1)::INT] - sl[(seg.a+1)::INT])
+               / (seg.b - seg.a)::DOUBLE + 5e-10, 6) AS seg_cost
+FROM seg
+JOIN pts ps ON ps.conv_id = seg.conv_id AND ps.metric = seg.metric
+           AND ps.i = seg.a + 1
+JOIN pts pe ON pe.conv_id = seg.conv_id AND pe.metric = seg.metric
+           AND pe.i = seg.b
+""",
+)
+def ts_pelt(spark, sf_dir):
+    """PELT multi-changepoint segmentation (`anomaly.pelt_segments`,
+    Killick et al. 2012, L2 mean-shift cost, beta=5000): the exact
+    optimal segmentation DP F(t) = min_s F(s) + C(s+1..t) + beta with
+    strict-inequality pruning, generalizing `ts_changepoint`'s single
+    AMOC split. One row per optimal segment with its mean and residual
+    cost. The oracle's recursive CTE replays the DP on list columns —
+    prefix sums, F values, and backpointers advance in lockstep with
+    one fixed association per candidate score and earliest-s argmin
+    tie-break (list_position returns the FIRST bitwise match), then a
+    second recursion backtracks the boundaries. Both engines carry
+    bitwise-identical DP state; only the 6-dp print is rounded."""
+    ev = _events_long(spark, sf_dir)
+    out = anomaly.pelt_segments(ev, penalty=5000.0)
+    return out.select(
+        "conv_id", "metric", "seg_idx", "n_segs", "n_pts",
+        "start_ts", "end_ts",
+        F.round(F.col("seg_mean") + F.lit(5e-10), 6).alias("seg_mean"),
+        F.round(F.col("seg_cost") + F.lit(5e-10), 6).alias("seg_cost"),
+    )
+
+
+@q(
+    "ts_page_hinkley",
+    f"""
+WITH ev AS ({_EV}),
+a AS (SELECT conv_id, metric, event_id, ts, value,
+             avg(value) OVER (PARTITION BY conv_id, metric
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS ravg
+      FROM ev),
+s AS (SELECT conv_id, metric, event_id, ts,
+             sum(value - ravg - 0.005::DOUBLE) OVER (
+               PARTITION BY conv_id, metric ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS m,
+             sum(value - ravg + 0.005::DOUBLE) OVER (
+               PARTITION BY conv_id, metric ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS g
+      FROM a),
+c AS (SELECT conv_id, metric, event_id,
+             round(m - min(m) OVER (PARTITION BY conv_id, metric
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                   + 5e-10, 6) AS ph_inc,
+             round(max(g) OVER (PARTITION BY conv_id, metric
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - g
+                   + 5e-10, 6) AS ph_dec
+      FROM s)
+SELECT conv_id, metric, event_id, ph_inc, ph_dec,
+       (CASE WHEN ph_inc > 50.0::DOUBLE OR ph_dec > 50.0::DOUBLE
+             THEN 1 ELSE 0 END)::BIGINT AS alarm
+FROM c
+""",
+)
+def ts_page_hinkley(spark, sf_dir):
+    """Page-Hinkley adaptive drift test (`temporal.page_hinkley`, Page
+    1954 / Gama CSUR'14): deviations from the RUNNING mean accumulate
+    into m_t (−δ) and g_t (+δ); PH⁺ = m − running-min m flags upward
+    drift, PH⁻ = running-max g − g downward, alarm when either exceeds
+    λ = 50. Unlike `ts_cusum`'s fixed reference k, the baseline adapts
+    per series — no calibration. Four cumulative windows over ONE
+    (conv, metric, ts, event_id) sort, no iteration/UDF; both engines
+    accumulate left-to-right over the identical order, 6-dp round
+    (+5e-10 nudge) at the edge, and the alarm compares the rounded
+    statistic so a 1-ulp association difference can't flip it."""
+    ev = _events_long(spark, sf_dir)
+    out = temporal.page_hinkley(
+        ev, delta=0.005, lam=50.0, tiebreak="event_id"
+    )
+    return out.select(
+        "conv_id", "metric", "event_id", "ph_inc", "ph_dec", "alarm"
+    )
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================

@@ -943,3 +943,61 @@ def kalman_filter(
         return out
 
     return grouped_apply(df, list(on), fn, out_schema)
+
+
+def page_hinkley(
+    df: DataFrame,
+    delta: float = 0.005,
+    lam: float = 50.0,
+    on: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Page-Hinkley sequential drift test per series (Page 1954; the
+    form used by streaming-ML drift monitors, e.g. Gama et al., "A
+    survey on concept drift adaptation", ACM CSUR 2014 §4.2): against
+    the RUNNING mean x̄_t of the series so far,
+
+        m_t  = Σ_{i≤t} (x_i − x̄_i − δ)          (upward drift)
+        PH⁺_t = m_t − min_{j≤t} m_j              alarm when PH⁺ > λ
+        g_t  = Σ_{i≤t} (x_i − x̄_i + δ)          (downward drift)
+        PH⁻_t = max_{j≤t} g_j − g_t              alarm when PH⁻ > λ
+
+    Unlike `cusum` (fixed reference k), the reference level adapts —
+    each increment is the deviation from the mean of everything seen so
+    far — so PH flags drift without per-metric calibration. The whole
+    test is FOUR window passes over ONE (key, ts) sort: running avg →
+    prefix sum → running min / running max. No iteration, no UDF, no
+    per-row state; Catalyst pipelines all four over a single exchange,
+    which is exactly the plan you want when the raw table is 100 TB —
+    one shuffle keyed by the series, partial nothing (windows), bounded
+    memory (streaming frame).
+
+    Determinism: both engines evaluate the cumulative frames over the
+    identical sort; outputs are rounded (6 dp, +5e-10 nudge off the
+    half-ulp boundary) and the alarm compares the ROUNDED statistic so
+    a 1-ulp association difference can never flip the flag."""
+    order_cols = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    wseq = (
+        W.partitionBy(*on)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    d = float(delta)
+    run_avg = F.avg(value_col).over(wseq)
+    base = df.withColumn("_ravg", run_avg)
+    m = F.sum(F.col(value_col) - F.col("_ravg") - F.lit(d)).over(wseq)
+    g = F.sum(F.col(value_col) - F.col("_ravg") + F.lit(d)).over(wseq)
+    base = base.withColumn("_m", m).withColumn("_g", g)
+    ph_inc = F.col("_m") - F.min("_m").over(wseq)
+    ph_dec = F.max("_g").over(wseq) - F.col("_g")
+    out = (
+        base.withColumn("ph_inc", F.round(ph_inc + F.lit(5e-10), 6))
+        .withColumn("ph_dec", F.round(ph_dec + F.lit(5e-10), 6))
+        .drop("_ravg", "_m", "_g")
+    )
+    alarm = (F.col("ph_inc") > F.lit(float(lam))) | (
+        F.col("ph_dec") > F.lit(float(lam))
+    )
+    return out.withColumn("alarm", alarm.cast("long"))
