@@ -187,3 +187,28 @@ def test_merge_tiers_empty_delta_is_identity(spark, transcripts):
     a = t.toPandas().sort_values(["conv_id", "bucket_ts", "metric"]).reset_index(drop=True)
     b = merged.toPandas().sort_values(["conv_id", "bucket_ts", "metric"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_cube_rollup_all_grouping_sets(spark):
+    from datetime import datetime
+    df = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 3, 1).date(), 1.0),
+            ("a", datetime(2024, 3, 1).date(), 2.0),
+            ("a", datetime(2024, 3, 2).date(), 3.0),
+            ("b", datetime(2024, 3, 1).date(), 10.0),
+        ],
+        "metric string, day date, value double",
+    )
+    got = {
+        (r["metric"], str(r["day"]) if r["day"] else None,
+         r["g_metric"], r["g_day"]): r
+        for r in rollup.cube_rollup(df, dims=("metric", "day")).collect()
+    }
+    assert len(got) == 3 + 2 + 2 + 1  # cells + per-metric + per-day + total
+    assert got[("a", "2024-03-01", 0, 0)]["sum_v"] == 3.0
+    assert got[("a", None, 0, 1)]["cnt"] == 3          # metric subtotal
+    assert got[(None, "2024-03-01", 1, 0)]["sum_v"] == 13.0  # day subtotal
+    g = got[(None, None, 1, 1)]                        # grand total
+    assert g["cnt"] == 4 and g["sum_v"] == 16.0
+    assert g["min_v"] == 1.0 and g["max_v"] == 10.0

@@ -176,3 +176,80 @@ def test_page_hinkley_matches_reference_recursion(spark):
         assert abs(r["ph_inc"] - ei) < 1e-5
         assert abs(r["ph_dec"] - ed) < 1e-5
         assert r["alarm"] == (1 if ei > lam or ed > lam else 0)
+
+
+# ---------------------------------------------------------------- funnel ---
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+              "event_id long"
+    )
+
+
+def test_funnel_full_conversion_and_latencies(spark):
+    df = _ev(spark, [
+        ("u1", "view", _t(10, 0), 1.0, 1),
+        ("u1", "click", _t(10, 5), 1.0, 2),
+        ("u1", "purchase", _t(10, 30), 1.0, 3),
+    ])
+    (r,) = temporal.funnel(df).collect()
+    assert r["steps_reached"] == 3
+    assert r["us_1_2"] == 5 * 60 * 1_000_000
+    assert r["us_2_3"] == 25 * 60 * 1_000_000
+
+
+def test_funnel_out_of_order_does_not_count(spark):
+    # click BEFORE the first view must not advance the funnel
+    df = _ev(spark, [
+        ("u1", "click", _t(9, 0), 1.0, 1),
+        ("u1", "view", _t(10, 0), 1.0, 2),
+        ("u1", "purchase", _t(11, 0), 1.0, 3),
+    ])
+    (r,) = temporal.funnel(df).collect()
+    assert r["steps_reached"] == 1
+    assert r["t2"] is None and r["t3"] is None and r["us_1_2"] is None
+
+
+def test_funnel_picks_earliest_qualifying_event(spark):
+    df = _ev(spark, [
+        ("u1", "view", _t(10, 0), 1.0, 1),
+        ("u1", "click", _t(10, 1), 1.0, 2),
+        ("u1", "click", _t(10, 9), 1.0, 3),   # later click ignored
+        ("u1", "purchase", _t(10, 2), 1.0, 4),
+    ])
+    (r,) = temporal.funnel(df).collect()
+    assert r["t2"] == _t(10, 1) and r["t3"] == _t(10, 2)
+    assert r["steps_reached"] == 3
+
+
+def test_funnel_no_first_step_gives_zero(spark):
+    df = _ev(spark, [("u1", "error", _t(10, 0), 1.0, 1)])
+    (r,) = temporal.funnel(df).collect()
+    assert r["steps_reached"] == 0 and r["t1"] is None
+
+
+# ------------------------------------------------------- cohort retention ---
+
+def test_cohort_retention_matrix(spark):
+    def d(day, h=12):
+        return datetime(2024, 3, day, h)
+    df = _ev(spark, [
+        # cohort 3/1: u1 active day 0,1; u2 active day 0 only
+        ("u1", "view", d(1), 1.0, 1),
+        ("u1", "view", d(2), 1.0, 2),
+        ("u2", "view", d(1), 1.0, 3),
+        # cohort 3/2: u3 active day 0 and 2 (twice on day 2 — distinct!)
+        ("u3", "view", d(2), 1.0, 4),
+        ("u3", "view", d(4), 1.0, 5),
+        ("u3", "click", d(4, 13), 1.0, 6),
+    ])
+    got = {(str(r["cohort_day"]), r["day_offset"]): r
+           for r in temporal.cohort_retention(df).collect()}
+    assert got[("2024-03-01", 0)]["n_active"] == 2
+    assert got[("2024-03-01", 0)]["n_cohort"] == 2
+    assert got[("2024-03-01", 0)]["retention"] == 1.0
+    assert got[("2024-03-01", 1)]["n_active"] == 1
+    assert got[("2024-03-01", 1)]["retention"] == 0.5
+    assert got[("2024-03-02", 2)]["n_active"] == 1  # deduped same-day events
+    assert ("2024-03-02", 1) not in got

@@ -545,3 +545,53 @@ def test_corpus_sample_rejects_out_of_range_rates(spark):
             textops.corpus_sample(docs, bad)
     with _pytest.raises(ValueError):
         textops.corpus_sample(docs, {"web": 0.5}, default_rate=0.0)
+
+
+# ------------------------------------------------------ URL canonical ---
+
+def test_url_canonicalize_rules(spark):
+    cases = [
+        # (raw, expected canonical)
+        ("HTTP://WWW.Example.COM:80/a//b/?b=2&a=1#frag",
+         "http://example.com/a/b?a=1&b=2"),
+        ("https://Example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/?utm_source=a&utm_campaign=b",
+         "http://example.com/"),
+        ("http://example.com/p?ref=x&z=9&fbclid=abc&gclid=1&a=2",
+         "http://example.com/p?a=2&z=9"),
+        # path case is significant and preserved
+        ("http://example.com/CaseSensitive/Path",
+         "http://example.com/CaseSensitive/Path"),
+        # trailing slash collapses, root does not
+        ("http://example.com/a/", "http://example.com/a"),
+        ("http://example.com///", "http://example.com/"),
+        # empty params dropped, survivors byte-sorted
+        ("http://example.com/p?&b=1&&a=2&", "http://example.com/p?a=2&b=1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, r) for i, (r, _) in enumerate(cases)], "doc_id long, url string"
+    )
+    got = {
+        r["doc_id"]: r["canon_url"]
+        for r in textops.url_canonicalize(df).collect()
+    }
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_url_dedup_stats_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [
+            (3, "http://www.Example.com/a?b=2&a=1"),
+            (7, "HTTP://example.COM:80/a/?a=1&b=2#x"),
+            (5, "https://other.org/q"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["canon_url"]: r for r in textops.url_dedup_stats(df).collect()}
+    assert got["http://example.com/a?a=1&b=2"]["n_dups"] == 2
+    assert got["http://example.com/a?a=1&b=2"]["keep_id"] == 3
+    assert got["https://other.org/q"]["n_dups"] == 1

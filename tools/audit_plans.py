@@ -386,6 +386,33 @@ def main() -> None:
                             n_codes=16, m_sub=8),
           ["pushed_filters", "no_cartesian"])
 
+    # round-5 pack: PELT and the grouped-pandas DPs ride ONE series-key
+    # shuffle; Page-Hinkley is four cumulative windows on one sort;
+    # funnel chains its per-step conditional mins as unbounded-frame
+    # windows over ONE exchange that the final agg reuses (no per-step
+    # self-joins); URL dedup is scan-speed canonicalization + one
+    # canon-keyed partial-agg groupBy; cohort retention scans raw once
+    audit("pelt segments (one grouped-pandas shuffle)",
+          anomaly.pelt_segments(ev.where(F.col("value").isNotNull()),
+                                penalty=5000.0),
+          ["single_exchange", "no_cartesian"])
+    audit("page-hinkley (four windows, one sort)",
+          temporal.page_hinkley(ev, tiebreak="event_id"),
+          ["single_exchange", "no_cartesian"])
+    audit("funnel (chained windows, one exchange)",
+          temporal.funnel(ev),
+          ["single_exchange", "partial_agg", "no_cartesian"])
+    audit("url dedup (scan-speed canon + partial agg)",
+          textops.url_dedup_stats(
+              docs.select("doc_id",
+                          F.concat(F.lit("http://h"),
+                                   (F.col("doc_id") % 7).cast("string"),
+                                   F.lit(".com/p?a=1")).alias("url"))),
+          ["single_exchange", "partial_agg", "codegen"])
+    audit("cohort retention (one raw scan + dim join)",
+          temporal.cohort_retention(ev),
+          ["partial_agg", "no_cartesian"])
+
 
 if __name__ == "__main__":
     main()

@@ -5189,6 +5189,224 @@ def ts_page_hinkley(spark, sf_dir):
     )
 
 
+_MESSY_URL_SQL = """
+  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+  'Example' || (doc_id % 5)::VARCHAR || '.COM' ||
+  (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                   WHEN 2 THEN ':8080' ELSE '' END) ||
+  '/Articles//' || (doc_id % 40)::VARCHAR ||
+  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+  (CASE WHEN doc_id % 2 = 0
+        THEN '?b=2&a=1&utm_campaign=x&id=' || (doc_id % 20)::VARCHAR
+        ELSE '?id=' || (doc_id % 20)::VARCHAR || '&a=1&b=2&utm_source=feed'
+   END) ||
+  (CASE WHEN doc_id % 3 = 0 THEN '#sec' || (doc_id % 7)::VARCHAR
+        ELSE '' END)
+"""
+
+
+def _messy_urls(spark, sf_dir):
+    """Deterministic messy-URL column derived from doc_id (scheme/host
+    case noise, www., default and explicit ports, duplicate + trailing
+    slashes, shuffled query params, tracking params, fragments) — the
+    same construction as `_MESSY_URL_SQL` so both engines canonicalize
+    identical inputs."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Example"), (d % 5).cast("string"), F.lit(".COM"),
+        F.when(d % 4 == 0, F.lit(":80"))
+        .when(d % 4 == 1, F.lit(":443"))
+        .when(d % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Articles//"), (d % 40).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("?b=2&a=1&utm_campaign=x&id="), (d % 20).cast("string")
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("?id="), (d % 20).cast("string"),
+                F.lit("&a=1&b=2&utm_source=feed"),
+            )
+        ),
+        F.when(
+            d % 3 == 0, F.concat(F.lit("#sec"), (d % 7).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    return _read(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+
+
+@q(
+    "text_url_canonical",
+    f"""
+WITH raw AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+p1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM raw),
+p2 AS (SELECT doc_id,
+              lower(regexp_extract(nofrag,
+                    '^([A-Za-z][A-Za-z0-9.+-]*)://', 1)) AS scheme,
+              regexp_replace(nofrag,
+                    '^[A-Za-z][A-Za-z0-9.+-]*://', '') AS rest
+       FROM p1),
+p3 AS (SELECT doc_id, scheme, rest,
+              lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostport,
+              regexp_replace(rest, '^[^/?]+', '') AS pathq
+       FROM p2),
+p4 AS (SELECT doc_id, scheme,
+              regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                             '^www\\.', '') AS host,
+              regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+              regexp_extract(pathq, '^([^?]*)', 1) AS rawpath,
+              regexp_extract(pathq, '\\?(.*)$', 1) AS query
+       FROM p3),
+p5 AS (SELECT doc_id, scheme, host,
+              CASE WHEN port <> ''
+                        AND NOT (scheme = 'http' AND port = '80')
+                        AND NOT (scheme = 'https' AND port = '443')
+                   THEN ':' || port ELSE '' END AS portpart,
+              regexp_replace(regexp_replace(rawpath, '/{{2,}}', '/', 'g'),
+                             '(.)/$', '\\1') AS path0,
+              array_to_string(list_sort(list_filter(
+                  string_split(query, '&'),
+                  x -> x <> '' AND NOT regexp_matches(x,
+                       '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))),
+                  '&') AS qcanon
+       FROM p4),
+canon AS (SELECT doc_id,
+                 scheme || '://' || host || portpart ||
+                 (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+                 (CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END)
+                   AS canon_url
+          FROM p5)
+SELECT canon_url, count(*)::BIGINT AS n_dups, min(doc_id) AS keep_id
+FROM canon GROUP BY 1
+""",
+)
+def text_url_canonical(spark, sf_dir):
+    """URL canonicalization + canonical-URL dedup rollup
+    (`textops.url_canonicalize` / `url_dedup_stats`, RFC 3986 §6 plus
+    the de-facto crawl rules): lowercase scheme/host, strip www., drop
+    default ports (http:80/https:443) but keep :8080, collapse
+    duplicate + trailing slashes, drop fragments and tracking params
+    (utm_*, fbclid, gclid, ref), bytewise-sort surviving params. Input
+    is a deterministic messy-URL column derived from doc_id — identical
+    construction both sides — so members of each dup group differ in
+    case/www/param-order/fragment noise yet collapse to one canonical
+    key. All scan-speed Column exprs; the only exchange is the final
+    groupBy(canon_url) with map-side partial agg."""
+    urls = _messy_urls(spark, sf_dir)
+    return textops.url_dedup_stats(urls)
+
+
+@q(
+    "ts_funnel",
+    f"""
+WITH ev AS ({_EV}),
+ks AS (SELECT DISTINCT conv_id FROM ev),
+s1 AS (SELECT conv_id, min(ts) AS t1 FROM ev
+       WHERE metric = 'view' GROUP BY 1),
+s2 AS (SELECT e.conv_id, min(e.ts) AS t2 FROM ev e
+       JOIN s1 ON e.conv_id = s1.conv_id
+       WHERE e.metric = 'click' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.conv_id, min(e.ts) AS t3 FROM ev e
+       JOIN s2 ON e.conv_id = s2.conv_id
+       WHERE e.metric = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+SELECT k.conv_id, s1.t1, s2.t2, s3.t3,
+       ((s1.t1 IS NOT NULL)::INT + (s2.t2 IS NOT NULL)::INT
+        + (s3.t3 IS NOT NULL)::INT)::BIGINT AS steps_reached,
+       (epoch_us(s2.t2) - epoch_us(s1.t1))::BIGINT AS us_1_2,
+       (epoch_us(s3.t3) - epoch_us(s2.t2))::BIGINT AS us_2_3
+FROM ks k
+LEFT JOIN s1 ON k.conv_id = s1.conv_id
+LEFT JOIN s2 ON k.conv_id = s2.conv_id
+LEFT JOIN s3 ON k.conv_id = s3.conv_id
+""",
+)
+def ts_funnel(spark, sf_dir):
+    """Ordered funnel analysis (`temporal.funnel`): per conversation,
+    earliest view → earliest STRICTLY-later click → earliest
+    strictly-later purchase, with steps_reached and exact integer-µs
+    inter-step latencies. The engine computes every stage with
+    unbounded-frame windows over ONE key exchange (the raw table is
+    scanned once — no per-step self-joins); the oracle uses the
+    equivalent chained conditional-min joins. Timestamps and µs
+    latencies are exact integers, so parity needs no rounding."""
+    ev = _events_long(spark, sf_dir)
+    return temporal.funnel(ev, steps=("view", "click", "purchase"))
+
+
+@q(
+    "ts_cohort_retention",
+    f"""
+WITH ev AS ({_EV}),
+firsts AS (SELECT conv_id, min(ts::DATE) AS cohort_day FROM ev GROUP BY 1),
+active AS (SELECT DISTINCT f.cohort_day,
+                  (e.ts::DATE - f.cohort_day)::BIGINT AS day_offset,
+                  e.conv_id
+           FROM ev e JOIN firsts f ON e.conv_id = f.conv_id),
+cells AS (SELECT cohort_day, day_offset, count(*)::BIGINT AS n_active
+          FROM active GROUP BY 1, 2),
+sizes AS (SELECT cohort_day, count(*)::BIGINT AS n_cohort
+          FROM firsts GROUP BY 1)
+SELECT c.cohort_day, c.day_offset, c.n_active, s.n_cohort,
+       round(c.n_active / s.n_cohort::DOUBLE + 5e-10, 6) AS retention
+FROM cells c JOIN sizes s ON c.cohort_day = s.cohort_day
+""",
+)
+def ts_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (`temporal.cohort_retention`): users
+    cohorted by first-seen day; each (cohort_day, day_offset) cell
+    counts distinct cohort members active that day plus the retention
+    fraction vs cohort size (day 0 ≡ 1.0). One groupBy for first-seen,
+    one key-keyed join back, one distinct, one cell count — the raw
+    table is scanned once. Counts are exact integers; the single float
+    (retention) is a ratio of integers rounded at 6 dp both sides."""
+    ev = _events_long(spark, sf_dir)
+    out = temporal.cohort_retention(ev)
+    return out.withColumn("day_offset", F.col("day_offset").cast("long"))
+
+
+@q(
+    "ts_cube_rollup",
+    f"""
+WITH ev AS ({_EV}),
+d AS (SELECT metric, ts::DATE AS day, value FROM ev)
+SELECT coalesce(metric, '<all>') AS metric,
+       coalesce(day, DATE '1900-01-01') AS day,
+       grouping(metric)::BIGINT AS g_metric,
+       grouping(day)::BIGINT AS g_day,
+       count(value)::BIGINT AS cnt,
+       round(sum(value), 4) AS sum_v,
+       min(value) AS min_v,
+       max(value) AS max_v
+FROM d GROUP BY CUBE (metric, day)
+""",
+)
+def ts_cube_rollup(spark, sf_dir):
+    """Multi-dimensional CUBE aggregate (`rollup.cube_rollup`): every
+    subset of (metric, day) — per-cell, per-metric, per-day, and grand
+    total — in ONE pass with explicit g_metric/g_day grouping flags (1 =
+    rolled over), so subtotal rows are identified by flags rather than
+    NULL-ness. Spark compiles this to one Expand node feeding a single
+    partial-agg groupBy; DuckDB runs the identical GROUP BY CUBE.
+    Counts exact, sums rounded at 4 dp both sides (the tier contract)."""
+    ev = _events_long(spark, sf_dir)
+    d = ev.select("metric", F.to_date("ts").alias("day"), "value")
+    out = rollup.cube_rollup(d, dims=("metric", "day"))
+    # sentinel-fill the rolled dims (the g_* flags are the identity; the
+    # driver's value hash can't see engine-specific NULL renderings)
+    return out.select(
+        F.coalesce("metric", F.lit("<all>")).alias("metric"),
+        F.coalesce("day", F.lit("1900-01-01").cast("date")).alias("day"),
+        "g_metric", "g_day", "cnt", "sum_v", "min_v", "max_v",
+    )
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================

@@ -465,3 +465,32 @@ def merge_tiers(existing: DataFrame, delta: DataFrame) -> DataFrame:
             F.sum("sumsq").alias("sumsq"),
         )
     )
+
+
+def cube_rollup(
+    df: DataFrame,
+    dims: tuple[str, ...] = ("metric", "day"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-dimensional CUBE aggregate (the OLAP grouping-sets surface:
+    every subset of ``dims`` aggregated in ONE pass, grand total
+    included). Each dimension gets an explicit ``g_<dim>`` grouping flag
+    (1 = rolled over) so all-NULL dimension values can never be confused
+    with subtotal rows — the flag pair, not NULL-ness, is the cell
+    identity.
+
+    Scale shape: Spark compiles CUBE to one Expand node (×2^|dims| row
+    replication) feeding a single partial-agg groupBy — the raw table is
+    scanned once and the exchange carries only the expanded GROUP
+    cells after map-side combine. For high-cardinality dims at 100 TB,
+    prefer ROLLUP subsets or pre-aggregate to a tier first (the
+    replication factor is per-RAW-row); this engine's dims (metric ×
+    day) expand cells, not raw volume, after the combine."""
+    aggs = [
+        F.count(value_col).cast("long").alias("cnt"),
+        F.round(F.sum(value_col), 4).alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    ]
+    flags = [F.grouping(d).cast("long").alias(f"g_{d}") for d in dims]
+    return df.cube(*dims).agg(*flags, *aggs)

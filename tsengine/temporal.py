@@ -1001,3 +1001,102 @@ def page_hinkley(
         F.col("ph_dec") > F.lit(float(lam))
     )
     return out.withColumn("alarm", alarm.cast("long"))
+
+
+def funnel(
+    df: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    key: str = "conv_id",
+    metric_col: str = "metric",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis (the Amplitude/Mixpanel-style conversion
+    query): for each key, the earliest time step 1 occurred, then the
+    earliest STRICTLY-LATER time step 2 occurred, and so on — each stage
+    conditions on the previous stage's timestamp, so out-of-order events
+    never count. Returns one row per key: step timestamps (null once the
+    funnel stalls), ``steps_reached``, and exact integer-µs inter-step
+    latencies (null-safe).
+
+    Scale shape: ONE exchange keyed by the funnel key, then one
+    unbounded-frame Window node per step (no sort needed — frames are
+    whole-partition) and a final first-row agg that reuses the same
+    partitioning. No self-joins, no per-step scans of the raw table —
+    at 100 TB the raw volume crosses the wire exactly once."""
+    w = W.partitionBy(key)
+    cur = df
+    tcols = []
+    prev = None
+    for i, s in enumerate(steps, 1):
+        cond = F.col(metric_col) == s
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        name = f"t{i}"
+        cur = cur.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        tcols.append(name)
+        prev = name
+    reached = None
+    for name in tcols:
+        c = F.col(name).isNotNull().cast("long")
+        reached = c if reached is None else reached + c
+    lat = [
+        (
+            F.unix_micros(F.col(tcols[i + 1]).cast("timestamp"))
+            - F.unix_micros(F.col(tcols[i]).cast("timestamp"))
+        ).alias(f"us_{i + 1}_{i + 2}")
+        for i in range(len(tcols) - 1)
+    ]
+    return (
+        cur.groupBy(key)
+        .agg(*[F.min(n).alias(n) for n in tcols])
+        .select(
+            key, *tcols, reached.alias("steps_reached"), *lat
+        )
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix (classic growth analytics): users are
+    cohorted by their first-seen day; for every (cohort_day, day_offset)
+    cell, the number of distinct cohort members active that day and the
+    retention fraction against the cohort's size. Day-0 cells equal the
+    cohort size by construction (retention = 1).
+
+    Scale shape: one groupBy(key) for first-seen days (map-side partial
+    min), one key-keyed join back (the cohort table is users-sized —
+    broadcastable when small, hash-join co-keyed with the raw exchange
+    otherwise), one distinct on (cohort_day, offset, key) and the final
+    cell count — the raw table is scanned once."""
+    firsts = df.groupBy(key).agg(
+        F.min(F.to_date(ts_col)).alias("cohort_day")
+    )
+    active = (
+        df.join(firsts, key)
+        .select(
+            "cohort_day",
+            F.datediff(F.to_date(ts_col), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+            key,
+        )
+        .distinct()
+    )
+    cells = active.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    return cells.join(sizes, "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort") + F.lit(5e-10), 6).alias(
+            "retention"
+        ),
+    )

@@ -1076,3 +1076,90 @@ def corpus_sample(
         .otherwise(F.lit(0.0))
         .alias("weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization (web-corpus dedup key)
+# --------------------------------------------------------------------------
+
+TRACKING_PARAM_RE = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+
+
+def url_canonicalize(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canon_url",
+) -> DataFrame:
+    """Canonical URL form (the dedup key every web-crawl corpus pipeline
+    computes before exact/near dedup — cf. the URL normalizations in RFC
+    3986 §6 plus the de-facto crawl rules): lowercase scheme and host,
+    strip a leading ``www.``, drop the default port (http:80 / https:443)
+    but keep explicit non-default ports, collapse duplicate slashes and
+    the trailing slash in the path (root stays ``/``; path CASE is
+    preserved — it is significant per the RFC), drop the fragment, drop
+    tracking query parameters (``utm_*``, ``fbclid``, ``gclid``,
+    ``ref``), and sort the surviving parameters bytewise so param order
+    can't defeat dedup.
+
+    Pure rowwise Column expressions — regexp extract/replace plus a
+    split→filter→array_sort→array_join pipeline for the query string,
+    all inside whole-stage codegen; zero exchanges, no Python, so it
+    runs at scan speed on a 100 TB crawl. Regexes live in the Java∩RE2
+    subset so the SQL oracle matches byte-for-byte.
+    """
+    u = F.trim(F.col(url_col))
+    nofrag = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, "^([A-Za-z][A-Za-z0-9.+-]*)://", 1))
+    rest = F.regexp_replace(nofrag, "^[A-Za-z][A-Za-z0-9.+-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, "^([^/?]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", ""
+    )
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    portpart = F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit(""))
+    pathq = F.regexp_replace(rest, "^[^/?]+", "")
+    rawpath = F.regexp_extract(pathq, "^([^?]*)", 1)
+    path = F.regexp_replace(rawpath, "/{2,}", "/")
+    path = F.regexp_replace(path, "(.)/$", "$1")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, "\\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        portpart,
+        path,
+        F.when(qcanon == "", F.lit("")).otherwise(F.concat(F.lit("?"), qcanon)),
+    )
+    return df.withColumn(out_col, canon)
+
+
+def url_dedup_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-URL dedup rollup: one row per canonical URL with the
+    duplicate count and the kept representative (lowest id — the same
+    keep-first rule as `dedup_exact`). A digest-keyed groupBy with
+    map-side partial aggregation; the canonical form is computed at scan
+    speed by `url_canonicalize`, so the only exchange is keyed by the
+    canonical URL itself."""
+    return (
+        url_canonicalize(df, url_col=url_col)
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
