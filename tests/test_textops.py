@@ -595,3 +595,30 @@ def test_url_dedup_stats_keeps_lowest_id(spark):
     assert got["http://example.com/a?a=1&b=2"]["n_dups"] == 2
     assert got["http://example.com/a?a=1&b=2"]["keep_id"] == 3
     assert got["https://other.org/q"]["n_dups"] == 1
+
+
+# ------------------------------------------------------ inverted index ---
+
+def test_build_postings_ranks_and_gates(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana apple cherry"),
+            (3, "banana banana durian"),
+            (4, "unique"),
+        ],
+        "doc_id long, text string",
+    )
+    got = textops.build_postings(docs, top_p=2, min_df=2,
+                                 max_df_frac=0.6).collect()
+    by_term = {}
+    for r in got:
+        by_term.setdefault(r["term"], []).append(r)
+    # banana df=3 > 0.6*4=2.4 -> stopword-pruned; unique/cherry/durian
+    # df=1 < min_df -> pruned; apple df=2 survives
+    assert set(by_term) == {"apple"}
+    rows = sorted(by_term["apple"], key=lambda r: r["rank"])
+    # top-2 of apple's 3 postings, (doc, pos)-ranked; cf counts all 3
+    assert [(r["rank"], r["doc_id"], r["pos"]) for r in rows] == [
+        (1, 1, 0), (2, 1, 2)]
+    assert rows[0]["df"] == 2 and rows[0]["cf"] == 3

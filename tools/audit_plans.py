@@ -412,6 +412,14 @@ def main() -> None:
     audit("cohort retention (one raw scan + dim join)",
           temporal.cohort_retention(ev),
           ["partial_agg", "no_cartesian"])
+    # postings: no_cartesian is intentionally NOT asserted — the max_df
+    # gate compares against a ONE-ROW corpus-count scalar, which Spark
+    # executes as a 1-row IdentityBroadcast NLJ (the plan for any scalar
+    # subquery; identical shape to bm25's corpus stats) — constant work,
+    # not a pair blowup. The raw-volume joins are hash joins.
+    audit("postings (df gate before rank window)",
+          textops.build_postings(docs, top_p=3, min_df=2, max_df_frac=0.8),
+          ["partial_agg"])
 
 
 if __name__ == "__main__":

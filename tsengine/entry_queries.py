@@ -5407,6 +5407,42 @@ def ts_cube_rollup(spark, sf_dir):
     )
 
 
+@q(
+    "text_postings",
+    f"""
+WITH base AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+t1 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS p
+       FROM base),
+tok AS (SELECT doc_id, (p - 1)::BIGINT AS pos, toks[p::INT] AS term
+        FROM t1),
+stats AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+                 count(*)::BIGINT AS cf
+          FROM tok GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+elig AS (SELECT s.term, s.df, s.cf FROM stats s CROSS JOIN n
+         WHERE s.df >= 30 AND s.df <= n.n_docs * 0.8::DOUBLE),
+r AS (SELECT t.term, e.df, e.cf, t.doc_id, t.pos,
+             row_number() OVER (PARTITION BY t.term
+                                ORDER BY t.doc_id, t.pos) AS rank
+      FROM tok t JOIN elig e USING (term))
+SELECT term, df, cf, rank::BIGINT AS rank, doc_id, pos
+FROM r WHERE rank <= 3
+""".format(toks=_TOKS),
+)
+def text_postings(spark, sf_dir):
+    """Inverted-index posting heads (`textops.build_postings`, top_p=3,
+    min_df=30, max_df_frac=0.8): per eligible term its df/cf and the
+    first 3 postings ranked by (doc_id, token position). The min/max-df
+    vocabulary gate runs BEFORE the per-term rank window, so stopword
+    keys never reach the posting sort (skew-safe by construction).
+    Counts and positions are exact integers — no float anywhere — and
+    both engines rank over identical (doc, pos) keys."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return textops.build_postings(
+        docs, top_p=3, min_df=30, max_df_frac=0.8
+    )
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================

@@ -1163,3 +1163,65 @@ def url_dedup_stats(
             F.min(id_col).alias("keep_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# inverted index / posting lists (retrieval infrastructure)
+# --------------------------------------------------------------------------
+
+def build_postings(
+    docs: DataFrame,
+    top_p: int = 3,
+    min_df: int = 1,
+    max_df_frac: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted-index posting heads (the retrieval-infrastructure build
+    step): for every eligible term, its df (distinct docs), cf (total
+    occurrences), and the first ``top_p`` postings as (doc_id, pos)
+    rows ranked by (doc, position). Vocabulary pruning is the classic
+    min_df / max_df gate: ultra-rare terms (df < min_df) and
+    stopword-like terms (df > max_df_frac·N) are dropped BEFORE the
+    posting sort — which is also what makes the plan skew-safe: the
+    per-term rank window never sees the heavy stopword keys, so no
+    term's shuffle partition is unbounded.
+
+    Scale shape: one (term)-keyed partial-agg groupBy for df/cf, a
+    term-keyed semi-join of the token stream against the pruned
+    vocabulary (AQE broadcasts it when small), then the rank window over
+    bounded per-term groups. Raw text explodes once; positions are
+    exact token ordinals so both engines rank identically (no float
+    anywhere)."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    stats = (
+        tok.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count(F.lit(1)).cast("long").alias("cf"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .where(
+            (F.col("df") >= F.lit(int(min_df)))
+            & (F.col("df") <= F.col("n_docs") * F.lit(float(max_df_frac)))
+        )
+        .drop("n_docs")
+    )
+    ranked = tok.join(stats, "term").withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("term").orderBy("doc_id", "pos")
+        ),
+    )
+    return ranked.where(F.col("rank") <= int(top_p)).select(
+        "term", "df", "cf",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+    )
