@@ -325,12 +325,37 @@ def lsh_candidate_pairs(
         F.when(F.col(f"a_sig_{i}") == F.col(f"b_sig_{i}"), 1).otherwise(0)
         for i in range(k)
     )
-    pairs = (
-        left.join(right, ["band_idx", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", (eq_slots / F.lit(float(k))).alias("est_jaccard"))
-        .distinct()
+    joined = left.join(right, ["band_idx", "bucket"]).where(
+        F.col("doc_a") < F.col("doc_b")
     )
+    if max_bucket is None:
+        # multi-band matches dedup WITHOUT a distinct() exchange over the
+        # candidate volume: keep a pair only in its FIRST matching band —
+        # for the row from band b, every band i < b must have at least one
+        # unequal slot. Scan-speed predicate on the slot columns both sides
+        # already carry. (Unsafe under a bucket cap: the first matching
+        # band's bucket may be dropped while a later band's survives, so
+        # the capped path keeps the distinct().)
+        cond = F.lit(True)
+        for i in range(n_bands - 1):
+            band_eq_i = F.lit(True)
+            for j in range(band_size):
+                s = i * band_size + j
+                band_eq_i = band_eq_i & (
+                    F.col(f"a_sig_{s}") == F.col(f"b_sig_{s}")
+                )
+            cond = cond & (~(F.col("band_idx") > i) | ~band_eq_i)
+        pairs = joined.where(cond).select(
+            "doc_a", "doc_b", (eq_slots / F.lit(float(k))).alias("est_jaccard")
+        )
+    else:
+        pairs = (
+            joined.select(
+                "doc_a", "doc_b",
+                (eq_slots / F.lit(float(k))).alias("est_jaccard"),
+            )
+            .distinct()
+        )
     if return_dropped:
         if dropped is None:  # no cap → nothing can be dropped
             dropped = sigs.sparkSession.createDataFrame(
@@ -446,13 +471,38 @@ def hamming_neighbors(
         F.col("_id").alias("doc_b"), F.col("_h").alias("h_b"), "band_idx", "band_bits"
     )
     dist = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
-    pairs = (
-        a.join(b, ["band_idx", "band_bits"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", dist.alias("hamming"))
-        .where(F.col("hamming") <= max_dist)
-        .distinct()
+    joined = a.join(b, ["band_idx", "band_bits"]).where(
+        F.col("doc_a") < F.col("doc_b")
     )
+    if max_bucket is None:
+        # A pair matching in k bands would surface k times; instead of a
+        # distinct() exchange over the full candidate volume, emit each
+        # pair only from its FIRST matching band: accept the row from
+        # band i iff every earlier band differs — a scan-speed bitwise
+        # predicate on (h_a, h_b) that both sides already carry. (With a
+        # bucket cap this is unsafe — the first matching band's bucket
+        # may have been dropped while a later band's survived — so the
+        # capped path keeps the distinct().)
+        cond = F.lit(True)
+        for i in range(n_bands - 1):
+            w = edges[i + 1] - edges[i]
+            m = F.lit((1 << w) - 1).cast("long")
+            band_eq_i = (
+                F.shiftright(F.col("h_a"), edges[i]).bitwiseAND(m)
+                == F.shiftright(F.col("h_b"), edges[i]).bitwiseAND(m)
+            )
+            cond = cond & (~(F.col("band_idx") > i) | ~band_eq_i)
+        pairs = (
+            joined.where(cond)
+            .select("doc_a", "doc_b", dist.alias("hamming"))
+            .where(F.col("hamming") <= max_dist)
+        )
+    else:
+        pairs = (
+            joined.select("doc_a", "doc_b", dist.alias("hamming"))
+            .where(F.col("hamming") <= max_dist)
+            .distinct()
+        )
     if return_dropped:
         if dropped is None:  # no cap → nothing can be dropped
             dropped = sim.sparkSession.createDataFrame(
