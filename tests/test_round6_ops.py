@@ -253,3 +253,35 @@ def test_cohort_retention_matrix(spark):
     assert got[("2024-03-01", 1)]["retention"] == 0.5
     assert got[("2024-03-02", 2)]["n_active"] == 1  # deduped same-day events
     assert ("2024-03-02", 1) not in got
+
+
+# ----------------------------------------------------------- decayed topk ---
+
+def test_decayed_topk_recency_beats_history(spark):
+    # u_old: 4 events a week ago; u_new: 2 events now. Half-life 1 day:
+    # old events decay to ~2^-7 each, so the smaller-but-recent key wins.
+    rows = [("old", "m", datetime(2024, 3, 1, 10, 0, i), 1.0, i + 1)
+            for i in range(4)]
+    rows += [("new", "m", datetime(2024, 3, 8, 10, 0, i), 1.0, 10 + i)
+             for i in range(2)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+              "event_id long")
+    got = sorted(temporal.decayed_topk(df, half_life_s=86400.0, k=3).collect(),
+                 key=lambda r: r["rank"])
+    assert [r["conv_id"] for r in got] == ["new", "old"]
+    assert got[0]["decayed_weight"] > 1.9          # ~2 undecayed events
+    assert got[1]["decayed_weight"] < 0.1          # 4 events x 2^-7
+
+
+def test_decayed_topk_ties_break_on_item(spark):
+    rows = [(u, "m", _t(10, 0), 1.0, i + 1)
+            for i, u in enumerate(["b", "a", "c", "d"])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+              "event_id long")
+    got = sorted(temporal.decayed_topk(df, k=2).collect(),
+                 key=lambda r: r["rank"])
+    # identical weights (same ts) -> lexicographic item order
+    assert [r["conv_id"] for r in got] == ["a", "b"]
+    assert got[0]["decayed_weight"] == got[1]["decayed_weight"] == 1.0

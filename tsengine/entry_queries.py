@@ -5443,6 +5443,40 @@ def text_postings(spark, sf_dir):
     )
 
 
+@q(
+    "ts_decayed_topk",
+    f"""
+WITH ev AS ({_EV}),
+ref AS (SELECT max(ts) AS ref_ts FROM ev),
+scored AS (SELECT metric, conv_id,
+                  round(sum(pow(2.0::DOUBLE,
+                        -((epoch_us(r.ref_ts) - epoch_us(ts))::DOUBLE / 1e6)
+                          / 86400.0::DOUBLE)) + 5e-10, 6) AS decayed_weight
+           FROM ev CROSS JOIN ref r GROUP BY 1, 2),
+ranked AS (SELECT metric, conv_id, decayed_weight,
+                  row_number() OVER (PARTITION BY metric
+                                     ORDER BY decayed_weight DESC, conv_id)
+                    AS rank
+           FROM scored)
+SELECT metric, rank::BIGINT AS rank, conv_id, decayed_weight
+FROM ranked WHERE rank <= 3
+""",
+)
+def ts_decayed_topk(spark, sf_dir):
+    """Exponentially-decayed heavy hitters (`temporal.decayed_topk`,
+    forward-decay counting à la Cormode ICDE'09): each event weighs
+    2^(−age/half_life) against the corpus max timestamp (half-life 1
+    day), so 'trending' items surface without a windowing cliff. Top-3
+    conversations per metric. One partial-agg groupBy over raw + a rank
+    window on the aggregated table; ages are exact integer µs, the only
+    float is the shared pow(2,·), rounded (6 dp, +5e-10) BEFORE ranking
+    with an item tiebreak so a 1-ulp libm difference can't reorder."""
+    ev = _events_long(spark, sf_dir)
+    return temporal.decayed_topk(
+        ev, half_life_s=86400.0, k=3, group="metric", item="conv_id"
+    )
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================

@@ -1100,3 +1100,51 @@ def cohort_retention(
             "retention"
         ),
     )
+
+
+def decayed_topk(
+    df: DataFrame,
+    half_life_s: float = 86400.0,
+    k: int = 3,
+    group: str = "metric",
+    item: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exponentially-decayed heavy hitters (the streaming-analytics
+    "trending now" aggregate, cf. forward-decay counting, Cormode et al.
+    ICDE'09): each event contributes 2^(−age/half_life) where age is
+    measured against the corpus' maximum timestamp, so recent activity
+    outweighs history without any windowing cliff. Per ``group``, the
+    top-``k`` items by decayed weight with a deterministic tiebreak.
+
+    Scale shape: one partial-agg groupBy((group, item)) over the raw
+    volume — the decay factor is a scan-speed Column expr against a
+    ONE-ROW max-timestamp scalar (IdentityBroadcast, constant work) —
+    then a rank window over the already-aggregated (group, item) table.
+
+    Determinism: age is exact integer µs both engines; the only float
+    is exp2 of the same double, rounded (6 dp, +5e-10) BEFORE ranking so
+    a 1-ulp libm difference can't reorder ranks; ties break on item."""
+    ref = df.agg(F.max(ts_col).alias("_ref_ts"))
+    age_s = (
+        F.unix_micros(F.col("_ref_ts").cast("timestamp"))
+        - F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ).cast("double") / F.lit(1e6)
+    w = F.pow(F.lit(2.0), -age_s / F.lit(float(half_life_s)))
+    scored = (
+        df.crossJoin(F.broadcast(ref))
+        .groupBy(group, item)
+        .agg(F.round(F.sum(w) + F.lit(5e-10), 6).alias("decayed_weight"))
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy(group).orderBy(
+                F.col("decayed_weight").desc(), F.col(item)
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= int(k)).select(
+        group, F.col("rank").cast("long").alias("rank"),
+        item, "decayed_weight",
+    )
