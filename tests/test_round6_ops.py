@@ -285,3 +285,43 @@ def test_decayed_topk_ties_break_on_item(spark):
     # identical weights (same ts) -> lexicographic item order
     assert [r["conv_id"] for r in got] == ["a", "b"]
     assert got[0]["decayed_weight"] == got[1]["decayed_weight"] == 1.0
+
+
+# ------------------------------------------------------------------ SCD2 ---
+
+def test_scd2_suppresses_noop_updates_and_builds_intervals(spark):
+    rows = [
+        ("u1", "active", _t(10, 0), 1.0, 1),
+        ("u1", "active", _t(10, 5), 1.0, 2),   # no-op -> suppressed
+        ("u1", "idle",   _t(10, 9), 1.0, 3),
+        ("u1", "active", _t(10, 20), 1.0, 4),  # back -> NEW version
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+              "event_id long")
+    got = sorted(
+        temporal.scd2_intervals(df, attrs=("metric",),
+                                tiebreak="event_id").collect(),
+        key=lambda r: r["version"],
+    )
+    assert [(r["version"], r["metric"]) for r in got] == [
+        (1, "active"), (2, "idle"), (3, "active")]
+    assert got[0]["valid_from"] == _t(10, 0)
+    assert got[0]["valid_to"] == _t(10, 9)      # next CHANGE, not next row
+    assert got[1]["valid_to"] == _t(10, 20)
+    assert got[2]["valid_to"] is None and got[2]["is_current"] == 1
+    assert got[0]["is_current"] == 0
+
+
+def test_scd2_null_attr_is_not_a_change(spark):
+    rows = [
+        ("u1", None, _t(10, 0), 1.0, 1),
+        ("u1", None, _t(10, 1), 1.0, 2),   # NULL -> NULL suppressed
+        ("u1", "a",  _t(10, 2), 1.0, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, value double, "
+              "event_id long")
+    got = temporal.scd2_intervals(df, attrs=("metric",),
+                                  tiebreak="event_id").collect()
+    assert len(got) == 2

@@ -5477,6 +5477,41 @@ def ts_decayed_topk(spark, sf_dir):
     )
 
 
+@q(
+    "ts_scd2",
+    f"""
+WITH ev AS ({_EV}),
+flagged AS (SELECT conv_id, metric, ts, event_id,
+                   (lag(ts) OVER w IS NULL
+                    OR metric IS DISTINCT FROM lag(metric) OVER w) AS chg
+            FROM ev
+            WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
+vers AS (SELECT conv_id, metric, ts, event_id FROM flagged WHERE chg)
+SELECT conv_id,
+       row_number() OVER w2 AS version,
+       metric,
+       ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       (lead(ts) OVER w2 IS NULL)::BIGINT AS is_current
+FROM vers
+WINDOW w2 AS (PARTITION BY conv_id ORDER BY ts, event_id)
+""",
+)
+def ts_scd2(spark, sf_dir):
+    """SCD Type-2 dimension history (`temporal.scd2_intervals`, the
+    Kimball pattern): the per-conversation event_type change stream
+    collapsed into version rows — no-op repeats suppressed with
+    null-safe equality, each version valid [its ts, next version's ts)
+    with NULL valid_to + is_current on the open version, 1-based version
+    numbers. One key exchange; the suppression lag, interval lead, and
+    version row_number reuse the same (key, ts, event_id) sort. Exact
+    timestamps and integers — no float anywhere."""
+    ev = _events_long(spark, sf_dir)
+    return temporal.scd2_intervals(
+        ev, key="conv_id", attrs=("metric",), tiebreak="event_id"
+    )
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================

@@ -1148,3 +1148,46 @@ def decayed_topk(
         group, F.col("rank").cast("long").alias("rank"),
         item, "decayed_weight",
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str = "conv_id",
+    attrs: tuple[str, ...] = ("metric",),
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history build (the Kimball
+    warehouse pattern): collapse a per-key change stream into version
+    rows with validity intervals. Consecutive rows whose tracked
+    attributes are unchanged are suppressed (a no-op update never opens
+    a version); each surviving change opens a version valid from its
+    own timestamp until the NEXT version's timestamp (NULL = current),
+    with a 1-based version number and an ``is_current`` flag.
+
+    Scale shape: one exchange keyed by ``key``; the change-suppression
+    lag, the interval lead, and the version row_number all reuse the
+    same (key, ts) window sort. Null attribute values compare with
+    null-safe equality (NULL → NULL is not a change).
+
+    Determinism: interval edges are the input timestamps themselves and
+    versions are exact integers — no float anywhere — so both engines
+    agree given the same (ts, tiebreak) total order."""
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = W.partitionBy(key).orderBy(*order)
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    first = F.lag(ts_col).over(w).isNull()
+    vers = df.withColumn("_chg", first | changed).where(F.col("_chg")).drop(
+        "_chg"
+    )
+    w2 = W.partitionBy(key).orderBy(*order)
+    return vers.select(
+        key,
+        F.row_number().over(w2).cast("long").alias("version"),
+        *attrs,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().cast("long").alias("is_current"),
+    )
