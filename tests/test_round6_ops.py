@@ -325,3 +325,71 @@ def test_scd2_null_attr_is_not_a_change(spark):
     got = temporal.scd2_intervals(df, attrs=("metric",),
                                   tiebreak="event_id").collect()
     assert len(got) == 2
+
+
+# ----------------------------------------------------- layout maintenance ---
+
+def test_zorder_value_interleaves_bits(spark):
+    from tsengine import tables
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [(0b1011, 0b0001), (0, 0), (1, 0), (0, 1), (0xFFFF, 0xFFFF)],
+        "x long, y long")
+    got = [r["z"] for r in df.select(
+        tables.zorder_value(F.col("x"), F.col("y")).alias("z")).collect()]
+    def morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+    assert got == [morton(0b1011, 0b0001), 0, 1, 2, (1 << 32) - 1]
+
+
+def test_zorder_layout_clusters_both_dims(spark, tmp_path):
+    # after range-partitioning by zval, each output file's x-range AND
+    # y-range must be far narrower than the global domain
+    from tsengine import tables
+    import pyspark.sql.functions as F
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 64).alias("x"),
+        (F.col("id") * 40503 % 64).alias("y"))
+    out = str(tmp_path / "z")
+    tables.zorder_layout(df, "x", "y", n_files=16, bits=6).write.parquet(out)
+    import glob
+    spans = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        pdf = spark.read.parquet(f).agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y")).collect()[0]
+        spans.append((pdf[1] - pdf[0], pdf[3] - pdf[2]))
+    # 16 z-range files over a 64x64 grid -> each file covers about a
+    # quarter of each axis; assert well under the full 63 span on average
+    avg_x = sum(s[0] for s in spans) / len(spans)
+    avg_y = sum(s[1] for s in spans) / len(spans)
+    assert avg_x < 40 and avg_y < 40, (avg_x, avg_y)
+
+
+def test_compaction_plan_groups_close_at_target(spark):
+    from tsengine import tables
+    rows = [("b", i, 60) for i in range(1, 6)]   # 60B files, target 100
+    df = spark.createDataFrame(rows, "bucket string, file_id long, bytes long")
+    got = {r["file_id"]: r["merge_group"]
+           for r in tables.compaction_plan(
+               df, size_col="bytes", target_bytes=100,
+               keys=("bucket",), order_col="file_id").collect()}
+    # exclusive prefix: 0,60,120,180,240 -> groups 0,0,1,1,2
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+
+
+def test_compaction_plan_oversize_file_single_group(spark):
+    from tsengine import tables
+    df = spark.createDataFrame(
+        [("b", 1, 50), ("b", 2, 500), ("b", 3, 10)],
+        "bucket string, file_id long, bytes long")
+    got = {r["file_id"]: r["merge_group"]
+           for r in tables.compaction_plan(
+               df, size_col="bytes", target_bytes=100,
+               keys=("bucket",), order_col="file_id").collect()}
+    # the 500B file lands in exactly ONE group (group of its prefix), and
+    # the next file starts a fresh group beyond it
+    assert got[1] == 0 and got[2] == 0 and got[3] == 5

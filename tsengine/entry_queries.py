@@ -41,6 +41,7 @@ from tsengine import (
     rollup,
     sketches,
     solar,
+    tables,
     temporal,
     textops,
     vecops,
@@ -5509,6 +5510,81 @@ def ts_scd2(spark, sf_dir):
     ev = _events_long(spark, sf_dir)
     return temporal.scd2_intervals(
         ev, key="conv_id", attrs=("metric",), tiebreak="event_id"
+    )
+
+
+_Z_X = "((user_id % 1024)::BIGINT)"
+_Z_Y = "((epoch_us(ts) // 86400000000) % 1024)::BIGINT"
+_Z_SQL = " + ".join(
+    f"((({_Z_X} >> {i}) & 1) << {2 * i}) + ((({_Z_Y} >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+
+
+@q(
+    "ts_zorder",
+    f"""
+SELECT event_id,
+       {_Z_X} AS x,
+       {_Z_Y} AS y,
+       ({_Z_SQL})::BIGINT AS zval
+FROM events
+""",
+)
+def ts_zorder(spark, sf_dir):
+    """Morton/Z-order clustering key (`tables.zorder_value`, the Delta/
+    Iceberg OPTIMIZE ZORDER layout primitive): interleave the bits of
+    (user bucket, day index) so range-partitioning on the z-value keeps
+    rows compact in BOTH dimensions — tight per-file min/max stats ⇒
+    row-group skipping for predicates on either column. Pure unrolled
+    integer shifts/masks, whole-stage codegen, exact in both engines
+    (the oracle unrolls the identical 16-bit interleave in SQL).
+    `tables.zorder_layout` chains repartitionByRange for the write."""
+    ev = _read(spark, sf_dir, "events")
+    x = F.col("user_id") % 1024
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000)
+    )
+    y = day % 1024
+    return ev.select(
+        "event_id",
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+        tables.zorder_value(x, y, bits=16).alias("zval"),
+    )
+
+
+@q(
+    "ts_compaction_plan",
+    """
+WITH files AS (SELECT event_type AS bucket, event_id AS file_id,
+                      ((event_id % 997 + 100) * 1024)::BIGINT AS bytes
+               FROM events)
+SELECT bucket, file_id, bytes,
+       ((sum(bytes) OVER (PARTITION BY bucket ORDER BY file_id
+                          ROWS UNBOUNDED PRECEDING) - bytes)
+        // 4194304)::BIGINT AS merge_group
+FROM files
+""",
+)
+def ts_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner (`tables.compaction_plan`, the
+    OPTIMIZE / rewrite-data-files maintenance step): per partition
+    bucket, pack files in id order into merge groups that close once
+    the running size crosses the 4 MiB target — merge_group =
+    floor(exclusive-prefix-sum / target), one key-sorted window over
+    catalog-sized file stats (the planner never touches data). File
+    sizes here are a deterministic function of event_id so both engines
+    plan identical groups; all-integer output."""
+    ev = _read(spark, sf_dir, "events")
+    files = ev.select(
+        F.col("event_type").alias("bucket"),
+        F.col("event_id").alias("file_id"),
+        ((F.col("event_id") % 997 + 100) * 1024).cast("long").alias("bytes"),
+    )
+    return tables.compaction_plan(
+        files, size_col="bytes", target_bytes=4 * 1024 * 1024,
+        keys=("bucket",), order_col="file_id",
     )
 
 

@@ -94,3 +94,81 @@ def read_fact(
         b = zlib.crc32(conv_id.encode()) % n_buckets
         df = df.where((F.col("pbucket") == b) & (F.col("conv_id") == conv_id))
     return df.drop("pbucket", "pday")
+
+
+def zorder_value(x, y, bits: int = 16):
+    """Morton/Z-order interleave of two non-negative integer columns
+    (the Delta/Iceberg OPTIMIZE ZORDER layout key): bit i of x lands at
+    output bit 2i, bit i of y at 2i+1, so lexicographic order on the
+    z-value keeps rows close in BOTH dimensions — range-partitioning by
+    it clusters scans that filter on either column (multi-dimensional
+    data skipping from one sort key). Pure integer Column expr
+    (unrolled shifts/masks, whole-stage codegen); ``bits`` per
+    dimension, result < 2^(2·bits)."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_layout(
+    df,
+    x_col: str,
+    y_col: str,
+    n_files: int = 32,
+    bits: int = 16,
+):
+    """Assign each row its z-value and a range-partitioned file bucket:
+    ``repartitionByRange(n_files, z)`` is the write-side clustering step
+    (each output file covers a compact z-range ⇒ tight min/max stats on
+    BOTH dimensions ⇒ row-group skipping for either predicate at read
+    time). Returns the frame with ``zval`` for inspection; callers chain
+    ``.write`` for the clustered layout."""
+    from pyspark.sql import functions as F
+
+    out = df.withColumn(
+        "zval", zorder_value(F.col(x_col), F.col(y_col), bits=bits)
+    )
+    return out.repartitionByRange(n_files, F.col("zval"))
+
+
+def compaction_plan(
+    files,
+    size_col: str = "bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+    keys: tuple[str, ...] = ("bucket",),
+    order_col: str = "file_id",
+):
+    """Small-file compaction planner (the OPTIMIZE / rewrite-data-files
+    maintenance step every lakehouse table needs): within each partition
+    key, greedily pack files in id order into merge groups that close as
+    soon as the running size crosses ``target_bytes``. group =
+    floor(exclusive-prefix-sum / target): a file whose own size spans
+    multiple targets still lands in exactly one group, and every group
+    except possibly the last holds ≥ target once closed by the next
+    file. Pure integer window math over ONE key-sorted exchange — the
+    planner touches file STATS (catalog-sized), never data."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(size_col).over(w).cast("long")
+    prefix_excl = cum - F.col(size_col).cast("long")
+    return files.select(
+        *keys,
+        order_col,
+        F.col(size_col).cast("long").alias(size_col),
+        F.floor(prefix_excl / F.lit(int(target_bytes))).cast("long").alias(
+            "merge_group"
+        ),
+    )
