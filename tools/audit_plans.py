@@ -420,6 +420,28 @@ def main() -> None:
     audit("postings (df gate before rank window)",
           textops.build_postings(docs, top_p=3, min_df=2, max_df_frac=0.8),
           ["partial_agg"])
+    # decayed topk: same 1-row max-ts scalar broadcast → no_cartesian
+    # waived for the same reason as postings/bm25
+    audit("decayed topk (raw partial agg + agg-table rank)",
+          temporal.decayed_topk(ev),
+          ["partial_agg"])
+    audit("scd2 history (one key-sorted exchange)",
+          temporal.scd2_intervals(ev, tiebreak="event_id"),
+          ["single_exchange", "no_cartesian"])
+    from tsengine import tables as tables_mod
+
+    audit("compaction plan (one window over file stats)",
+          tables_mod.compaction_plan(
+              ev.select(F.col("metric").alias("bucket"),
+                        F.col("event_id").alias("file_id"),
+                        (F.col("event_id") % 997 * 1024).alias("bytes")),
+              size_col="bytes", target_bytes=1 << 22),
+          ["single_exchange", "no_cartesian"])
+    audit("zorder value (scan-speed integer interleave)",
+          ev.select("event_id", tables_mod.zorder_value(
+              F.col("event_id") % 1024, F.col("event_id") % 7, bits=10
+          ).alias("z")),
+          ["codegen", "no_cartesian"])
 
 
 if __name__ == "__main__":
