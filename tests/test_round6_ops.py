@@ -393,3 +393,50 @@ def test_compaction_plan_oversize_file_single_group(spark):
     # the 500B file lands in exactly ONE group (group of its prefix), and
     # the next file starts a fresh group beyond it
     assert got[1] == 0 and got[2] == 0 and got[3] == 5
+
+
+# ------------------------------------------------------------ sigma clip ---
+
+def test_sigma_clip_peels_single_outlier(spark):
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 100.0]
+    df = _series(spark, vals)
+    got = {r["event_id"]: r for r in
+           anomaly.sigma_clip(df, c=2.0, max_peel=3).collect()}
+    assert got[6]["is_outlier"] == 1 and got[6]["peel_round"] == 1
+    assert all(got[i]["is_outlier"] == 0 for i in range(1, 6))
+    assert got[1]["n_kept"] == 5
+    assert abs(got[1]["mean_kept"] - 10.0) < 0.5
+
+
+def test_sigma_clip_unmasks_outlier_pair(spark):
+    # two large outliers inflate the naive sd so a single-pass z-score
+    # barely flags them (z ~ 3 vs the clean-series z ~ 60 they deserve);
+    # one-at-a-time peeling with re-estimated moments removes both
+    base = [10.0 + 0.1 * (i % 5) for i in range(20)]
+    vals = base + [200.0, 190.0]
+    import numpy as np
+    arr = np.array(vals)
+    z = np.abs(arr - arr.mean()) / arr.std()
+    assert z[-2:].max() < 3.5  # masked: nowhere near their true deviance
+    df = _series(spark, vals)
+    got = {r["event_id"]: r for r in
+           anomaly.sigma_clip(df, c=2.0, max_peel=3).collect()}
+    assert got[21]["is_outlier"] == 1 and got[22]["is_outlier"] == 1
+    assert got[21]["peel_round"] == 1      # biggest deviant falls first
+    assert got[22]["peel_round"] == 2
+    assert got[1]["n_kept"] == 20
+
+
+def test_sigma_clip_clean_series_untouched(spark):
+    df = _series(spark, [5.0, 5.1, 4.9, 5.05, 4.95])
+    got = anomaly.sigma_clip(df, c=3.0, max_peel=3).collect()
+    assert all(r["is_outlier"] == 0 for r in got)
+    assert got[0]["n_kept"] == 5
+
+
+def test_sigma_clip_respects_max_peel(spark):
+    # three huge outliers but only 2 peels allowed
+    df = _series(spark, [1.0] * 10 + [50.0, 60.0, 70.0])
+    got = anomaly.sigma_clip(df, c=1.0, max_peel=2).collect()
+    assert sum(1 for r in got if r["is_outlier"] == 1) == 2
+    assert {r["peel_round"] for r in got if r["is_outlier"]} == {1, 2}

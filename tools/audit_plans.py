@@ -437,6 +437,10 @@ def main() -> None:
                         (F.col("event_id") % 997 * 1024).alias("bytes")),
               size_col="bytes", target_bytes=1 << 22),
           ["single_exchange", "no_cartesian"])
+    audit("sigma clip (one grouped-pandas shuffle)",
+          anomaly.sigma_clip(ev.where(F.col("value").isNotNull()),
+                             c=2.0, max_peel=3),
+          ["single_exchange", "no_cartesian"])
     audit("zorder value (scan-speed integer interleave)",
           ev.select("event_id", tables_mod.zorder_value(
               F.col("event_id") % 1024, F.col("event_id") % 7, bits=10

@@ -1196,3 +1196,125 @@ def pelt_segments(
 
     base = df.where(F.col(value_col).isNotNull())
     return grouped_apply(base, klist, fn, out_schema)
+
+
+def sigma_clip(
+    df: DataFrame,
+    c: float = 3.0,
+    max_peel: int = 3,
+    keys: tuple[str, ...] = ("conv_id", "metric"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Iterative sigma clipping / outlier peeling (the astropy
+    ``sigma_clip`` procedure, Grubbs-style one-at-a-time): repeatedly
+    remove the single most-deviant point while its |x − mean| exceeds
+    c·sd of the CURRENTLY remaining points, up to ``max_peel`` rounds.
+    One-at-a-time peeling with re-estimated moments resists masking —
+    a pair of outliers inflates the naive sd enough to hide both, but
+    falls one peel at a time here.
+
+    Returns one row per input point: (keys..., order, value,
+    peel_round — 0 if kept, else the 1-based round that removed it —
+    is_outlier, and the series' final n_kept / mean / sd at 6 dp).
+
+    Parity contract (the PELT/Kalman template): S and Q accumulate
+    sequentially in (ts, order) order; every round computes
+    mean = S/n, var = (Q − S·mean)/n, sd = √max(var, 0), deviations
+    |y_i − mean| over alive points only, and the argmax takes the
+    EARLIEST index on bitwise ties (strictly-greater scan). Peels
+    update S and Q by exact subtraction, so both engines carry
+    bitwise-identical state through every round; only the final
+    mean/sd print is rounded.
+
+    Shape for 100 TB: one grouped-pandas shuffle keyed by the series;
+    per-series cost O(max_peel · n), bounded state (the chunked
+    mega-series path caps n per task)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cc = float(c)
+    order = [ts_col] + [c_ for c_ in order_cols if c_ in df.columns]
+    kf = [f for f in df.schema.fields if f.name in keys]
+    of = [f for f in df.schema.fields if f.name == order_cols[0]]
+    out_schema = StructType(
+        kf
+        + of
+        + [
+            StructField(value_col, DoubleType()),
+            StructField("peel_round", LongType()),
+            StructField("is_outlier", LongType()),
+            StructField("n_kept", LongType()),
+            StructField("mean_kept", DoubleType()),
+            StructField("sd_kept", DoubleType()),
+        ]
+    )
+    klist = list(keys)
+    ocol = order_cols[0]
+
+    def fn(pdf):
+        import math
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(order, kind="mergesort")
+        y = [float(v) for v in pdf[value_col]]
+        n = len(y)
+        S = 0.0
+        Q = 0.0
+        for v in y:  # sequential — mirrors the oracle's prefix recursion
+            S = S + v
+            Q = Q + v * v
+        rounds = [0] * n
+        n_alive = n
+        for r in range(1, int(max_peel) + 1):
+            if n_alive <= 2:
+                break
+            mean = S / n_alive
+            var = (Q - S * mean) / n_alive
+            sd = math.sqrt(max(var, 0.0))
+            dmax, imax = None, -1
+            for i in range(n):
+                if rounds[i] == 0:
+                    d = abs(y[i] - mean)
+                    if dmax is None or d > dmax:  # earliest index on ties
+                        dmax, imax = d, i
+            if dmax is None or not (dmax > cc * sd):
+                break
+            S = S - y[imax]
+            Q = Q - y[imax] * y[imax]
+            rounds[imax] = r
+            n_alive -= 1
+        mean_f = S / n_alive if n_alive else 0.0
+        var_f = (Q - S * mean_f) / n_alive if n_alive else 0.0
+        sd_f = math.sqrt(max(var_f, 0.0))
+        kvals = [pdf.iloc[0][k] for k in klist]
+        rows = []
+        for i in range(n):
+            rows.append(
+                kvals
+                + [
+                    pdf.iloc[i][ocol],
+                    y[i],
+                    rounds[i],
+                    1 if rounds[i] > 0 else 0,
+                    n_alive,
+                    mean_f,  # raw; callers round at the edge (F.round)
+                    sd_f,
+                ]
+            )
+        cols = klist + [
+            ocol, value_col, "peel_round", "is_outlier",
+            "n_kept", "mean_kept", "sd_kept",
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    from tsengine.session import grouped_apply
+
+    base = df.where(F.col(value_col).isNotNull())
+    return grouped_apply(base, klist, fn, out_schema)

@@ -5588,6 +5588,93 @@ def ts_compaction_plan(spark, sf_dir):
     )
 
 
+@q(
+    "ts_sigma_clip",
+    f"""
+WITH RECURSIVE pts AS (
+  SELECT conv_id, metric, value::DOUBLE AS y, event_id,
+         row_number() OVER (PARTITION BY conv_id, metric
+                            ORDER BY ts, event_id) AS i
+  FROM ({_EV}) e WHERE value IS NOT NULL
+),
+ser AS (SELECT conv_id, metric, count(*)::BIGINT AS n,
+               list(y ORDER BY i) AS yl,
+               list(event_id ORDER BY i) AS el
+        FROM pts GROUP BY 1, 2),
+pre AS (
+  SELECT conv_id, metric, 0::BIGINT AS t, 0.0::DOUBLE AS s, 0.0::DOUBLE AS q
+  FROM ser
+  UNION ALL
+  SELECT p.conv_id, p.metric, p.i, pre.s + p.y, pre.q + p.y * p.y
+  FROM pre JOIN pts p ON p.conv_id = pre.conv_id AND p.metric = pre.metric
+                      AND p.i = pre.t + 1
+),
+peel AS (
+  SELECT s.conv_id, s.metric, s.n, s.yl, s.el, pre.s, pre.q,
+         list_transform(generate_series(1, s.n::INT), j -> 0::BIGINT) AS rl,
+         0::BIGINT AS r
+  FROM ser s JOIN pre ON pre.conv_id = s.conv_id AND pre.metric = s.metric
+                      AND pre.t = s.n
+  UNION ALL
+  SELECT conv_id, metric, n, yl, el,
+         s - yl[imax], q - yl[imax] * yl[imax],
+         list_transform(generate_series(1, n::INT),
+             j -> CASE WHEN j = imax THEN r + 1 ELSE rl[j] END),
+         r + 1
+  FROM (
+    SELECT *,
+      len(list_filter(rl, x -> x = 0))::BIGINT AS n_alive,
+      s / n_alive AS mean,
+      sqrt(greatest((q - s * (s / n_alive)) / n_alive, 0.0::DOUBLE)) AS sd,
+      list_transform(generate_series(1, n::INT),
+          j -> CASE WHEN rl[j::INT] = 0
+               THEN abs(yl[j::INT] - mean) ELSE NULL END) AS devs,
+      list_max(devs) AS dmax,
+      list_position(devs, dmax)::INT AS imax
+    FROM peel WHERE r < 3
+  ) WHERE n_alive > 2 AND dmax > 2.0::DOUBLE * sd
+),
+fin AS (SELECT * FROM peel
+        QUALIFY row_number() OVER (PARTITION BY conv_id, metric
+                                   ORDER BY r DESC) = 1),
+ex AS (SELECT conv_id, metric, s, q, rl, yl, el,
+              len(list_filter(rl, x -> x = 0))::BIGINT AS n_kept,
+              unnest(generate_series(1, n::INT)) AS j
+       FROM fin)
+SELECT conv_id, metric, el[j::INT] AS event_id,
+       yl[j::INT] AS value,
+       rl[j::INT]::BIGINT AS peel_round,
+       (rl[j::INT] > 0)::INT::BIGINT AS is_outlier,
+       n_kept,
+       round(s / n_kept + 5e-10, 6) AS mean_kept,
+       round(sqrt(greatest((q - s * (s / n_kept)) / n_kept,
+                           0.0::DOUBLE)) + 5e-10, 6) AS sd_kept
+FROM ex
+""",
+)
+def ts_sigma_clip(spark, sf_dir):
+    """Iterative sigma clipping (`anomaly.sigma_clip`, the astropy
+    procedure / Grubbs-style one-at-a-time peeling, c=2, ≤3 rounds):
+    repeatedly remove the most-deviant point while |x − mean| > c·sd of
+    the points still standing — re-estimated moments resist masking.
+    One row per point with its peel round and the series' final
+    kept-count/mean/sd. The oracle replays the peel loop as a recursive
+    CTE: a prefix recursion accumulates S/Q sequentially, then each
+    round recomputes mean/sd in ONE shared association, scans
+    deviations over alive indices (list_position = earliest bitwise
+    argmax, matching the strictly-greater Python scan), and subtracts
+    the peeled value exactly — bitwise-identical state every round;
+    only the final mean/sd print is rounded (6 dp, +5e-10)."""
+    ev = _events_long(spark, sf_dir)
+    out = anomaly.sigma_clip(ev, c=2.0, max_peel=3)
+    return out.select(
+        "conv_id", "metric", "event_id", "value",
+        "peel_round", "is_outlier", "n_kept",
+        F.round(F.col("mean_kept") + F.lit(5e-10), 6).alias("mean_kept"),
+        F.round(F.col("sd_kept") + F.lit(5e-10), 6).alias("sd_kept"),
+    )
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================
