@@ -622,3 +622,38 @@ def test_build_postings_ranks_and_gates(spark):
     assert [(r["rank"], r["doc_id"], r["pos"]) for r in rows] == [
         (1, 1, 0), (2, 1, 2)]
     assert rows[0]["df"] == 2 and rows[0]["cf"] == 3
+
+
+# ---------------------------------------------------------- doc chunking ---
+
+def test_chunk_documents_windows_and_tail(spark):
+    # 11 tokens, chunk=4, overlap=1 -> stride 3, last = ceil(7/3) = 3
+    text = " ".join(f"t{i}" for i in range(11))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(textops.chunk_documents(docs, chunk_tokens=4,
+                                         overlap=1).collect(),
+                 key=lambda r: r["chunk_idx"])
+    assert [r["start_tok"] for r in got] == [0, 3, 6, 9]
+    assert [r["n_tok"] for r in got] == [4, 4, 4, 2]   # tail remainder
+    assert got[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert got[1]["chunk_text"] == "t3 t4 t5 t6"       # 1-token overlap
+    assert got[3]["chunk_text"] == "t9 t10"
+    assert all(r["n_chunks"] == 4 for r in got)
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    docs = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "")],
+        "doc_id long, text string")
+    got = textops.chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+    rows = [r for r in got if r["doc_id"] == 1]
+    assert len(rows) == 1 and rows[0]["n_tok"] == 3
+    assert rows[0]["chunk_text"] == "only three tokens"
+    assert not [r for r in got if r["doc_id"] == 2]  # empty doc -> no chunks
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        textops.chunk_documents(docs, chunk_tokens=4, overlap=4)

@@ -5675,6 +5675,38 @@ def ts_sigma_clip(spark, sf_dir):
     )
 
 
+@q(
+    "text_chunks",
+    f"""
+WITH base AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+b2 AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,
+              greatest(ceil((len(toks) - 8) / 6.0)::BIGINT, 0) AS last
+       FROM base),
+w AS (SELECT doc_id, toks, n, (last + 1)::BIGINT AS n_chunks,
+             unnest(generate_series(0, last)) AS wi
+      FROM b2 WHERE n > 0)
+SELECT doc_id, wi::BIGINT AS chunk_idx, n_chunks,
+       (wi * 6)::BIGINT AS start_tok,
+       len(toks[(wi*6+1)::INT : least(wi*6+8, n)::INT])::BIGINT AS n_tok,
+       array_to_string(toks[(wi*6+1)::INT : least(wi*6+8, n)::INT], ' ')
+         AS chunk_text
+FROM w
+""".format(toks=_TOKS),
+)
+def text_chunks(spark, sf_dir):
+    """Overlapping token-window document chunking
+    (`textops.chunk_documents`, chunk=8 tokens, overlap=2 → stride 6):
+    the RAG / embedding-prep split — every window advances 6 tokens,
+    the tail keeps its remainder, short docs yield exactly one chunk,
+    and start offsets are exact token ordinals mapping spans back to
+    the source. Pure rowwise Column exprs (tokenize once → explode a
+    sequence of window starts → slice + rejoin), zero exchanges, no
+    Python — scan-speed at any corpus size. All-integer bookkeeping;
+    chunk_text compares bytewise."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return textops.chunk_documents(docs, chunk_tokens=8, overlap=2)
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================

@@ -1275,3 +1275,62 @@ def build_postings(
         "doc_id",
         F.col("pos").cast("long").alias("pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# RAG / embedding-prep document chunking
+# --------------------------------------------------------------------------
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / embedding-prep
+    split every retrieval pipeline runs before vectorizing): each
+    document yields windows of ``chunk_tokens`` tokens advancing by
+    ``chunk_tokens − overlap``, the last window keeping its tail
+    remainder (never an empty chunk; a short document yields exactly
+    one). Emits (doc, chunk_idx, n_chunks, start_tok, n_tok,
+    chunk_text) — start offsets are exact token ordinals so downstream
+    spans map back to the source.
+
+    Scale shape: pure rowwise Column exprs — tokenize once, explode a
+    ``sequence`` of window starts, slice + rejoin per window (higher-
+    order array functions, whole-stage codegen, zero exchanges, no
+    Python). Output rows ≈ input tokens / stride — embarrassingly
+    parallel at any corpus size."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = int(chunk_tokens - overlap)
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # window starts: 0, stride, 2·stride, … while start + overlap < n
+    # (i.e. the window adds ≥1 new token); an empty doc yields start 0
+    # with an empty chunk filtered below — short docs yield exactly one.
+    last = F.greatest(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    starts = F.sequence(F.lit(0).cast("long"), last)
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n.cast("long").alias("_n"),
+        (last + 1).cast("long").alias("n_chunks"),
+        F.explode(starts).alias("_w"),
+    ).where(F.col("_n") > 0)
+    start_tok = (F.col("_w") * stride).cast("long")
+    piece = F.slice(
+        F.col("_toks"), start_tok + 1, F.lit(int(chunk_tokens))
+    )
+    return base.select(
+        id_col,
+        F.col("_w").cast("long").alias("chunk_idx"),
+        "n_chunks",
+        start_tok.alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tok"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
