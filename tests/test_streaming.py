@@ -344,3 +344,74 @@ def test_streaming_dedup_suppresses_replay_across_batches(spark, tmp_path):
         f"replay not suppressed: {len(got)} rows vs {len(want)} distinct keys"
     )
     assert not got.duplicated().any()
+
+
+def test_streaming_decayed_weights_match_batch_across_batches(spark, tmp_path):
+    """Forward-decay weights carried across micro-batches must match the
+    batch decayed_topk aggregate after renormalizing every key's latest
+    snapshot to the shared reference instant (the corpus max ts)."""
+    import math
+    from datetime import datetime
+
+    from tsengine import temporal
+
+    def _r(conv, day, hour, eid):
+        return (conv, "m1", eid, datetime(2024, 3, day, hour), 1.0)
+
+    rows_b1 = [_r("old", 1, 9, 1), _r("old", 1, 10, 2), _r("old", 1, 11, 3),
+               _r("new", 1, 12, 4)]
+    rows_b2 = [_r("new", 8, 9, 5), _r("new", 8, 10, 6), _r("old", 8, 11, 7)]
+    sch = ("conv_id string, metric string, event_id long, ts timestamp, "
+           "value double")
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    spark.createDataFrame(rows_b1, sch).coalesce(1).write.parquet(f"{flat}/f0")
+    spark.createDataFrame(rows_b2, sch).coalesce(1).write.parquet(f"{flat}/f1")
+    import glob
+    import shutil
+
+    files = str(tmp_path / "files")
+    os.makedirs(files)
+    for i, f in enumerate(sorted(glob.glob(f"{flat}/f*/part-*.parquet"))):
+        dst = f"{files}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (1000000000 + i, 1000000000 + i))
+
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+        .parquet(files)
+    )
+    q = (
+        streaming.streaming_decayed_weights(stream, half_life_s=86400.0)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("decay_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.table("decay_mem").collect()
+    # latest emitted row per key is the live state snapshot
+    latest = {}
+    for r in snap:
+        k = (r["metric"], r["conv_id"])
+        if k not in latest or r["last_ts_us"] > latest[k]["last_ts_us"]:
+            latest[k] = r
+    t_ref = max(r["last_ts_us"] for r in latest.values())
+    got = {
+        k[1]: r["wt"] * math.exp2(-(t_ref - r["last_ts_us"]) / 86400e6)
+        for k, r in latest.items()
+    }
+
+    batch_df = spark.createDataFrame(rows_b1 + rows_b2, sch)
+    want = {
+        r["conv_id"]: r["decayed_weight"]
+        for r in temporal.decayed_topk(batch_df, half_life_s=86400.0,
+                                       k=10).collect()
+    }
+    assert set(got) == set(want)
+    for cid in want:
+        assert abs(got[cid] - want[cid]) < 1e-6, cid
+    # and the week-old activity has decayed into irrelevance
+    assert got["new"] > got["old"]

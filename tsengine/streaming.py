@@ -349,3 +349,80 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+DECAY_OUT = "metric string, conv_id string, wt double, last_ts_us long"
+DECAY_STATE = "s double, last_ts_us long, last_eid long"
+
+
+def streaming_decayed_weights(
+    stream: DataFrame, half_life_s: float = 86400.0
+) -> DataFrame:
+    """Stateful streaming forward-decay counter per (metric, conv_id) —
+    the live twin of `temporal.decayed_topk`'s weight: every event adds
+    1 and the whole counter halves each ``half_life_s`` of event time,
+    so "trending now" rankings come from one snapshot scan of the
+    emitted table (latest row per key, each weight renormalized to a
+    common reference instant by the SAME 2^(−Δt/hl) factor — forward
+    decay's shift property, Cormode ICDE'09).
+
+    State = (current weight, last (ts, event_id) key): three scalars,
+    O(active keys) regardless of stream length. Within a batch the
+    group sorts by (ts, event_id); rows at or below the state's key are
+    late stragglers and are DROPPED (batch backfill is authoritative —
+    the engine's standard lambda-split policy). Per batch the update is
+    the closed form
+
+        S_end = S0·2^(−(t_end−t0)/hl) + Σ_i 2^(−(t_end−t_i)/hl)
+
+    (each event decayed straight to the batch tail — ONE association
+    per event, so a drain matches the batch aggregate to fp-noise; the
+    parity test bounds it at 1e-6 after shared renormalization)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hl_us = float(half_life_s) * 1e6
+
+    def fn(key, pdfs, state: GroupState):
+        metric, conv_id = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        s0, last_ts_us, last_eid = (
+            state.get if state.exists else (0.0, -(1 << 62), -(1 << 62))
+        )
+        ts_us = rows["ts"].astype("int64").to_numpy() // 1000
+        eid = rows["event_id"].to_numpy()
+        fresh = (ts_us > last_ts_us) | (
+            (ts_us == last_ts_us) & (eid > last_eid)
+        )
+        ts_us, eid = ts_us[fresh], eid[fresh]
+        if not len(ts_us):
+            return
+        t_end = int(ts_us[-1])
+        wt = float(np.sum(np.exp2(-(t_end - ts_us) / hl_us)))
+        if state.exists and s0 > 0.0:
+            wt += s0 * float(np.exp2(-(t_end - last_ts_us) / hl_us))
+        state.update((wt, t_end, int(eid[-1])))
+        yield pd.DataFrame(
+            {
+                "metric": [metric],
+                "conv_id": [conv_id],
+                "wt": [wt],
+                "last_ts_us": [t_end],
+            }
+        )
+
+    return (
+        stream.select("metric", "conv_id", "event_id", "ts")
+        .groupBy("metric", "conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=DECAY_OUT,
+            stateStructType=DECAY_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
