@@ -5714,3 +5714,54 @@ def text_chunks(spark, sf_dir):
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The E1-shaped flagship: scan → tier cascade → finalized 1h stats."""
     return ts_tier_1h_stats(spark, sf_dir)
+
+
+# ===========================================================================
+# Registration-order rotation (round-5 VERDICT task 1)
+#
+# The driver's correctness artifact records only the FIRST ~50 registry
+# entries in registration order; across rounds 1-4 the same 52 entries kept
+# re-appearing while the other 80 (the whole §2.9 temporal/anomaly/text
+# extension surface) were only ever judge-verified out-of-band. Rebuild the
+# dicts so never-driver-verified entries come first (the six the round-4
+# verdict called out by name lead), then the rest in definition order, then
+# the 52 with three-plus green driver rounds behind them. Pure reordering:
+# same keys, same callables, same oracles.
+# ===========================================================================
+
+_DRIVER_COVERED_R1_R4 = frozenset({
+    "mm_frames", "mm_metadata", "mm_resize", "text_dedup_components",
+    "text_dedup_exact", "text_drop_near_dups", "text_fingerprint",
+    "text_lang_id", "text_lsh_pairs", "text_minhash", "text_ngram_jaccard",
+    "text_ngram_jaccard_lsh", "text_quality", "text_simhash",
+    "text_simhash_pairs", "text_token_stats", "ts_area_rollup",
+    "ts_calendar_filter", "ts_chunk_roundtrip", "ts_curve_interp",
+    "ts_curve_transform", "ts_disagg_day_hour", "ts_duration_curve",
+    "ts_gap_metrics", "ts_gapfill_ffill", "ts_gapfill_linear",
+    "ts_gapfill_pad", "ts_grid_snap_join", "ts_hour_profile",
+    "ts_indicators", "ts_pivot_day_hour", "ts_renorm_daily",
+    "ts_session_windows", "ts_signal_composite", "ts_streaming_tier",
+    "ts_threshold_indicators", "ts_tier_1d_cascade", "ts_tier_1h_cascade",
+    "ts_tier_1h_quantiles", "ts_tier_1h_stats", "ts_tier_1m",
+    "ts_validate_violations", "ts_weighted_rollup", "vec_ann_join",
+    "vec_ivf_kmeans_topk", "vec_ivf_topk", "vec_kmeans_iter",
+    "vec_knn_brute", "vec_label_stats", "vec_lsh_multiprobe",
+    "vec_lsh_topk", "vec_near_dup",
+})
+
+# the round-4 verdict's by-name examples of never-driver-verified entries
+_ROTATION_FRONT = [
+    "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
+    "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
+]
+
+
+def _rotated(reg: dict) -> dict:
+    front = [n for n in _ROTATION_FRONT if n in reg]
+    fresh = [n for n in reg if n not in _DRIVER_COVERED_R1_R4 and n not in front]
+    seasoned = [n for n in reg if n in _DRIVER_COVERED_R1_R4]
+    return {n: reg[n] for n in front + fresh + seasoned}
+
+
+QUERIES = _rotated(QUERIES)
+ORACLES = _rotated(ORACLES)
