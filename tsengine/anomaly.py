@@ -1079,9 +1079,13 @@ def pelt_segments(
     (the mean-shift cost from the series' prefix sums). Generalizes
     ``changepoint`` (AMOC = the best SINGLE split) to an optimal
     multi-split; the DP is exact, and PELT's pruning — drop s once
-    F(s) + C(s+1..t) > F(t) — only removes candidates the subadditivity
-    of C proves can never be optimal again (strictly: the classic K=0
-    argument), so pruned and unpruned DPs return identical segmentations.
+    F(s) + C(s+1..t) > F(t) — removes only candidates the subadditivity
+    of C proves can never be optimal again (the classic K=0 argument).
+    That equivalence to the unpruned DP holds under EXACT arithmetic;
+    in float64 an ulp-level break of subadditivity at a near-tie could
+    in principle diverge, so pruning keeps a relative-epsilon slack
+    (candidates within 1e-9·(1+|F(t)|) of the bound survive) — the
+    float margin at any real changepoint is many orders beyond ulp.
 
     Returns one row per SEGMENT: (keys..., seg_idx, n_segs, n_pts,
     start_ts, end_ts, seg_mean, seg_cost). Every series emits ≥ 1 row.
@@ -1095,10 +1099,14 @@ def pelt_segments(
     backpointers; only the 6-dp print is rounded.
 
     Shape for 100 TB: one ``applyInPandas`` shuffle keyed by the series;
-    per-series cost is O(n) expected under PELT's linear-penalty regime
-    (O(n²) worst case with no changepoints to prune on), state is the
-    prefix arrays — bounded because per-conversation series are bounded
-    (the chunked-mega-series path caps n per task)."""
+    per-series cost is O(n·|candidates|) — O(n) expected under PELT's
+    linear-penalty regime, O(n²) worst case on a changepoint-free series
+    where nothing prunes. The inner candidate scan is numpy-vectorized
+    (identical elementwise IEEE ops, np.argmin = earliest-s tie-break),
+    so even the worst case runs at array speed; the whole series still
+    sits in ONE task (no chunked carry-in on this path — the DP's
+    backtrack needs global state), so a pathological single series
+    bounds task memory at O(n)."""
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -1127,6 +1135,7 @@ def pelt_segments(
     klist = list(keys)
 
     def fn(pdf):
+        import numpy as np
         import pandas as pd
 
         pdf = pdf.sort_values(order, kind="mergesort")
@@ -1134,34 +1143,32 @@ def pelt_segments(
         ts = pdf[ts_col].reset_index(drop=True)
         n = len(y)
         # sequential prefix sums — S[t], Q[t] cover points 1..t
-        S = [0.0] * (n + 1)
-        Q = [0.0] * (n + 1)
+        # (np.add.accumulate is a strict left-to-right fold: bitwise
+        # equal to the scalar loop the oracle's recursive CTE replays)
+        S = np.zeros(n + 1)
+        Q = np.zeros(n + 1)
+        np.add.accumulate(y, out=S[1:])
+        np.add.accumulate(y * y, out=Q[1:])
+        # PELT DP; the candidate scan is numpy-vectorized with the SAME
+        # expression association per candidate, and np.argmin breaks
+        # ties on the first (earliest-s) minimum like the scalar scan
+        Fv = np.zeros(n + 1)
+        Fv[0] = -beta
+        bp = np.zeros(n + 1, dtype=np.int64)
+        cand = np.array([0], dtype=np.int64)
         for t in range(1, n + 1):
-            v = float(y[t - 1])
-            S[t] = S[t - 1] + v
-            Q[t] = Q[t - 1] + v * v
-        # PELT DP with strict-inequality pruning (result ≡ full OP)
-        Fv = [-beta] + [0.0] * n
-        bp = [0] * (n + 1)
-        cand = [0]
-        for t in range(1, n + 1):
-            best = None
-            bs = 0
-            for s in cand:
-                d = S[t] - S[s]
-                c = (Fv[s] + ((Q[t] - Q[s]) - d * d / float(t - s))) + beta
-                if best is None or c < best:
-                    best = c
-                    bs = s
+            d = S[t] - S[cand]
+            score = Fv[cand] + ((Q[t] - Q[cand]) - d * d / (t - cand))
+            c = score + beta
+            i = int(np.argmin(c))
+            best = float(c[i])
             Fv[t] = best
-            bp[t] = bs
-            kept = []
-            for s in cand:
-                d = S[t] - S[s]
-                if Fv[s] + ((Q[t] - Q[s]) - d * d / float(t - s)) <= best:
-                    kept.append(s)
-            kept.append(t)
-            cand = kept
+            bp[t] = cand[i]
+            # prune with relative-eps slack (see docstring): eps=0 is the
+            # classical strict rule; the slack keeps near-tie candidates
+            # so float noise cannot diverge from the unpruned DP
+            eps = 1e-9 * (1.0 + abs(best))
+            cand = np.append(cand[score <= best + eps], t)
         # backtrack segment end boundaries
         ends = []
         t = n

@@ -104,15 +104,22 @@ def zorder_value(x, y, bits: int = 16):
     it clusters scans that filter on either column (multi-dimensional
     data skipping from one sort key). Pure integer Column expr
     (unrolled shifts/masks, whole-stage codegen); ``bits`` per
-    dimension, result < 2^(2·bits)."""
+    dimension, result < 2^(2·bits). Inputs are masked to their low
+    ``bits`` bits (two's-complement for negatives), so out-of-domain
+    values alias deterministically instead of producing stray high
+    bits — callers wanting distinct cells for a wider domain must
+    pre-bucket into [0, 2^bits)."""
     from pyspark.sql import functions as F
 
+    mask = F.lit((1 << bits) - 1)
+    xm = x.cast("long").bitwiseAND(mask)
+    ym = y.cast("long").bitwiseAND(mask)
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = (
             z
-            + F.shiftleft(F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
-            + F.shiftleft(F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
         )
     return z
 
@@ -153,7 +160,10 @@ def compaction_plan(
     multiple targets still lands in exactly one group, and every group
     except possibly the last holds ≥ target once closed by the next
     file. Pure integer window math over ONE key-sorted exchange — the
-    planner touches file STATS (catalog-sized), never data."""
+    planner touches file STATS (catalog-sized), never data. The group
+    assignment uses SQL ``div`` (integral division on longs) so it
+    stays exact at any cumulative size — float ``/`` would round past
+    2^53 bytes of prefix."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -164,11 +174,16 @@ def compaction_plan(
     )
     cum = F.sum(size_col).over(w).cast("long")
     prefix_excl = cum - F.col(size_col).cast("long")
-    return files.select(
-        *keys,
-        order_col,
-        F.col(size_col).cast("long").alias(size_col),
-        F.floor(prefix_excl / F.lit(int(target_bytes))).cast("long").alias(
-            "merge_group"
-        ),
+    return (
+        files.select(
+            *keys,
+            order_col,
+            F.col(size_col).cast("long").alias(size_col),
+            prefix_excl.alias("_prefix_excl"),
+        )
+        .withColumn(
+            "merge_group",
+            F.expr(f"_prefix_excl div {int(target_bytes)}L").cast("long"),
+        )
+        .drop("_prefix_excl")
     )

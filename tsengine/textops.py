@@ -336,6 +336,12 @@ def lsh_candidate_pairs(
         # already carry. (Unsafe under a bucket cap: the first matching
         # band's bucket may be dropped while a later band's survives, so
         # the capped path keeps the distinct().)
+        # Assumes no md5 collision: the join matches on md5(bucket) while
+        # this predicate checks raw slots, so a pair whose EARLIER band
+        # collides in md5 (bucket equal, slots unequal) would be emitted
+        # both there and at its true matching band — a duplicate the old
+        # distinct() collapsed. P(collision) ≈ n²/2^129 per band:
+        # negligible against any realistic corpus.
         cond = F.lit(True)
         for i in range(n_bands - 1):
             band_eq_i = F.lit(True)
