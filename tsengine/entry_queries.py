@@ -4588,7 +4588,9 @@ def ts_matrix_profile(spark, sf_dir):
 @q(
     "ts_dtw_profile",
     f"""
-WITH RECURSIVE ev AS ({_EV}),
+WITH RECURSIVE ev AS (
+  SELECT * FROM ({_EV}) WHERE conv_id::INT < 40
+),
 hrs AS (SELECT unnest(range(0, 24))::INT AS h),
 counts AS (
   SELECT conv_id, hour(ts)::INT AS h, count(*)::DOUBLE AS c
@@ -4638,8 +4640,11 @@ def ts_dtw_profile(spark, sf_dir):
     ``D[i][j] = C[j] + min_k(min(D[i−1][k], D[i−1][k−1]) − C[k−1])`` —
     different evaluation orders, bitwise-identical exact results. One
     profile groupBy (partial agg) + one scan-stage UDF; no join of raw
-    volume anywhere."""
-    ev = _events_long(spark, sf_dir)
+    volume anywhere. The probe set is bounded to conv_id < 40 on BOTH
+    sides: the oracle's recursive CTE costs O(candidates·24²) in slow
+    list ops and dominated full-sweep time unbounded (32.5 s → <10 s at
+    sf0.01); the engine-side operator itself is probe-set-agnostic."""
+    ev = _events_long(spark, sf_dir).where(F.col("conv_id").cast("int") < 40)
     return temporal.dtw_hour_profile(ev, ref_key="0", band=6)
 
 
