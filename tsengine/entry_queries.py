@@ -4840,6 +4840,63 @@ def ts_kalman(spark, sf_dir):
     )
 
 
+def ts_kalman_chunked(spark, sf_dir):
+    """`chunked.kalman_filter_chunked` — the bounded-memory carry-in
+    variant of `ts_kalman`: the series splits into 8-row chunks (max
+    series here is 24 rows, so every long series genuinely crosses ≥ 2
+    chunk boundaries) and per-series state — (l, v, p11, p12, p22), five
+    doubles — carries across passes exactly as `streaming_cusum` carries
+    across micro-batches. Shares `temporal._kalman_seq` with the
+    unchunked operator, so it is bitwise-identical by construction; the
+    oracle is therefore the SAME recursive CTE as `ts_kalman`, making
+    the chunk-boundary parity driver-checkable. Per-task memory is
+    O(chunk_rows) regardless of series length (tests run one 10⁶-row
+    series in a 1 GiB session)."""
+    from tsengine import chunked
+
+    ev = _events_long(spark, sf_dir).where(F.col("value").isNotNull())
+    out = chunked.kalman_filter_chunked(
+        ev, q=0.25, r=1.0, on=("conv_id", "metric"),
+        tiebreak="event_id", chunk_rows=8,
+    )
+    return out.select(
+        "conv_id", "metric", "event_id",
+        F.round(F.col("kf_level") + F.lit(5e-10), 6).alias("kf_level"),
+        F.round(F.col("kf_velocity") + F.lit(5e-10), 6).alias("kf_velocity"),
+        F.round(F.col("kf_innov") + F.lit(5e-10), 6).alias("kf_innov"),
+        F.round(F.col("kf_gain") + F.lit(5e-10), 6).alias("kf_gain"),
+    )
+
+
+q("ts_kalman_chunked", ORACLES["ts_kalman"])(ts_kalman_chunked)
+
+
+def ts_holt_winters_chunked(spark, sf_dir):
+    """`chunked.holt_winters_chunked` — bounded-memory carry-in variant
+    of `ts_holt_winters` with chunk_rows=3 < m=4, so the FPP init window
+    itself spans a chunk boundary (the phase-coded state's hard case:
+    the first chunk carries a partial init buffer, not yet a level).
+    Shares `temporal._hw_seq` with the unchunked operator — bitwise-
+    identical, same recursive-CTE oracle as `ts_holt_winters`."""
+    from tsengine import chunked
+
+    ev = _events_long(spark, sf_dir).where(F.col("value").isNotNull())
+    out = chunked.holt_winters_chunked(
+        ev, alpha=0.5, beta=0.25, gamma=0.25, m=4,
+        on=("conv_id", "metric"), tiebreak="event_id", chunk_rows=3,
+    )
+    return out.select(
+        "conv_id", "metric", "event_id",
+        F.round(F.col("hw_level") + F.lit(5e-10), 6).alias("hw_level"),
+        F.round(F.col("hw_trend") + F.lit(5e-10), 6).alias("hw_trend"),
+        F.round(F.col("hw_season") + F.lit(5e-10), 6).alias("hw_season"),
+        F.round(F.col("hw_fcst") + F.lit(5e-10), 6).alias("hw_fcst"),
+    )
+
+
+q("ts_holt_winters_chunked", ORACLES["ts_holt_winters"])(ts_holt_winters_chunked)
+
+
 @q(
     "ts_lttb_downsample",
     f"""
@@ -5754,8 +5811,10 @@ _DRIVER_COVERED_R1_R4 = frozenset({
     "vec_lsh_topk", "vec_near_dup",
 })
 
-# the round-4 verdict's by-name examples of never-driver-verified entries
+# the round-4 verdict's by-name examples of never-driver-verified entries,
+# plus this round's new operators (never had any verification round yet)
 _ROTATION_FRONT = [
+    "ts_kalman_chunked", "ts_holt_winters_chunked",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]

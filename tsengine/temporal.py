@@ -542,7 +542,9 @@ def holt_linear(
     legitimate Python path: one ``applyInPandas`` shuffle keyed by the
     series key, a per-group state loop inside the Arrow batch. Groups
     run in parallel across executors; a single series serializes within
-    one task (pre-split mega-series with the salted chunk machinery).
+    one task — for unbounded series lengths use
+    ``chunked.holt_linear_chunked`` (bitwise-identical via the shared
+    ``_holt_seq`` core, O(chunk_rows) per-task memory).
 
     Cross-engine parity: the update expressions are written in ONE
     association order and mirrored verbatim by the SQL oracle's
@@ -568,22 +570,41 @@ def holt_linear(
     def fn(pdf):
         pdf = pdf.sort_values(order, kind="mergesort")
         y = pdf[value_col].to_numpy(dtype="float64")
-        n = len(y)
-        lv = np.empty(n)
-        tr = np.empty(n)
-        if n:
-            lv[0], tr[0] = y[0], 0.0
-            for i in range(1, n):
-                l_prev, b_prev = lv[i - 1], tr[i - 1]
-                l_new = a * y[i] + one_a * (l_prev + b_prev)
-                tr[i] = b_gain * (l_new - l_prev) + one_b * b_prev
-                lv[i] = l_new
+        lv, tr, _ = _holt_seq(y, None, a, one_a, b_gain, one_b)
         pdf["holt_level"] = lv
         pdf["holt_trend"] = tr
-        pdf["holt_fcst"] = lv + tr
+        pdf["holt_fcst"] = [l + b for l, b in zip(lv, tr)]
         return pdf
 
     return grouped_apply(df, list(on), fn, out_schema)
+
+
+def _holt_seq(y, state, a, one_a, b_gain, one_b):
+    """Holt linear-trend recurrence shared by ``holt_linear`` and
+    ``chunked.holt_linear_chunked`` — one copy of the float ops for
+    bitwise parity between the paths. ``state=None`` cold-starts
+    (l=y[0], b=0; the init row EMITS, matching ``holt_linear``'s
+    contract); otherwise ``state=(l, b)`` carries in and every row
+    emits. Returns ``(lv, tr, new_state)`` with one output per row."""
+    n = len(y)
+    lv, tr = [], []
+    if state is None:
+        if n == 0:
+            return lv, tr, None
+        l, b = float(y[0]), 0.0
+        lv.append(l)
+        tr.append(b)
+        start = 1
+    else:
+        l, b = (float(x) for x in state)
+        start = 0
+    for i in range(start, n):
+        l_new = a * y[i] + one_a * (l + b)
+        b = b_gain * (l_new - l) + one_b * b
+        l = l_new
+        lv.append(l)
+        tr.append(b)
+    return lv, tr, (l, b)
 
 
 def holt_winters(
@@ -617,7 +638,9 @@ def holt_winters(
     mirrored by the oracle's recursive CTE, whose seasonal state rides
     along as a DOUBLE[m] list column (slide = s[2:] ++ [s_t]) — with
     exactly-representable gains both engines stay bitwise-identical at
-    every step. Nulls must be filtered upstream."""
+    every step. Nulls must be filtered upstream. For unbounded series
+    lengths use ``chunked.holt_winters_chunked`` (bitwise-identical via
+    the shared ``_hw_seq`` core, O(chunk_rows) per-task memory)."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     order = [ts_col] if tiebreak is None else [ts_col, tiebreak]
@@ -637,31 +660,14 @@ def holt_winters(
     def fn(pdf):
         pdf = pdf.sort_values(order, kind="mergesort")
         y = pdf[value_col].to_numpy(dtype="float64")
-        n = len(y)
-        if n <= mm:
+        if len(y) <= mm:
             return pdf.iloc[0:0].assign(
                 hw_level=0.0, hw_trend=0.0, hw_season=0.0, hw_fcst=0.0
             )
-        acc = float(y[0])
-        for i in range(1, mm):
-            acc = acc + float(y[i])
-        level = acc / float(mm)
-        trend = 0.0
-        season = [float(y[i]) - level for i in range(mm)]
-        lv, tr, se, fc = [], [], [], []
-        for i in range(mm, n):
-            s_old = season[0]
-            prior = level + trend
-            fc.append(prior + s_old)
-            l_new = a * (float(y[i]) - s_old) + one_a * prior
-            b_new = bg * (l_new - level) + one_b * trend
-            s_new = g * (float(y[i]) - prior) + one_g * s_old
-            lv.append(l_new)
-            tr.append(b_new)
-            se.append(s_new)
-            level, trend = l_new, b_new
-            season = season[1:] + [s_new]
-        out = pdf.iloc[mm:].copy()
+        start, lv, tr, se, fc, _ = _hw_seq(
+            y, None, a, one_a, bg, one_b, g, one_g, mm
+        )
+        out = pdf.iloc[start:].copy()
         out["hw_level"] = lv
         out["hw_trend"] = tr
         out["hw_season"] = se
@@ -669,6 +675,53 @@ def holt_winters(
         return out
 
     return grouped_apply(df, list(on), fn, out_schema)
+
+
+def _hw_seq(y, state, a, one_a, bg, one_b, g, one_g, mm):
+    """Holt-Winters additive recurrence shared by ``holt_winters`` and
+    ``chunked.holt_winters_chunked`` — one copy of the float ops for
+    bitwise parity between the paths.
+
+    State is a tuple tagged by phase: ``("init", buf)`` while fewer than
+    m observations have been seen (buf = those values, in order) and
+    ``("run", level, trend, season)`` afterwards. ``state=None`` starts
+    a fresh init. Returns ``(start, lv, tr, se, fc, new_state)`` where
+    ``start`` is the index of the first emitting row in THIS slice —
+    init consumes rows without emitting, exactly like the whole-series
+    path (output begins at global row m+1)."""
+    n = len(y)
+    pos = 0
+    if state is None or state[0] == "init":
+        buf = [] if state is None else list(state[1])
+        while len(buf) < mm and pos < n:
+            buf.append(float(y[pos]))
+            pos += 1
+        if len(buf) < mm:
+            return pos, [], [], [], [], ("init", buf)
+        acc = buf[0]
+        for i in range(1, mm):
+            acc = acc + buf[i]
+        level = acc / float(mm)
+        trend = 0.0
+        season = [buf[i] - level for i in range(mm)]
+    else:
+        _, level, trend, season = state
+        level, trend = float(level), float(trend)
+        season = [float(x) for x in season]
+    lv, tr, se, fc = [], [], [], []
+    for i in range(pos, n):
+        s_old = season[0]
+        prior = level + trend
+        fc.append(prior + s_old)
+        l_new = a * (float(y[i]) - s_old) + one_a * prior
+        b_new = bg * (l_new - level) + one_b * trend
+        s_new = g * (float(y[i]) - prior) + one_g * s_old
+        lv.append(l_new)
+        tr.append(b_new)
+        se.append(s_new)
+        level, trend = l_new, b_new
+        season = season[1:] + [s_new]
+    return pos, lv, tr, se, fc, ("run", level, trend, season)
 
 
 def time_weighted_avg(
@@ -890,7 +943,10 @@ def kalman_filter(
 
     Shape for 100 TB: one ``applyInPandas`` shuffle keyed by the series
     (the Riccati recursion has no prefix-sum closed form), groups
-    parallel across executors, O(1) state per series."""
+    parallel across executors, O(1) state per series. A single task
+    holds one full series; for unbounded series lengths use
+    ``chunked.kalman_filter_chunked`` — bitwise-identical (shared
+    ``_kalman_seq`` core) with O(chunk_rows) per-task memory."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     order = [ts_col] if tiebreak is None else [ts_col, tiebreak]
@@ -909,33 +965,14 @@ def kalman_filter(
     def fn(pdf):
         pdf = pdf.sort_values(order, kind="mergesort")
         y = pdf[value_col].to_numpy(dtype="float64")
-        n = len(y)
-        if n < 2:
+        if len(y) < 2:
             return pdf.iloc[0:0].assign(
                 kf_level=0.0, kf_velocity=0.0, kf_innov=0.0, kf_gain=0.0
             )
-        l, v = float(y[0]), 0.0
-        p11, p12, p22 = 1.0, 0.0, 1.0
-        ls, vs, innovs, gains = [], [], [], []
-        for i in range(1, n):
-            lp = l + v
-            p11p = ((p11 + p12) + (p12 + p22)) + q11
-            p12p = (p12 + p22) + q12
-            p22p = p22 + q22
-            s = p11p + rr
-            k1 = p11p / s
-            k2 = p12p / s
-            innov = float(y[i]) - lp
-            l = lp + k1 * innov
-            v = v + k2 * innov
-            p11 = (1.0 - k1) * p11p
-            p12 = (1.0 - k1) * p12p
-            p22 = p22p - k2 * p12p
-            ls.append(l)
-            vs.append(v)
-            innovs.append(innov)
-            gains.append(k1)
-        out = pdf.iloc[1:].copy()
+        start, ls, vs, innovs, gains, _ = _kalman_seq(
+            y, None, q11, q12, q22, rr
+        )
+        out = pdf.iloc[start:].copy()
         out["kf_level"] = ls
         out["kf_velocity"] = vs
         out["kf_innov"] = innovs
@@ -943,6 +980,50 @@ def kalman_filter(
         return out
 
     return grouped_apply(df, list(on), fn, out_schema)
+
+
+def _kalman_seq(y, state, q11, q12, q22, rr):
+    """The constant-velocity Kalman recurrence, shared by the per-series
+    batch path (``kalman_filter``) and the chunked carry-in path
+    (``chunked.kalman_filter_chunked``) — ONE copy of the float
+    expressions, so the two paths are bitwise-identical by construction.
+
+    ``state=None`` is a cold start: y[0] is consumed as the init
+    observation (level=y[0], velocity=0, P=I) and emits nothing.
+    Otherwise ``state=(l, v, p11, p12, p22)`` carried from the previous
+    chunk and every row emits. Returns
+    ``(start, ls, vs, innovs, gains, new_state)`` where ``start`` is the
+    index of the first emitting row."""
+    n = len(y)
+    if state is None:
+        if n == 0:
+            return 0, [], [], [], [], None
+        l, v = float(y[0]), 0.0
+        p11, p12, p22 = 1.0, 0.0, 1.0
+        start = 1
+    else:
+        l, v, p11, p12, p22 = (float(x) for x in state)
+        start = 0
+    ls, vs, innovs, gains = [], [], [], []
+    for i in range(start, n):
+        lp = l + v
+        p11p = ((p11 + p12) + (p12 + p22)) + q11
+        p12p = (p12 + p22) + q12
+        p22p = p22 + q22
+        s = p11p + rr
+        k1 = p11p / s
+        k2 = p12p / s
+        innov = float(y[i]) - lp
+        l = lp + k1 * innov
+        v = v + k2 * innov
+        p11 = (1.0 - k1) * p11p
+        p12 = (1.0 - k1) * p12p
+        p22 = p22p - k2 * p12p
+        ls.append(l)
+        vs.append(v)
+        innovs.append(innov)
+        gains.append(k1)
+    return start, ls, vs, innovs, gains, (l, v, p11, p12, p22)
 
 
 def page_hinkley(
