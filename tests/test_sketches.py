@@ -121,3 +121,61 @@ def test_cms_absent_key_estimates_near_zero(spark):
     est = sketches.cms_query(cells, keys, "uid", ["grp"]).collect()[0]["cms_est"]
     # min-over-4-rows of 40 counts in 256 cols: w.h.p. one row is empty
     assert est <= 2
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def _member_df(spark, ids, grp="g"):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"grp": grp, "uid": [str(i) for i in ids]})
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    df = _member_df(spark, range(100))
+    bits = sketches.bloom_build(df, "uid", ["grp"])
+    probes = _member_df(spark, range(100))
+    got = sketches.bloom_query(bits, probes, "uid", ["grp"]).collect()
+    assert len(got) == 100
+    assert all(r["bloom_member"] for r in got)
+
+
+def test_bloom_fp_rate_bounded(spark):
+    df = _member_df(spark, range(150))
+    bits = sketches.bloom_build(df, "uid", ["grp"])
+    probes = _member_df(spark, range(150, 550))  # 400 absent keys
+    got = sketches.bloom_query(bits, probes, "uid", ["grp"]).collect()
+    fp = sum(1 for r in got if r["bloom_member"])
+    # theory: (1 - e^(-4*150/1024))^4 ~ 3.9%; bound generously at 10%
+    assert fp / 400 < 0.10
+
+
+def test_bloom_merge_is_or(spark):
+    d1 = _member_df(spark, range(0, 40))
+    d2 = _member_df(spark, range(30, 80))
+    merged = sketches.bloom_merge(
+        sketches.bloom_build(d1, "uid", ["grp"]).unionByName(
+            sketches.bloom_build(d2, "uid", ["grp"])
+        ),
+        ["grp"],
+    )
+    direct = sketches.bloom_build(d1.unionByName(d2), "uid", ["grp"])
+    m = {r["bit"] for r in merged.collect()}
+    d = {r["bit"] for r in direct.collect()}
+    assert m == d
+
+
+def test_bloom_groups_independent(spark):
+    a = _member_df(spark, range(10), grp="a")
+    b = _member_df(spark, range(10, 20), grp="b")
+    bits = sketches.bloom_build(a.unionByName(b), "uid", ["grp"])
+    # probe group a with group b's keys: membership is per-group
+    probes = _member_df(spark, range(10, 20), grp="a")
+    got = sketches.bloom_query(bits, probes, "uid", ["grp"]).collect()
+    fp = sum(1 for r in got if r["bloom_member"])
+    assert fp <= 2  # only chance collisions, never b's actual bits

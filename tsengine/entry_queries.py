@@ -5769,6 +5769,106 @@ def text_chunks(spark, sf_dir):
     return textops.chunk_documents(docs, chunk_tokens=8, overlap=2)
 
 
+@q(
+    "ts_bloom_member",
+    f"""
+WITH ev AS ({_EV}),
+ins AS (SELECT DISTINCT metric, conv_id AS key FROM ev),
+mets AS (SELECT DISTINCT metric FROM ev),
+ks AS (SELECT unnest(range(0, 4)) AS r),
+bits AS (
+  SELECT DISTINCT metric,
+         ('0x' || substr(md5(ks.r::VARCHAR || '|' || key), 1, 15))::BIGINT
+           % 1024 AS bit
+  FROM ins CROSS JOIN ks
+),
+probes AS (
+  SELECT m.metric, p.p::VARCHAR AS probe
+  FROM mets m CROSS JOIN (SELECT unnest(range(0, 450)) AS p) p
+),
+addr AS (
+  SELECT metric, probe,
+         ('0x' || substr(md5(ks.r::VARCHAR || '|' || probe), 1, 15))::BIGINT
+           % 1024 AS bit
+  FROM probes CROSS JOIN ks
+),
+hits AS (
+  SELECT a.metric, a.probe, count(*)::BIGINT AS h
+  FROM addr a JOIN bits b ON b.metric = a.metric AND b.bit = a.bit
+  GROUP BY 1, 2
+),
+mem AS (
+  SELECT p.metric, p.probe,
+         coalesce(h.h, 0) = 4 AS bloom_member,
+         (i.key IS NOT NULL) AS present
+  FROM probes p
+  LEFT JOIN hits h ON h.metric = p.metric AND h.probe = p.probe
+  LEFT JOIN ins i ON i.metric = p.metric AND i.key = p.probe
+)
+SELECT metric,
+       count(*)::BIGINT AS n_probes,
+       sum(CASE WHEN present THEN 1 ELSE 0 END)::BIGINT AS n_present,
+       sum(CASE WHEN bloom_member THEN 1 ELSE 0 END)::BIGINT AS n_member,
+       sum(CASE WHEN bloom_member AND NOT present THEN 1 ELSE 0 END)::BIGINT
+         AS n_fp,
+       sum(CASE WHEN present AND NOT bloom_member THEN 1 ELSE 0 END)::BIGINT
+         AS n_fn,
+       round(sum(CASE WHEN bloom_member AND NOT present THEN 1 ELSE 0 END)
+             / greatest(count(*)
+                        - sum(CASE WHEN present THEN 1 ELSE 0 END), 1)::DOUBLE
+             + 5e-10, 6) AS fp_rate
+FROM mem GROUP BY 1
+""",
+)
+def ts_bloom_member(spark, sf_dir):
+    """Bloom-filter membership sketch (`sketches.bloom_build/bloom_query`,
+    k=4, m=1024): per-metric filter over the distinct conv_ids, probed
+    with 450 candidate ids (150 present, 300 absent at sf0.01) — the
+    "did this key ever appear" primitive the retention tiers can carry
+    per day and OR-merge, replacing Spark's unregistered
+    bloom_filter_agg/might_contain with an md5-carved, oracle-provable
+    twin. The Bloom contract is audited AS DATA: ``n_fn`` (false
+    negatives) must be 0 by construction on both engines, and
+    ``fp_rate`` ≈ (1−e^{−kn/m})^k ≈ 3.9% at n=150 is an output column
+    the tests bound (< 10%). Shape: build is one union of k projections
+    + one distinct (≤ m rows per group survive), probe is a broadcast
+    join — no raw-volume shuffle anywhere."""
+    ev = _events_long(spark, sf_dir)
+    inserted = ev.select("metric", F.col("conv_id").alias("key")).distinct()
+    bits = sketches.bloom_build(inserted, "key", ["metric"])
+    mets = ev.select("metric").distinct()
+    probes = mets.crossJoin(
+        spark.range(0, 450).select(F.col("id").cast("string").alias("probe"))
+    )
+    mem = sketches.bloom_query(bits, probes, "probe", ["metric"])
+    truth = probes.join(
+        inserted.withColumnRenamed("key", "probe").withColumn(
+            "present", F.lit(True)
+        ),
+        ["metric", "probe"],
+        "left",
+    ).select("metric", "probe", F.coalesce("present", F.lit(False)).alias("present"))
+    j = mem.join(truth, ["metric", "probe"])
+    fp = F.when(F.col("bloom_member") & ~F.col("present"), 1).otherwise(0)
+    fn = F.when(F.col("present") & ~F.col("bloom_member"), 1).otherwise(0)
+    return j.groupBy("metric").agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("present"), 1).otherwise(0)).cast("long").alias("n_present"),
+        F.sum(F.when(F.col("bloom_member"), 1).otherwise(0)).cast("long").alias("n_member"),
+        F.sum(fp).cast("long").alias("n_fp"),
+        F.sum(fn).cast("long").alias("n_fn"),
+        F.round(
+            F.sum(fp).cast("double")
+            / F.greatest(
+                F.count("*") - F.sum(F.when(F.col("present"), 1).otherwise(0)),
+                F.lit(1),
+            ).cast("double")
+            + F.lit(5e-10),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================
@@ -5814,7 +5914,7 @@ _DRIVER_COVERED_R1_R4 = frozenset({
 # the round-4 verdict's by-name examples of never-driver-verified entries,
 # plus this round's new operators (never had any verification round yet)
 _ROTATION_FRONT = [
-    "ts_kalman_chunked", "ts_holt_winters_chunked",
+    "ts_kalman_chunked", "ts_holt_winters_chunked", "ts_bloom_member",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]
