@@ -216,3 +216,106 @@ def test_kmeans_empty_and_degenerate(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     cents = vecops.kmeans_centroids(df, n_centroids=4, n_iter=2)
     assert len(cents) == 4
+
+
+# ---------------------------------------------------------------------------
+# OPQ (no SQL oracle — these numpy-twin tests ARE the correctness gate,
+# disclosed in vec_opq_topk's docstring)
+# ---------------------------------------------------------------------------
+
+OPQ_D = 8
+OPQ_N = 400
+
+
+def _aniso_vecs(seed=9):
+    rng = np.random.default_rng(seed)
+    scales = np.array([4, 2.5, 1.5, 1, 0.6, 0.3, 0.15, 0.05])
+    A = rng.normal(size=(OPQ_D, OPQ_D)) * scales
+    X = rng.normal(size=(OPQ_N, OPQ_D)) @ A.T
+    return X, rng
+
+
+@pytest.fixture(scope="module")
+def aniso(spark):
+    X, _ = _aniso_vecs()
+    rows = [(i, [float(x) for x in X[i]]) for i in range(OPQ_N)]
+    return X, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _pq_topk_np(X, q, m_sub, n_codes=16, k=10):
+    """numpy twin of vecops.pq_topk: codebooks = first n_codes rows'
+    subvectors, encode by round(dist,6)-argmin (lowest cid ties), ADC
+    sum, rank by round(adc,6) then id."""
+    n, d = X.shape
+    dsub = d // m_sub
+    cb = X[:n_codes]
+    adc = np.zeros(n)
+    for j in range(m_sub):
+        sl = slice(j * dsub, (j + 1) * dsub)
+        dd = np.round(((X[:, None, sl] - cb[None, :, sl]) ** 2).sum(axis=2), 6)
+        codes = np.argmin(dd, axis=1)
+        lut = ((q[sl][None, :] - cb[:, sl]) ** 2).sum(axis=1)
+        adc += lut[codes]
+    order = np.lexsort((np.arange(n), np.round(adc, 6)))
+    return order[:k]
+
+
+def _exact_topk_np(X, q, k=10):
+    return np.lexsort((np.arange(len(X)), ((X - q) ** 2).sum(axis=1)))[:k]
+
+
+def test_opq_rotation_orthogonal(aniso):
+    _, df = aniso
+    R = np.asarray(vecops.opq_rotation(df, m_sub=2, n_train=256))
+    assert R.shape == (OPQ_D, OPQ_D)
+    assert np.abs(R @ R.T - np.eye(OPQ_D)).max() < 1e-9
+    assert abs(abs(np.linalg.det(R)) - 1.0) < 1e-9
+
+
+def test_opq_topk_matches_numpy_twin(aniso):
+    X, df = aniso
+    _, rng = _aniso_vecs()
+    q = X[37] + rng.normal(size=OPQ_D) * 0.05
+    got = vecops.opq_topk(
+        df, [float(v) for v in q], k=10, n_codes=16, m_sub=2, n_train=256
+    ).collect()
+    R = np.asarray(vecops.opq_rotation(df, m_sub=2, n_train=256))
+    Xr, qr = X @ R.T, R @ q
+    want = _pq_topk_np(Xr, qr, m_sub=2)
+    assert [r["vec_id"] for r in got] == [int(i) for i in want]
+
+
+def test_opq_recall_beats_pq_on_anisotropic(aniso):
+    """The OPQ paper's claim as data: mean recall@10 over 20 probe
+    queries on an anisotropic set, rotated PQ >= plain PQ (numpy twins
+    fed by the REAL opq_rotation from the Spark frame)."""
+    X, df = aniso
+    R = np.asarray(vecops.opq_rotation(df, m_sub=2, n_train=256))
+    Xr = X @ R.T
+    _, rng = _aniso_vecs()
+    rec_pq = rec_opq = 0.0
+    for qi in range(20, 40):
+        q = X[qi] + rng.normal(size=OPQ_D) * 0.05
+        truth = set(_exact_topk_np(X, q).tolist())
+        rec_pq += len(set(_pq_topk_np(X, q, 2).tolist()) & truth)
+        rec_opq += len(set(_pq_topk_np(Xr, R @ q, 2).tolist()) & truth)
+    assert rec_opq >= rec_pq, (rec_opq, rec_pq)
+    assert rec_opq / (20 * 10) > 0.5  # sane absolute floor
+
+
+def test_opq_rotate_expr_matches_udf_path(aniso):
+    """The literal-SQL rotation (opq_rotate_expr) and the UDF matmul
+    agree to float tolerance — the expr form stays available for
+    engines/plans that prefer pure SQL."""
+    X, df = aniso
+    R = vecops.opq_rotation(df, m_sub=2, n_train=256)
+    rot_sql = (
+        df.select("vec_id", F.col("embedding").alias("_dv"))
+        .selectExpr("vec_id", f"{vecops.opq_rotate_expr(R)} AS r")
+        .orderBy("vec_id")
+        .collect()
+    )
+    Rm = np.asarray(R)
+    for row in rot_sql[:50]:
+        want = Rm @ X[int(row["vec_id"])]
+        assert np.abs(np.array(row["r"]) - want).max() < 1e-9

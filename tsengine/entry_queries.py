@@ -5020,6 +5020,28 @@ def vec_pq_topk(spark, sf_dir):
     return vecops.pq_topk(base, qv, k=10, n_codes=16, m_sub=8)
 
 
+@q("vec_opq_topk")  # no SQL oracle: the rotation needs an eigendecomposition
+def vec_opq_topk(spark, sf_dir):
+    """Optimized Product Quantization ANN (`vecops.opq_topk`, Ge et al.
+    CVPR 2013, parametric variant): eigendecompose a bounded training
+    sample's covariance driver-side (256 vectors — the kmeans||
+    bounded-collect contract), allocate eigen-directions to subspaces
+    balancing the variance product, rotate base + query with an unrolled
+    scan-speed matrix product, then run the UNCHANGED `pq_topk` ADC
+    machinery in the rotated space (2 subspaces × 16 codes, so each
+    subspace is 4-dimensional and decorrelation has something to do).
+
+    DISCLOSED: registered without a value oracle — ANSI SQL cannot
+    express the SVD/eigendecomposition, so the driver records the
+    rows-only check and correctness rides on the numpy-twin tests
+    (tests/test_vecops.py: R orthogonal, Spark output ≡ numpy twin,
+    recall@10 ≥ plain PQ on an anisotropic set — the paper's claim
+    asserted as data). Same precedent as kmeans||'s driver-side math."""
+    qv = _query_vec(spark, sf_dir)
+    base = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    return vecops.opq_topk(base, qv, k=10, n_codes=16, m_sub=2, n_train=256)
+
+
 def _ivfpq_sql(
     n_centroids: int = 8,
     nprobe: int = 2,
@@ -5915,6 +5937,7 @@ _DRIVER_COVERED_R1_R4 = frozenset({
 # plus this round's new operators (never had any verification round yet)
 _ROTATION_FRONT = [
     "ts_kalman_chunked", "ts_holt_winters_chunked", "ts_bloom_member",
+    "vec_opq_topk",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]

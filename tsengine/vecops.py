@@ -19,6 +19,7 @@ Two paths:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -871,4 +872,154 @@ def ivfpq_topk(
             ).alias("pq_code"),
             F.round(F.col("_adc") + F.lit(5e-10), 6).alias("pq_dist"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# OPQ — Optimized Product Quantization (Ge, He, Ke & Sun, CVPR 2013 /
+# TPAMI 2014): learn an orthogonal rotation R so the PQ subspaces are
+# decorrelated and carry balanced variance, then run the UNCHANGED PQ
+# machinery on R·x. This implements the parametric variant (§4 of the
+# paper, "OPQ-P"): eigendecompose the data covariance and allocate
+# eigen-directions to subspaces balancing the per-subspace variance
+# product — closed-form, deterministic, no alternating minimization.
+#
+# Oracle status (disclosed, same precedent as kmeans||'s driver-bounded
+# collect): the rotation needs an eigendecomposition, which ANSI SQL
+# cannot express, so `vec_opq_topk` registers WITHOUT a value oracle
+# (the driver records the weaker rows-only check) and correctness rides
+# on numpy-twin unit tests: R is provably orthogonal (R·Rᵀ = I to 1e-9),
+# rotation preserves exact ranks under brute-force distance, and
+# recall@k on an anisotropic set is >= plain PQ's (the paper's claim,
+# asserted as data in tests/test_vecops.py).
+# --------------------------------------------------------------------------
+
+def opq_rotation(
+    embeddings: DataFrame,
+    m_sub: int = 8,
+    n_train: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Parametric OPQ rotation from a bounded training sample: collect
+    the first ``n_train`` vectors in ``id_col`` order (dimension-sized
+    driver collect, O(n_train·d) — the same bounded-collect contract as
+    ``kmeans_centroids``' ℓ·rounds candidates), eigendecompose their
+    covariance, and greedily assign eigen-directions (descending
+    eigenvalue) to the subspace with the smallest current log-variance
+    product (the paper's balanced eigenvalue allocation). Returns R as
+    row-major lists: row i of R is the i-th rotated coordinate's weights;
+    subspace j owns rotated coordinates [j·dsub, (j+1)·dsub)."""
+    import math
+
+    import numpy as np
+
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_train)
+        .collect()
+    )
+    X = np.array(
+        [[float(x) for x in r[vec_col]] for r in rows], dtype="float64"
+    )
+    d = X.shape[1]
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    dsub = d // m_sub
+    Xc = X - X.mean(axis=0)
+    C = (Xc.T @ Xc) / float(len(Xc))
+    w, V = np.linalg.eigh(C)  # ascending
+    order = np.argsort(w)[::-1]
+    w, V = w[order], V[:, order]
+    # balanced allocation: descending eigenvalues, each to the non-full
+    # subspace with the smallest running log-product of variances
+    buckets: list[list[int]] = [[] for _ in range(m_sub)]
+    logprod = [0.0] * m_sub
+    for i in range(d):
+        open_js = [j for j in range(m_sub) if len(buckets[j]) < dsub]
+        j = min(open_js, key=lambda jj: (logprod[jj], jj))
+        buckets[j].append(i)
+        logprod[j] += math.log(max(float(w[i]), 1e-12))
+    perm = [i for b in buckets for i in b]
+    R = V[:, perm].T  # rows are the rotated coordinates
+    return [[float(x) for x in row] for row in R]
+
+
+def opq_rotate_expr(R: list[list[float]], dv: str = "_dv") -> str:
+    """R·x as unrolled SQL text (one left-associated dot product per
+    rotated coordinate) — scan-speed, whole-stage codegen, the same
+    literal-unroll idiom as ``_sub_l2sq_sql``."""
+    comps = []
+    for row in R:
+        comps.append(
+            " + ".join(f"({_dlit(v)} * {dv}[{j}])" for j, v in enumerate(row))
+        )
+    return "array(" + ", ".join(comps) + ")"
+
+
+def opq_rotate_query(R: list[list[float]], query_vec: list[float]) -> list[float]:
+    """Driver-side R·q via the same numpy matmul the rotation UDF runs,
+    so rotated base and rotated query feed ``pq_topk`` with consistent
+    doubles."""
+    import numpy as np
+
+    return [
+        float(x)
+        for x in np.asarray(R, dtype="float64")
+        @ np.asarray([float(v) for v in query_vec], dtype="float64")
+    ]
+
+
+def opq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_codes: int = 16,
+    m_sub: int = 8,
+    n_train: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rotation: list[list[float]] | None = None,
+) -> DataFrame:
+    """OPQ top-k = learn/receive R, rotate base + query, run the
+    unchanged ``pq_topk`` ADC machinery in the rotated space. Orthogonal
+    R preserves true L2 distances exactly, so the brute-force ground
+    truth is unchanged — only the quantization grid improves. Output
+    schema matches ``pq_topk`` (vec_id, pq_code, pq_dist); pq_dist is
+    the ADC distance in the ROTATED space (same estimator the ranking
+    uses).
+
+    The rotation runs as an Arrow-batched pandas UDF (one numpy matmul
+    per batch) rather than ``opq_rotate_expr``'s literal SQL, ON
+    PURPOSE: CollapseProject inlines a projection expression into every
+    downstream reference, and the PQ encode/ADC chains reference the
+    rotated array ~100× — the inlined plan costs ~25 s of codegen
+    compile (measured, sf0.01) vs ~6 s with the UDF boundary, whose
+    output materializes once per row. Production at 100 TB would
+    materialize the rotated codes to storage anyway (encode is a
+    write-once pipeline); the UDF's Arrow toll is confined to it."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    R = rotation if rotation is not None else opq_rotation(
+        embeddings, m_sub, n_train, id_col, vec_col
+    )
+    Rm = np.asarray(R, dtype="float64")
+
+    @pandas_udf("array<double>")
+    def _rotate(col: pd.Series) -> pd.Series:
+        X = np.array([np.asarray(v, dtype="float64") for v in col])
+        if not len(X):
+            return pd.Series([], dtype="object")
+        Xr = X @ Rm.T
+        return pd.Series(list(Xr))
+
+    rotated = embeddings.select(
+        id_col,
+        _rotate(F.col(vec_col).cast("array<double>")).alias(vec_col),
+    )
+    return pq_topk(
+        rotated, opq_rotate_query(R, query_vec), k, n_codes, m_sub,
+        id_col, vec_col,
     )
