@@ -53,20 +53,13 @@ _PNG_1X1 = __import__("base64").b64decode(
 
 
 def test_decode_real_image_branch():
-    """With PIL present the decoder must return TRUE dimensions for a real
-    PNG; without it, the deterministic digest stub. Both branches are
-    asserted so the test is meaningful in either environment."""
+    """A real PNG must decode to TRUE dimensions in EVERY environment now
+    that the stdlib IHDR parser is the first branch (PIL no longer
+    required for PNG)."""
     from tsengine import multimodal
 
     meta = multimodal._decode_payload(_PNG_1X1)
-    if multimodal.HAVE_PIL:
-        assert (meta["width"], meta["height"], meta["n_frames"]) == (1, 1, 1)
-    else:
-        import hashlib
-
-        d = hashlib.md5(_PNG_1X1).hexdigest()
-        assert meta["width"] == 16 + int(d[0:2], 16) % 64
-        assert meta["height"] == 16 + int(d[2:4], 16) % 64
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (1, 1, 1)
     assert meta["fingerprint"] == __import__("hashlib").md5(_PNG_1X1).hexdigest()
 
 
@@ -81,3 +74,68 @@ def test_decode_text_payload_always_stub():
     d = hashlib.md5(p).hexdigest()
     assert meta["width"] == 16 + int(d[0:2], 16) % 64
     assert meta["n_frames"] == 1 + int(d[4:6], 16) % 8
+
+
+# ---------------------------------------------------------------------------
+# Real PNG branch (stdlib encode + IHDR decode)
+# ---------------------------------------------------------------------------
+
+
+def test_png_encode_decode_roundtrip():
+    from tsengine.multimodal import _decode_payload, png_encode
+
+    for w, h, rgb in [(16, 63, (1, 2, 3)), (48, 16, (250, 0, 9)), (1, 1, (0, 0, 0))]:
+        p = png_encode(w, h, rgb)
+        assert p[:8] == b"\x89PNG\r\n\x1a\n"
+        meta = _decode_payload(p)
+        assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, 1)
+
+
+def test_png_encode_is_spec_valid_zlib():
+    """IDAT inflates back to the exact scanlines (filter-0 solid fill)."""
+    import struct
+    import zlib
+
+    from tsengine.multimodal import png_encode
+
+    p = png_encode(5, 3, (7, 8, 9))
+    # walk chunks to find IDAT
+    off = 8
+    idat = b""
+    while off < len(p):
+        (ln,) = struct.unpack(">I", p[off:off + 4])
+        tag = p[off + 4:off + 8]
+        body = p[off + 8:off + 8 + ln]
+        (crc,) = struct.unpack(">I", p[off + 8 + ln:off + 12 + ln])
+        assert crc == zlib.crc32(tag + body) & 0xFFFFFFFF
+        if tag == b"IDAT":
+            idat += body
+        off += 12 + ln
+    raw = zlib.decompress(idat)
+    assert raw == (b"\x00" + bytes((7, 8, 9)) * 5) * 3
+
+
+def test_non_png_payload_falls_to_stub():
+    import hashlib
+
+    from tsengine.multimodal import _decode_payload
+
+    p = b"not a png at all"
+    d = hashlib.md5(p).hexdigest()
+    meta = _decode_payload(p)
+    assert meta["width"] == 16 + int(d[0:2], 16) % 64
+    assert meta["fingerprint"] == d
+
+
+def test_synth_png_media_distributed_decode(spark):
+    from tsengine import multimodal
+
+    ids = spark.range(0, 120).withColumnRenamed("id", "media_id")
+    media = multimodal.synth_png_media(ids)
+    meta = multimodal.extract_metadata(media).collect()
+    assert len(meta) == 120
+    for r in meta:
+        m = r["media_id"]
+        assert r["width"] == 16 + m % 48
+        assert r["height"] == 16 + (m * 7) % 48
+        assert r["n_frames"] == 1

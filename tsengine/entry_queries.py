@@ -1905,6 +1905,40 @@ def mm_resize(spark, sf_dir):
     )
 
 
+@q(
+    "mm_png_roundtrip",
+    """
+SELECT doc_id::BIGINT AS media_id,
+       (16 + doc_id % 48)::BIGINT AS width,
+       (16 + (doc_id * 7) % 48)::BIGINT AS height,
+       1::BIGINT AS n_frames
+FROM documents
+""",
+)
+def mm_png_roundtrip(spark, sf_dir):
+    """REAL encoded media end-to-end (`multimodal.png_encode` →
+    `extract_metadata`'s PNG branch): one spec-valid PNG per doc_id with
+    dimensions chosen by closed formulas of the id, then the decode
+    stage recovers width/height by PARSING the PNG bytes (stdlib IHDR
+    read — no PIL in this container). The oracle recomputes the expected
+    dimensions from the id alone, so a green row proves the engine's
+    dims came out of genuine format decoding, not the digest stub —
+    closing the round-4 'synthetic-payload branch only' gap. Shape:
+    generate and decode are both mapInPandas scan stages, zero
+    exchanges; payload bytes never leave the executor."""
+    ids = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = multimodal.synth_png_media(ids)
+    meta = multimodal.extract_metadata(media)
+    return meta.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
+
+
 # ===========================================================================
 # Streaming parity (SURVEY §2.5 streaming note, streaming.py)
 # ===========================================================================
@@ -5937,7 +5971,7 @@ _DRIVER_COVERED_R1_R4 = frozenset({
 # plus this round's new operators (never had any verification round yet)
 _ROTATION_FRONT = [
     "ts_kalman_chunked", "ts_holt_winters_chunked", "ts_bloom_member",
-    "vec_opq_topk",
+    "vec_opq_topk", "mm_png_roundtrip",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]

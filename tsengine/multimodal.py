@@ -6,10 +6,14 @@ Arrow-batched ``mapInPandas`` transforms so the Spark-side contract —
 schema, batch shape, partitioning — is real and testable even though the
 actual codec libraries are absent in this container.
 
-The decode step is STUBBED: ``decode_stub`` derives deterministic fake
-dimensions/features from the payload's md5, so tests (and the driver's
-DuckDB oracle) can verify the full distributed plumbing end-to-end; swap
-``_decode_payload`` for a real PIL/ffmpeg call in production.
+The decode step has a REAL branch and a stub: PNG payloads are decoded
+for real (stdlib header parse — ``png_encode``/``_png_ihdr`` below give
+the pipeline genuine encoded media end-to-end in this container, where
+PIL is absent; PIL remains the optional branch for richer formats), and
+any other payload falls back to deterministic md5-derived fake
+dimensions so tests and the driver's DuckDB oracle can verify the
+distributed plumbing on arbitrary bytes. Swap in PIL/ffmpeg for full
+codec coverage in production.
 
 Scale notes: payloads dominate bytes, so
 - mapInPandas with a SMALL ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -64,16 +68,80 @@ def to_media_table(
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """A REAL, spec-valid PNG from the stdlib alone (PNG spec, RFC 2083:
+    signature + IHDR + zlib IDAT + IEND, CRC32 per chunk): 8-bit RGB,
+    filter 0 scanlines, solid ``rgb`` fill. Deterministic bytes for a
+    given (width, height, rgb) — zlib level 6 output is fixed for a
+    fixed input. Exists so the media pipeline can be exercised
+    end-to-end on genuinely ENCODED payloads in this container (PIL is
+    not installed here): the only path from these bytes back to
+    (width, height) is parsing the format."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    scanline = b"\x00" + bytes(rgb) * width
+    idat = zlib.compress(scanline * height, 6)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_ihdr(payload: bytes) -> dict | None:
+    """Real PNG decode of the header: verify the 8-byte signature and the
+    IHDR chunk tag, then read the big-endian width/height (and frame
+    count from an APNG acTL chunk when present, else 1). Returns None
+    for non-PNG bytes. Pure stdlib — the real-decode branch that works
+    in this container; PIL (below) stays the branch for formats whose
+    headers aren't this simple."""
+    import struct
+
+    if len(payload) < 33 or payload[:8] != _PNG_SIG or payload[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", payload[16:24])
+    n_frames = 1
+    actl = payload.find(b"acTL")
+    if 0 < actl <= len(payload) - 8:
+        n_frames = max(1, struct.unpack(">I", payload[actl + 4:actl + 8])[0])
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": int(n_frames),
+        "fingerprint": hashlib.md5(payload).hexdigest(),
+    }
+
+
 def _decode_payload(payload: bytes) -> dict:
-    """Decoder with an optional real branch: when PIL is importable and the
-    payload is a decodable image, return its TRUE dimensions; otherwise a
-    deterministic digest-derived stub (matching the SQL oracle: width =
-    16 + hexbyte0 % 64, etc. — the harness feeds UTF-8 text payloads, so
-    the oracle always exercises the stub branch even when PIL exists).
+    """Decoder with real branches first, digest stub last:
+
+    1. PNG: stdlib header parse (``_png_ihdr``) — TRUE dimensions, always
+       available in this container;
+    2. PIL, when importable — TRUE dimensions for any format it knows;
+    3. deterministic digest-derived stub (matching the SQL oracle:
+       width = 16 + hexbyte0 % 64, etc. — the harness's TEXT payloads
+       always exercise this branch, keeping the stub oracle-checkable).
 
     The stub fallback on undecodable bytes is the documented harness
     contract, not error suppression — a production ingest would route
     decode failures to a quarantine table instead."""
+    png = _png_ihdr(payload)
+    if png is not None:
+        return png
     if HAVE_PIL:
         try:
             im = _PILImage.open(io.BytesIO(payload))
@@ -92,6 +160,33 @@ def _decode_payload(payload: bytes) -> dict:
         "n_frames": 1 + int(d[4:6], 16) % 8,
         "fingerprint": d,
     }
+
+
+def synth_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL-PNG media table: one image per id, dimensions
+    and fill color derived from the id by closed formulas (width =
+    16 + id % 48, height = 16 + (id·7) % 48, rgb from id bytes) — so an
+    SQL oracle can recompute the EXPECTED dimensions from the id alone,
+    while the engine can only recover them by actually parsing the PNG
+    bytes it generated. mapInPandas, schema = MEDIA_SCHEMA."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                m = int(mid)
+                w = 16 + m % 48
+                h = 16 + (m * 7) % 48
+                rgb = (m % 256, (m * 3) % 256, (m * 5) % 256)
+                payload = png_encode(w, h, rgb)
+                rows.append((m, "image", payload, len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "byte_len"]
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
 
 
 def extract_metadata(media: DataFrame) -> DataFrame:
