@@ -85,7 +85,7 @@ def warmup_setup(spark) -> str:
     return raw
 
 
-def transcript_pipeline(spark, out_root: str, raw: str) -> None:
+def transcript_pipeline(spark, out_root: str, raw: str) -> dict[str, float]:
     """scan transcripts → signal pack → 1m→1h→1d cascade. The raw-volume
     job writes the 1m tier once in WIDE-STATS form (one row per
     (conv, minute), all metrics' components — the TimescaleDB continuous-
@@ -93,17 +93,32 @@ def transcript_pipeline(spark, out_root: str, raw: str) -> None:
     small scratch, so raw is scanned exactly once and no cascade shuffle
     ever carries per-metric rows or a string metric key. Public long-form
     tiers are post-agg unpivots. (Counting the outputs is bookkeeping, not
-    pipeline — see count_outputs.)"""
+    pipeline — see count_outputs.)
+
+    Returns per-stage wall seconds so the artifact can quantify the
+    residual serial component against the box's own thread-scaling
+    ceiling (BENCH derived.stage_breakdown): stage 1 = the raw-volume
+    job (scan + signal derivation + wide 1m rollup + its write), stage
+    2 = the publish cascade (1h/1d levels + long-form unpivots over the
+    small scratch — output-commit/AQE-planning heavy, the part that
+    amortizes worst at small inputs)."""
     mets = features.DEFAULT_METRICS
+    t0 = time.time()
     t = spark.read.parquet(raw)
     wide = features.derive_features_chunked(t)
     g1m = rollup.rollup_from_raw_wide_stats(wide, mets, "1m")
     g1m.write.mode("overwrite").parquet(f"{out_root}/tier_1m_wide")
+    t1 = time.time()
     # overlapped publish: each tier's long-form unpivot write runs
     # concurrently with the next cascade level (independent jobs over the
     # same scratch) — the post-rollup tail is two overlap groups instead
     # of five sequential small jobs (see rollup.publish_cascade_wide)
     rollup.publish_cascade_wide(spark, out_root, mets)
+    t2 = time.time()
+    return {
+        "scan_signal_rollup1m_write": round(t1 - t0, 3),
+        "publish_cascade": round(t2 - t1, 3),
+    }
 
 
 def count_outputs(spark, out_root: str) -> tuple[int, int]:
@@ -280,6 +295,15 @@ def headline_queries(spark) -> dict[str, float]:
 
 
 def main() -> None:
+    # keep the artifact tail clean: everything that is not the final JSON
+    # line — Spark/JVM logs, shutdown-thread stack noise (the r4 artifact
+    # caught a ScheduledThreadPoolExecutor fragment), python warnings —
+    # goes to a side log, so any tail of this process's output IS the
+    # result line. Set SPARK_GRAFT_BENCH_STDERR=1 to keep stderr visible.
+    if os.environ.get("SPARK_GRAFT_BENCH_STDERR", "") != "1":
+        _elog = open("/tmp/tsengine_bench_stderr.log", "w")
+        os.dup2(_elog.fileno(), 2)
+
     queries: dict[str, float] = {}
     derived: dict[str, float] = {}
 
@@ -299,13 +323,12 @@ def main() -> None:
     small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "2"))
     big = small * 4
 
-    def run_pipeline_at(cores: int) -> tuple[float, int, int]:
+    def run_pipeline_at(cores: int) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--pipeline", str(cores)],
             capture_output=True, text=True, check=True,
         )
-        r = json.loads(out.stdout.strip().splitlines()[-1])
-        return r["sec"], r["turns"], r["pts"]
+        return json.loads(out.stdout.strip().splitlines()[-1])
 
     # pre-generate the shared input once at full parallelism so the first
     # worker subprocess doesn't pay generation at 2 cores
@@ -336,6 +359,7 @@ def main() -> None:
     best: dict[int, float] = {}
     effs: list[float] = []
     windows: list[dict] = []
+    stage_breakdown: dict[str, float] = {}
     n_turns = n_pts = 0
     for r in range(outer):
         pair: dict[int, float] = {}
@@ -344,8 +368,11 @@ def main() -> None:
         # the ratio one way
         order = (small, big) if r % 2 == 0 else (big, small)
         for cores in order:
-            sec, n_turns, n_pts = run_pipeline_at(cores)
+            res = run_pipeline_at(cores)
+            sec, n_turns, n_pts = res["sec"], res["turns"], res["pts"]
             pair[cores] = sec
+            if cores == big and sec <= best.get(cores, float("inf")):
+                stage_breakdown = res.get("stages", {})
             best[cores] = min(best.get(cores, sec), sec)
         eff = (pair[small] / pair[big]) / factor
         effs.append(eff)
@@ -388,6 +415,7 @@ def main() -> None:
         derived["turns_2x"] = r2x["turns"]
         derived["rolled_points_2x"] = r2x["pts"]
         derived[f"turns_2x_per_sec_local{big}"] = round(r2x["turns"] / r2x["sec"], 1)
+        derived["stage_breakdown_2x"] = r2x.get("stages", {})
 
     derived["turns"] = n_turns
     derived["rolled_points"] = n_pts
@@ -399,6 +427,11 @@ def main() -> None:
     derived["scaling_efficiency_median"] = round(effs[len(effs) // 2], 3)
     derived["scaling_pair_rounds"] = len(effs)
     derived["windows"] = windows
+    # per-stage split of the best local[big] pass: quantifies how much of
+    # the wall is the raw-volume stage (scales with cores) vs the publish
+    # cascade (output-commit/AQE-planning heavy — the serial residual that
+    # keeps the paired median below the box's 0.78 pure-CPU ceiling)
+    derived["stage_breakdown"] = stage_breakdown
 
     total = round(sum(queries.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -432,12 +465,17 @@ def pipeline_worker(cores: int) -> None:
     raw = synth_setup(spark)  # data-source materialization (untimed, shared)
     transcript_pipeline(spark, f"{out}_warm", warmup_setup(spark))  # JIT warm-up (not reported)
     best = None
+    stages: dict[str, float] = {}
     for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_INNER", "1"))):
-        sec, _ = timed(lambda: transcript_pipeline(spark, out, raw))
+        t0 = time.time()
+        st = transcript_pipeline(spark, out, raw)
+        sec = time.time() - t0
         if best is None or sec < best:
-            best = sec
+            best, stages = sec, st
     turns, pts = count_outputs(spark, out)
-    print(json.dumps({"sec": round(best, 3), "turns": turns, "pts": pts}))
+    print(json.dumps(
+        {"sec": round(best, 3), "turns": turns, "pts": pts, "stages": stages}
+    ))
 
 
 if __name__ == "__main__":

@@ -447,6 +447,27 @@ def main() -> None:
           ).alias("z")),
           ["codegen", "no_cartesian"])
 
+    # round-5 additions
+    from tsengine import sketches
+
+    ins = ev.select("metric", F.col("conv_id").alias("key")).distinct()
+    bloom_bits = sketches.bloom_build(ins, "key", ["metric"])
+    probes = ev.select("metric").distinct().crossJoin(
+        spark.range(0, 450).select(F.col("id").cast("string").alias("probe"))
+    )
+    # (probes is a 5×450 constant grid — its crossJoin plans as the waived
+    # tiny-dim NLJ, same as the 24-hour grids, so no_cartesian is not
+    # asserted here; the data-volume paths are the build dedup + bit join)
+    audit("bloom membership probe (broadcast bit join, partial dedup)",
+          sketches.bloom_query(bloom_bits, probes, "probe", ["metric"]),
+          ["partial_agg"])
+    audit("kalman chunked pass (one grouped-pandas shuffle per chunk)",
+          eq.QUERIES["ts_kalman_chunked"](spark, sf),
+          ["no_cartesian"])
+    audit("png media decode (mapInPandas scan stages, zero exchange)",
+          eq.QUERIES["mm_png_roundtrip"](spark, sf),
+          ["single_exchange", "no_cartesian"])
+
 
 if __name__ == "__main__":
     main()
