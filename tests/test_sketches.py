@@ -179,3 +179,57 @@ def test_bloom_groups_independent(spark):
     got = sketches.bloom_query(bits, probes, "uid", ["grp"]).collect()
     fp = sum(1 for r in got if r["bloom_member"])
     assert fp <= 2  # only chance collisions, never b's actual bits
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    df = _member_df(spark, range(20))
+    est = sketches.kmv_estimate(
+        sketches.kmv_sample(df, "uid", ["grp"]), ["grp"]
+    ).collect()[0]
+    assert est["n_sample"] == 20
+    assert est["kmv_est"] == 20.0
+
+
+def test_kmv_estimate_reasonable_above_k(spark):
+    df = _member_df(spark, range(1000))
+    est = sketches.kmv_estimate(
+        sketches.kmv_sample(df, "uid", ["grp"]), ["grp"]
+    ).collect()[0]
+    assert est["n_sample"] == 32
+    # ~1/sqrt(k-2) ≈ 18% relative error; generous deterministic bounds
+    assert 400 < est["kmv_est"] < 2500
+
+
+def test_kmv_duplicates_do_not_inflate(spark):
+    import pandas as pd
+
+    ids = [str(i) for i in range(40)] * 5  # heavy duplication
+    df = spark.createDataFrame(pd.DataFrame({"grp": "g", "uid": ids}))
+    est = sketches.kmv_estimate(
+        sketches.kmv_sample(df, "uid", ["grp"]), ["grp"]
+    ).collect()[0]
+    single = sketches.kmv_estimate(
+        sketches.kmv_sample(_member_df(spark, range(40)), "uid", ["grp"]),
+        ["grp"],
+    ).collect()[0]
+    assert est["kmv_est"] == single["kmv_est"]
+
+
+def test_kmv_merge_is_rebuild(spark):
+    d1 = _member_df(spark, range(0, 300))
+    d2 = _member_df(spark, range(200, 600))
+    merged = sketches.kmv_merge(
+        sketches.kmv_sample(d1, "uid", ["grp"]).unionByName(
+            sketches.kmv_sample(d2, "uid", ["grp"])
+        ),
+        ["grp"],
+    )
+    direct = sketches.kmv_sample(d1.unionByName(d2), "uid", ["grp"])
+    m = sorted(r["hv"] for r in merged.collect())
+    d = sorted(r["hv"] for r in direct.collect())
+    assert m == d

@@ -657,3 +657,66 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         textops.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing embedding
+# ---------------------------------------------------------------------------
+
+
+def test_hash_embed_unit_norm_and_determinism(spark):
+    import numpy as np
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "alpha beta gamma delta epsilon",
+                    "alpha alpha alpha",
+                    "one two three four five six seven eight nine ten",
+                ],
+            }
+        )
+    )
+    out = textops.hash_embed(docs, dim=16).toPandas()
+    for did, g in out.groupby("doc_id"):
+        assert abs(np.sqrt((g["val"] ** 2).sum()) - 1.0) < 1e-5
+    # repeated token: one support row, |val| = 1
+    d2 = out[out["doc_id"] == 2]
+    assert len(d2) == 1 and abs(abs(d2["val"].iloc[0]) - 1.0) < 1e-9
+    assert abs(int(d2["raw"].iloc[0])) == 3
+    # deterministic across calls
+    again = textops.hash_embed(docs, dim=16).toPandas()
+    a = out.sort_values(["doc_id", "dim_idx"]).reset_index(drop=True)
+    b = again.sort_values(["doc_id", "dim_idx"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_hash_embed_similar_docs_closer(spark):
+    import numpy as np
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox leaps over the lazy dog",
+                    "completely unrelated words about spark engines",
+                ],
+            }
+        )
+    )
+    out = textops.hash_embed(docs, dim=16).toPandas()
+
+    def vec(did):
+        v = np.zeros(16)
+        g = out[out["doc_id"] == did]
+        v[g["dim_idx"].to_numpy()] = g["val"].to_numpy()
+        return v
+
+    v1, v2, v3 = vec(1), vec(2), vec(3)
+    assert v1 @ v2 > v1 @ v3

@@ -5925,6 +5925,76 @@ def ts_bloom_member(spark, sf_dir):
     )
 
 
+@q(
+    "text_hash_embed",
+    f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+      FROM t),
+b AS (SELECT doc_id, hv % 16 AS dim_idx,
+             CASE WHEN (hv // 1048576) % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM h),
+a AS (SELECT doc_id, dim_idx::BIGINT AS dim_idx, sum(s)::BIGINT AS raw
+      FROM b GROUP BY 1, 2),
+n AS (SELECT doc_id, sum(raw * raw) AS n2 FROM a GROUP BY 1)
+SELECT a.doc_id, a.dim_idx, a.raw,
+       round(a.raw / sqrt(n.n2) + 5e-10, 6) AS val
+FROM a JOIN n USING (doc_id) WHERE n.n2 > 0
+""",
+)
+def text_hash_embed(spark, sf_dir):
+    """Feature-hashing document embedding (`textops.hash_embed`, dim=16
+    — the Weinberger et al. 2009 hashing trick): the vocabularyless
+    embed step of a training pipeline, bucket = md5-carve % dim with an
+    independent sign bit (bit 20), per-dim signed counts L2-normalized.
+    Unlike a learned encoder this embedding is exactly reproducible in
+    ANSI SQL, so the whole embed stage is hash-verified like any other
+    operator. Long-form output (support rows only); raw and norm² are
+    integer-exact, sqrt + divide are the only float ops. Shape: explode
+    → one token-volume partial-agg exchange (≤ dim rows per doc
+    survive) + one agg-sized window."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return textops.hash_embed(docs, dim=16)
+
+
+@q(
+    "ts_kmv_distinct",
+    f"""
+WITH ev AS ({_EV}),
+d AS (SELECT DISTINCT metric,
+             ('0x' || substr(md5(conv_id), 1, 15))::BIGINT AS hv
+      FROM ev),
+rk AS (SELECT metric, hv,
+              row_number() OVER (PARTITION BY metric ORDER BY hv) AS rk
+       FROM d),
+s AS (SELECT metric, hv FROM rk WHERE rk <= 32),
+agg AS (SELECT metric, count(*)::BIGINT AS n_sample, max(hv) AS vk FROM s
+        GROUP BY 1)
+SELECT metric, n_sample,
+       round(CASE WHEN n_sample < 32 THEN n_sample::DOUBLE
+                  ELSE 31.0::DOUBLE * 1152921504606846976.0::DOUBLE
+                       / vk::DOUBLE END, 2) AS kmv_est
+FROM agg
+""",
+)
+def ts_kmv_distinct(spark, sf_dir):
+    """KMV bottom-k distinct sketch (`sketches.kmv_sample/kmv_estimate`,
+    k=32 — Bar-Yossef et al. 2002 / Beyer et al. 2007): per metric, the
+    32 smallest md5-carved hashes of the conv_ids — simultaneously a
+    deterministic uniform sample of the distinct set and a mergeable
+    distinct-count estimator est = (k−1)·2^60 / v_k (exact when fewer
+    than k distinct values exist). Completes the sketch family: HLL =
+    how many distinct, CMS = how often, bloom = was it there, KMV = and
+    WHICH ones (a sample you can join back). Merge = distinct-union +
+    re-rank, merge ≡ rebuild tested. Shape: digest-keyed distinct with
+    map-side partial dedup, then a rank window over distinct counts
+    only."""
+    ev = _events_long(spark, sf_dir)
+    s = sketches.kmv_sample(ev, "conv_id", ["metric"])
+    return sketches.kmv_estimate(s, ["metric"])
+
+
 # ===========================================================================
 # Flagship entry
 # ===========================================================================
@@ -5971,7 +6041,7 @@ _DRIVER_COVERED_R1_R4 = frozenset({
 # plus this round's new operators (never had any verification round yet)
 _ROTATION_FRONT = [
     "ts_kalman_chunked", "ts_holt_winters_chunked", "ts_bloom_member",
-    "vec_opq_topk", "mm_png_roundtrip",
+    "vec_opq_topk", "mm_png_roundtrip", "text_hash_embed", "ts_kmv_distinct",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]

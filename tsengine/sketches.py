@@ -286,3 +286,70 @@ def bloom_query(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum values) bottom-k sketch: the SAMPLE sibling (HLL → how
+# many distinct as registers, KMV → the k smallest distinct hash values —
+# simultaneously a deterministic uniform sample of the distinct set AND a
+# distinct-count estimator est = (k−1)·2^60 / v_k, Bar-Yossef et al.
+# RANDOM 2002 / Beyer et al. SIGMOD 2007). Same house rules: md5-carved
+# hashes reproduce bit-identically in SQL; merge = distinct-union then
+# re-take the k smallest, so merge(day sketches) ≡ sketch(all days) and
+# the retention tiers can carry it. Exact below k (n < k distinct values
+# → the sketch IS the distinct set), ~1/√(k−2) relative error above.
+# ---------------------------------------------------------------------------
+
+KMV_K = 32
+_KMV_RANGE = float(1 << 60)  # hash domain size, exactly representable
+
+
+def kmv_sample(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group bottom-k: (group..., hv, rk) — the KMV_K smallest
+    distinct 60-bit hash values. One distinct (digest-keyed, uniform)
+    + one rank window over ≤ the distinct count; at 100 TB the partial
+    dedup compacts map-side and only distinct hashes reach the sort."""
+    from pyspark.sql import Window
+
+    h = _h60(F.col(value_col).cast("string"))
+    d = df.select(*group_cols, h.alias("hv")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= KMV_K)
+    )
+
+
+def kmv_merge(samples: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge sample sets (e.g. daily → monthly): distinct-union then keep
+    the k smallest again — the lossless KMV union."""
+    from pyspark.sql import Window
+
+    d = samples.select(*group_cols, "hv").distinct()
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= KMV_K)
+    )
+
+
+def kmv_estimate(samples: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Distinct-count estimate per group: exact count when fewer than k
+    hashes exist (the sketch saw every distinct value), else
+    (k−1)·2^60 / v_k with v_k = the k-th smallest hash. Two float ops on
+    integer-exact operands; rounded to 2 dp."""
+    agg = samples.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_sample"),
+        F.max("hv").alias("_vk"),
+    )
+    est = F.when(
+        F.col("n_sample") < F.lit(KMV_K),
+        F.col("n_sample").cast("double"),
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(_KMV_RANGE) / F.col("_vk").cast("double")
+    )
+    return agg.select(
+        *group_cols, "n_sample", F.round(est, 2).alias("kmv_est")
+    )

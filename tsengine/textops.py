@@ -1340,3 +1340,57 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_tok"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def hash_embed(
+    docs: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing document embedding (the hashing trick —
+    Weinberger, Dasgupta, Langford, Smola & Attenberg, ICML 2009): each
+    token lands in bucket ``h60(token) % dim`` with sign ±1 drawn from an
+    independent hash bit (bit 20 — disjoint from the bucket's low bits),
+    per-dim signed counts are L2-normalized. The embed step of a training
+    pipeline when no model is available: deterministic, vocabularyless,
+    and — unlike a learned encoder — exactly reproducible in ANSI SQL,
+    so the driver can hash-verify it like any other operator.
+
+    Output is LONG form, non-zero-support rows only: (id, dim_idx,
+    raw signed count, normalized val). Documents whose signs fully
+    cancel (norm 0) emit nothing — "cannot characterize", same semantic
+    as burstiness. raw is integer-exact; norm² = Σ raw² is integer-exact
+    too, so the single sqrt + divide are the only float ops and both
+    engines compute them on identical operands.
+
+    Shape for 100 TB: explode → ONE token-volume exchange (partial agg
+    on (id, bucket) — at most ``dim`` rows per doc survive), then the
+    doc-level norm is a second agg-sized exchange. No UDF, no driver."""
+    from pyspark.sql import Window
+
+    t = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+    h = _h60(F.col("_tok"))
+    sign = F.when(F.shiftright(h, 20) % 2 == 0, 1).otherwise(-1)
+    agg = t.groupBy(
+        id_col, (h % F.lit(dim)).cast("long").alias("dim_idx")
+    ).agg(F.sum(sign).cast("long").alias("raw"))
+    n2 = F.sum(F.col("raw") * F.col("raw")).over(
+        Window.partitionBy(id_col)
+    )
+    return (
+        agg.withColumn("_n2", n2)
+        .where(F.col("_n2") > 0)
+        .select(
+            id_col,
+            "dim_idx",
+            "raw",
+            F.round(
+                F.col("raw") / F.sqrt(F.col("_n2").cast("double"))
+                + F.lit(5e-10),
+                6,
+            ).alias("val"),
+        )
+    )
