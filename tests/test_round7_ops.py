@@ -1,0 +1,121 @@
+"""Round-7-session operators: SQ8 scalar-quantization ANN and per-series
+higher central moments — numpy twins + invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tsengine import indicators, vecops
+
+RNG = np.random.default_rng(11)
+N, D = 40, 16
+VECS = RNG.normal(size=(N, D)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [(i, [float(x) for x in VECS[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _np_sq8(base, q, k):
+    """numpy twin of sq8_topk: same train/encode/reconstruct recipe."""
+    X = base.astype(np.float64)
+    mn, mx = X.min(axis=0), X.max(axis=0)
+    rng = mx - mn
+    step = np.where(rng == 0, 0.0, rng / 255.0)
+    codes = np.where(
+        rng == 0,
+        0,
+        np.clip(np.floor((X - mn) / np.where(rng == 0, 1, rng) * 255.0 + 0.5), 0, 255),
+    ).astype(np.int64)
+    recon = mn + codes * step
+    d = ((np.asarray(q, dtype=np.float64) - recon) ** 2).sum(axis=1)
+    order = sorted(range(len(d)), key=lambda i: (round(d[i], 6), i))
+    return codes, d, order[:k]
+
+
+def test_sq8_matches_numpy_twin(emb):
+    from pyspark.sql import functions as F
+
+    q = [float(x) for x in VECS[0]]
+    base_ids = list(range(1, N))
+    got = vecops.sq8_topk(
+        emb.where(F.col("vec_id") != 0), q, k=10
+    ).toPandas()
+    codes, d, order = _np_sq8(VECS[1:], q, 10)
+    # numpy row i is vec_id i+1
+    assert list(got["vec_id"]) == [base_ids[i] for i in order]
+    for _, row in got.iterrows():
+        i = base_ids.index(row["vec_id"])
+        assert row["sq_code"] == "-".join(str(c) for c in codes[i])
+        assert abs(row["sq_dist"] - round(d[i] + 5e-10, 6)) < 2e-6
+
+
+def test_sq8_recall_vs_exact(emb):
+    # 8 bits/dim is near-lossless on gaussian data: the quantized top-10
+    # must share >= 8 ids with the exact-L2 top-10 and agree on the NN
+    from pyspark.sql import functions as F
+
+    q = [float(x) for x in VECS[5]]
+    got = vecops.sq8_topk(emb.where(F.col("vec_id") != 5), q, k=10).toPandas()
+    X = np.delete(VECS.astype(np.float64), 5, axis=0)
+    ids = [i for i in range(N) if i != 5]
+    exact = ((np.asarray(q) - X) ** 2).sum(axis=1)
+    top_exact = [ids[i] for i in np.argsort(exact)[:10]]
+    assert len(set(got["vec_id"]) & set(top_exact)) >= 8
+    assert got["vec_id"].iloc[0] == top_exact[0]
+
+
+def test_sq8_degenerate_dimension(spark):
+    # a constant dimension must encode as code 0 and contribute (q-mn)^2
+    rows = [(i, [float(i), 7.0]) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = vecops.sq8_topk(df, [2.0, 9.0], k=5).toPandas()
+    assert all(c.endswith("-0") for c in got["sq_code"])
+    # nearest to 2.0 on the varying dim is vec 2; constant dim adds 4.0
+    assert got["vec_id"].iloc[0] == 2
+    assert abs(got["sq_dist"].iloc[0] - 4.0) < 1e-4
+
+
+def _series_df(spark, vals):
+    rows = [("c1", "m", float(v)) for v in vals]
+    return spark.createDataFrame(rows, "conv_id string, metric string, value double")
+
+
+def test_moments_match_numpy(spark):
+    vals = list(RNG.gamma(2.0, 3.0, size=200))  # right-skewed
+    got = indicators.moments(_series_df(spark, vals)).toPandas()
+    assert len(got) == 1
+    a = np.asarray(vals, dtype=np.float64)
+    m = a.mean()
+    m2 = ((a - m) ** 2).mean()
+    m3 = ((a - m) ** 3).mean()
+    m4 = ((a - m) ** 4).mean()
+    r = got.iloc[0]
+    assert r["n_obs"] == 200
+    assert abs(r["mean"] - m) < 1e-5
+    assert abs(r["var_pop"] - m2) < 1e-4
+    assert abs(r["skew_pop"] - m3 / m2**1.5) < 1e-4
+    assert abs(r["kurt_excess"] - (m4 / m2**2 - 3.0)) < 1e-4
+    assert r["skew_pop"] > 0  # gamma(2) is right-skewed
+
+
+def test_moments_drop_degenerate_series(spark):
+    # constant series (zero variance) and too-short series both drop
+    rows = [("flat", "m", 5.0)] * 10 + [("short", "m", 1.0), ("short", "m", 2.0)]
+    df = spark.createDataFrame(rows, "conv_id string, metric string, value double")
+    assert indicators.moments(df).count() == 0
+
+
+def test_moments_shift_invariance(spark):
+    # identical shape at a huge offset: the min-shift keeps skew/kurt
+    # stable where raw power sums would cancel catastrophically
+    base = list(RNG.normal(size=500))
+    lo = indicators.moments(_series_df(spark, base)).toPandas().iloc[0]
+    hi = indicators.moments(
+        _series_df(spark, [v + 1e7 for v in base])
+    ).toPandas().iloc[0]
+    assert abs(lo["skew_pop"] - hi["skew_pop"]) < 1e-3
+    assert abs(lo["kurt_excess"] - hi["kurt_excess"]) < 1e-3

@@ -467,6 +467,17 @@ def main() -> None:
     audit("png media decode (mapInPandas scan stages, zero exchange)",
           eq.QUERIES["mm_png_roundtrip"](spark, sf),
           ["single_exchange", "no_cartesian"])
+    # SQ8 ANN: encode + ADC are pure scalar exprs — the query side must
+    # plan with NO join of any kind and codegen end to end (the trained
+    # min/max live as literals, not a codebook table)
+    sq8 = eq.QUERIES["vec_sq8_topk"](spark, sf)
+    p_sq8 = plan_of(sq8)
+    flag = "OK " if ("Join" not in p_sq8 and CHECKS["codegen"](p_sq8)) else "WARN"
+    print(f"{flag} sq8 ANN (scan-speed encode+ADC): joinless={'Join' not in p_sq8}, "
+          f"codegen={CHECKS['codegen'](p_sq8)}")
+    audit("moments (window partitioning reused by groupBy, one exchange)",
+          eq.QUERIES["ts_moments"](spark, sf),
+          ["single_exchange", "partial_agg", "no_cartesian"])
 
 
 if __name__ == "__main__":

@@ -3970,6 +3970,51 @@ def ts_burstiness(spark, sf_dir):
 
 
 @q(
+    "ts_moments",
+    f"""
+WITH ev AS ({_EV}),
+b AS (SELECT conv_id, metric, value,
+             min(value) OVER (PARTITION BY conv_id, metric) AS mn
+      FROM ev),
+g AS (SELECT conv_id, metric, count(*)::DOUBLE AS n, min(mn) AS mn,
+             sum(value - mn) AS s1,
+             sum((value - mn) * (value - mn)) AS s2,
+             sum((value - mn) * (value - mn) * (value - mn)) AS s3,
+             sum((value - mn) * (value - mn) * (value - mn) * (value - mn))
+               AS s4
+      FROM b GROUP BY 1, 2),
+m AS (SELECT conv_id, metric, n, mn, s1 / n AS md, s2, s3, s4 FROM g),
+c AS (SELECT conv_id, metric, n, mn, md, s2,
+             {indicators.MOMENT_EXPRS["m2"]} AS m2,
+             {indicators.MOMENT_EXPRS["m3"]} AS m3,
+             {indicators.MOMENT_EXPRS["m4"]} AS m4
+      FROM m)
+SELECT conv_id, metric, n::BIGINT AS n_obs,
+       round(mn + md, 6) AS mean,
+       round(m2, 6) AS var_pop,
+       round(m3 / (m2 * sqrt(m2)), 5) AS skew_pop,
+       round(m4 / (m2 * m2) - 3.0, 5) AS kurt_excess
+FROM c WHERE n >= 3 AND m2 > 1e-12 * (s2 / n)
+""",
+)
+def ts_moments(spark, sf_dir):
+    """Per-series higher central moments (`indicators.moments`):
+    population variance, skewness g1 = m3/m2^1.5 and excess kurtosis
+    g2 = m4/m2² − 3 from reaggregable power sums — the
+    finalize-from-components contract of `rollup.finalize` extended two
+    moments up, so tier blobs could carry (n, s1..s4) and merge
+    losslessly. Sums are taken over values shifted by the exact
+    per-series window-min (selection, not arithmetic — shift-invariant
+    moments, no catastrophic cancellation when mean ≫ std); the window's
+    hash partitioning is reused by the groupBy, one exchange total. The
+    moment-combination expressions are the SAME text on both engines
+    (`indicators.MOMENT_EXPRS`), and m2^1.5 is spelled m2·sqrt(m2)
+    because sqrt is IEEE-exact while pow may differ by an ulp."""
+    ev = _events_long(spark, sf_dir)
+    return indicators.moments(ev)
+
+
+@q(
     "ts_m4_downsample",
     f"""
 WITH ev AS ({_EV}),
@@ -5076,6 +5121,62 @@ def vec_opq_topk(spark, sf_dir):
     return vecops.opq_topk(base, qv, k=10, n_codes=16, m_sub=2, n_train=256)
 
 
+def _sq8_sql(dim: int = 64, k: int = 10) -> str:
+    """SQ8 oracle: recompute the per-dimension min/max (exact selections
+    — bitwise-equal to the literals the Spark side collected), quantize
+    with the identical floor-of-shifted-value expression, and rank by
+    the identical unrolled reconstruction-distance chain. floor-then-
+    CAST is deliberate: DuckDB's double→INTEGER cast rounds while
+    Spark's truncates, but both are exact on floor's integral output."""
+    st_cols = ", ".join(
+        f"min(v[{i + 1}]) AS mn{i}, max(v[{i + 1}]) AS mx{i}"
+        for i in range(dim)
+    )
+    codes = ", ".join(
+        f"CASE WHEN mx{i} - mn{i} = 0 THEN 0 ELSE"
+        f" least(greatest(CAST(floor((v[{i + 1}] - mn{i})"
+        f" / (mx{i} - mn{i}) * 255.0 + 0.5) AS INTEGER), 0), 255) END"
+        f" AS c{i}"
+        for i in range(dim)
+    )
+    recon = {
+        i: f"(mn{i} + c{i} * ((mx{i} - mn{i}) / 255.0))" for i in range(dim)
+    }
+    terms = " + ".join(
+        f"(qv[{i + 1}] - {recon[i]}) * (qv[{i + 1}] - {recon[i]})"
+        for i in range(dim)
+    )
+    code_str = " || '-' || ".join(f"c{i}::VARCHAR" for i in range(dim))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id <> 0),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+st AS (SELECT {st_cols} FROM e),
+c AS (SELECT vec_id, {codes} FROM e CROSS JOIN st),
+d AS (SELECT vec_id, {code_str} AS sq_code, {terms} AS dist
+      FROM c CROSS JOIN st CROSS JOIN q)
+SELECT vec_id, sq_code, round(dist + 5e-10, 6) AS sq_dist
+FROM d ORDER BY round(dist, 6), vec_id LIMIT {k}
+"""
+
+
+@q("vec_sq8_topk", _sq8_sql())
+def vec_sq8_topk(spark, sf_dir):
+    """Scalar-quantization ANN (`vecops.sq8_topk`, the FAISS
+    ScalarQuantizer / Lucene int8-storage recipe): every dimension
+    uniformly quantized to one byte against per-dimension [min, max]
+    trained from the base set (one aggregate job, 2·d driver scalars —
+    the `pq_codebooks` bounded-collect contract), ranked by the true
+    query against the dequantized reconstruction. Unlike PQ there is no
+    codebook join anywhere — encode and ADC are pure scalar exprs at
+    scan speed, so at 100 TB the stored byte codes (4× smaller than
+    float32) are the only thing the query reads. Top-10 by the
+    6-dp-rounded distance with vec_id tie-break."""
+    qv = _query_vec(spark, sf_dir)
+    base = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    return vecops.sq8_topk(base, qv, k=10)
+
+
 def _ivfpq_sql(
     n_centroids: int = 8,
     nprobe: int = 2,
@@ -6042,6 +6143,7 @@ _DRIVER_COVERED_R1_R4 = frozenset({
 _ROTATION_FRONT = [
     "ts_kalman_chunked", "ts_holt_winters_chunked", "ts_bloom_member",
     "vec_opq_topk", "mm_png_roundtrip", "text_hash_embed", "ts_kmv_distinct",
+    "vec_sq8_topk", "ts_moments",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]

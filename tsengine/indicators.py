@@ -145,3 +145,68 @@ def duration_curve(
 
     w = W.partitionBy(key).orderBy(F.col(value).desc(), F.col(ts))
     return df.select(key, ts, value).withColumn("rank", F.row_number().over(w))
+
+
+# shared by the Spark side and the DuckDB oracle (entry `ts_moments`):
+# identical text ⇒ identical association order ⇒ doubles agree to ulp,
+# which the 5/6-dp rounding then makes bitwise-equal cross-engine.
+MOMENT_EXPRS = {
+    "m2": "s2 / n - md * md",
+    "m3": "s3 / n - 3.0 * md * s2 / n + 2.0 * md * md * md",
+    "m4": (
+        "s4 / n - 4.0 * md * s3 / n + 6.0 * md * md * s2 / n"
+        " - 3.0 * md * md * md * md"
+    ),
+}
+
+
+def moments(df: DataFrame, min_n: int = 3) -> DataFrame:
+    """Per-series higher central moments — population variance, skewness
+    (g1 = m3/m2^1.5) and excess kurtosis (g2 = m4/m2² − 3) — from
+    reaggregable power sums, the same finalize-from-components contract
+    as `rollup.finalize` (mean/std) extended two moments up.
+
+    Numerics: power sums of raw values cancel catastrophically when
+    mean ≫ std, so every sum is taken over values SHIFTED by the exact
+    per-series min (an unbounded window `min` — selection, not
+    arithmetic, hence bitwise-identical in any engine; central moments
+    are shift-invariant). One exchange total: the window's hash
+    partitioning on (conv_id, metric) is exactly the distribution the
+    groupBy needs, so Catalyst plans no second shuffle, and the power
+    sums partial-aggregate map-side. m2^1.5 is spelled `m2 * sqrt(m2)`
+    because sqrt is IEEE-exact everywhere while pow() may differ by an
+    ulp between libm and the JVM. Degenerate series (n < min_n or
+    relative m2 below 1e-12) drop on both engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id", "metric")
+    d = (
+        df.withColumn("_mn", F.min("value").over(w))
+        .withColumn("_d", F.col("value") - F.col("_mn"))
+    )
+    g = d.groupBy("conv_id", "metric").agg(
+        F.count("*").cast("double").alias("n"),
+        F.min("_mn").alias("mn"),
+        F.sum("_d").alias("s1"),
+        F.sum(F.expr("_d * _d")).alias("s2"),
+        F.sum(F.expr("_d * _d * _d")).alias("s3"),
+        F.sum(F.expr("_d * _d * _d * _d")).alias("s4"),
+    )
+    m = g.withColumn("md", F.expr("s1 / n"))
+    c = (
+        m.withColumn("m2", F.expr(MOMENT_EXPRS["m2"]))
+        .withColumn("m3", F.expr(MOMENT_EXPRS["m3"]))
+        .withColumn("m4", F.expr(MOMENT_EXPRS["m4"]))
+    )
+    return (
+        c.where(F.expr(f"n >= {int(min_n)} AND m2 > 1e-12 * (s2 / n)"))
+        .select(
+            "conv_id",
+            "metric",
+            F.col("n").cast("long").alias("n_obs"),
+            F.round(F.expr("mn + md"), 6).alias("mean"),
+            F.round(F.col("m2"), 6).alias("var_pop"),
+            F.round(F.expr("m3 / (m2 * sqrt(m2))"), 5).alias("skew_pop"),
+            F.round(F.expr("m4 / (m2 * m2) - 3.0"), 5).alias("kurt_excess"),
+        )
+    )

@@ -1023,3 +1023,98 @@ def opq_topk(
         rotated, opq_rotate_query(R, query_vec), k, n_codes, m_sub,
         id_col, vec_col,
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the simplest compressed-domain ANN path:
+# each dimension is uniformly quantized to one byte against per-dimension
+# [min, max] trained from the base set (the FAISS ScalarQuantizer /
+# Lucene int8 HNSW storage recipe). 4× smaller than float32 with near-
+# exact recall; unlike PQ there is no codebook join anywhere — encode and
+# ADC are pure scalar expressions at scan speed.
+# --------------------------------------------------------------------------
+
+def sq8_params(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the base set — one aggregate job
+    (map-side partial min/max, d=64 doubles each way) and a driver
+    collect of 2·d scalars: the same bounded-collect contract as
+    ``pq_codebooks`` (O(KB), broadcast back as literals). min/max are
+    exact selections of existing doubles — no arithmetic — so the SQL
+    oracle recomputing them from the same table lands on the bitwise-
+    identical values."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    dv = F.col(vec_col).cast("array<double>")
+    aggs = []
+    for i in range(dim):
+        aggs.append(F.min(dv[i]).alias(f"mn{i}"))
+        aggs.append(F.max(dv[i]).alias(f"mx{i}"))
+    row = embeddings.agg(*aggs).first()
+    mins = [float(row[f"mn{i}"]) for i in range(dim)]
+    maxs = [float(row[f"mx{i}"]) for i in range(dim)]
+    return mins, maxs
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 top-k by asymmetric distance: encode every dimension as
+    ``clamp(floor((x - mn) / (mx - mn) * 255 + 0.5), 0, 255)`` (floor of
+    the shifted value, NOT round — floor is bitwise-identical across
+    engines while round's half-way rule is not), then rank by the true
+    query against the dequantized reconstruction
+    ``mn + code * ((mx - mn) / 255)``. Both passes are unrolled scalar
+    SQL text over literal mn/step values (the ``_sub_l2sq_sql`` build-
+    cost rationale): no join, no shuffle, no UDF — the scan IS the
+    query, and at 100 TB only the byte codes need storing. A degenerate
+    dimension (mx == mn) encodes as 0 and contributes
+    ``(q_i - mn_i)^2`` — mirrored verbatim in the oracle. Ranking uses
+    the 6-dp-rounded distance with an ``id_col`` tie-break, the
+    cross-engine determinism rule of every distance rank in this
+    module."""
+    mins, maxs = sq8_params(embeddings, id_col, vec_col)
+    dim = len(mins)
+    if len(query_vec) != dim:
+        raise ValueError(f"query dim {len(query_vec)} != base dim {dim}")
+    code_exprs = []
+    for i in range(dim):
+        mn, mx = mins[i], maxs[i]
+        rng = mx - mn
+        if rng == 0.0:
+            code_exprs.append(f"0 AS code_{i}")
+        else:
+            code_exprs.append(
+                f"least(greatest(cast(floor((_dv[{i}] - {_dlit(mn)})"
+                f" / {_dlit(rng)} * 255.0 + 0.5) as int), 0), 255)"
+                f" AS code_{i}"
+            )
+    terms = []
+    for i in range(dim):
+        mn, mx = mins[i], maxs[i]
+        rng = mx - mn
+        qi = _dlit(float(query_vec[i]))
+        recon = f"({_dlit(mn)} + code_{i} * ({_dlit(rng)} / 255.0))"
+        terms.append(f"({qi} - {recon}) * ({qi} - {recon})")
+    enc = embeddings.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("_dv")
+    ).selectExpr(id_col, *code_exprs)
+    dist = F.expr(" + ".join(terms))
+    return (
+        enc.withColumn("_sqd", dist)
+        .orderBy(F.round(F.col("_sqd"), 6).asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            F.concat_ws(
+                "-", *[F.col(f"code_{i}").cast("string") for i in range(dim)]
+            ).alias("sq_code"),
+            F.round(F.col("_sqd") + F.lit(5e-10), 6).alias("sq_dist"),
+        )
+    )
