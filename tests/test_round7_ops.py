@@ -119,3 +119,91 @@ def test_moments_shift_invariance(spark):
     ).toPandas().iloc[0]
     assert abs(lo["skew_pop"] - hi["skew_pop"]) < 1e-3
     assert abs(lo["kurt_excess"] - hi["kurt_excess"]) < 1e-3
+
+
+def _np_hurst(vals, sizes):
+    """numpy twin of anomaly.hurst_rs."""
+    x = np.asarray(vals, dtype=np.float64)
+    pts = []
+    for n in sizes:
+        nb = len(x) // n
+        if nb == 0:
+            continue
+        ratios = []
+        for b in range(nb):
+            blk = x[b * n:(b + 1) * n]
+            dev = blk - blk.mean()
+            z = np.cumsum(dev)
+            r = z.max() - z.min()
+            s = np.sqrt((dev * dev).sum() / n)
+            if s > 0:
+                ratios.append(r / s)
+        if ratios:
+            pts.append((np.log(n), np.log(np.mean(ratios))))
+    if len(pts) < 2:
+        return None
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    k = len(pts)
+    return (k * (xs * ys).sum() - xs.sum() * ys.sum()) / (
+        k * (xs * xs).sum() - xs.sum() ** 2
+    )
+
+
+def _ts_series_df(spark, vals):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", t0 + dt.timedelta(minutes=i), "m", float(v), i)
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, ts timestamp, metric string, value double,"
+        " event_id long",
+    )
+
+
+def test_hurst_matches_numpy(spark):
+    from tsengine import anomaly
+
+    rng = np.random.default_rng(3)
+    vals = list(np.cumsum(rng.normal(size=256)))  # random walk
+    got = anomaly.hurst_rs(
+        _ts_series_df(spark, vals), sizes=(8, 16, 32)
+    ).toPandas()
+    assert len(got) == 1
+    want = _np_hurst(vals, (8, 16, 32))
+    assert abs(got["hurst"].iloc[0] - want) < 1e-4
+    assert got["n_sizes"].iloc[0] == 3
+
+
+def test_hurst_regimes(spark):
+    from tsengine import anomaly
+
+    rng = np.random.default_rng(4)
+    # persistent: a strong trend keeps cumulative deviations growing
+    trend = list(np.arange(256) * 1.0 + rng.normal(scale=0.1, size=256))
+    h_tr = anomaly.hurst_rs(
+        _ts_series_df(spark, trend), sizes=(8, 16, 32)
+    ).toPandas()["hurst"].iloc[0]
+    # anti-persistent: strict alternation self-corrects every step
+    alt = [(1.0 if i % 2 == 0 else -1.0) for i in range(256)]
+    h_alt = anomaly.hurst_rs(
+        _ts_series_df(spark, alt), sizes=(8, 16, 32)
+    ).toPandas()["hurst"].iloc[0]
+    assert h_tr > 0.8
+    assert h_alt < 0.2
+    assert h_tr > h_alt
+
+
+def test_hurst_short_or_constant_series_drop(spark):
+    from tsengine import anomaly
+
+    # 7 points: no full block at any size in (8, 16, 32) -> no row;
+    # constant 64 points: every block has S = 0 -> no row
+    short = _ts_series_df(spark, list(range(7)))
+    const = _ts_series_df(spark, [5.0] * 64)
+    assert anomaly.hurst_rs(short, sizes=(8, 16, 32)).count() == 0
+    assert anomaly.hurst_rs(const, sizes=(8, 16, 32)).count() == 0

@@ -478,6 +478,9 @@ def main() -> None:
     audit("moments (window partitioning reused by groupBy, one exchange)",
           eq.QUERIES["ts_moments"](spark, sf),
           ["single_exchange", "partial_agg", "no_cartesian"])
+    audit("hurst R/S (explode + shared block exchange, shrinking reductions)",
+          eq.QUERIES["ts_hurst"](spark, sf),
+          ["partial_agg", "no_cartesian"])
 
 
 if __name__ == "__main__":

@@ -1325,3 +1325,80 @@ def sigma_clip(
 
     base = df.where(F.col(value_col).isNotNull())
     return grouped_apply(base, klist, fn, out_schema)
+
+
+# shared by the Spark side and the DuckDB oracle (entry `ts_hurst`):
+# identical OLS-slope text ⇒ identical association order.
+HURST_SLOPE_EXPR = "(k * sxy - sx * sy) / (k * sxx - sx * sx)"
+
+
+def hurst_rs(
+    df: DataFrame,
+    sizes: tuple[int, ...] = (8, 16, 32),
+) -> DataFrame:
+    """Hurst exponent per (conv_id, metric) by rescaled-range analysis
+    (Hurst 1951 / Mandelbrot & Wallis 1969): split the ordered series
+    into full blocks of n for each n in ``sizes``; per block compute the
+    range R of the cumulative deviations from the block mean and the
+    population std S; average R/S over blocks; H is the OLS slope of
+    ln E[R/S] on ln n. H ≈ 0.5 for a memoryless walk, > 0.5 for
+    persistent (trending) series, < 0.5 for mean-reverting — the
+    long-memory diagnostic that says whether a conversation's latency /
+    rate signal compounds or self-corrects.
+
+    Scale shape: one explode to |sizes|× rows, then ONE exchange on
+    (conv_id, metric, n, blk) serves the block-mean window, the ordered
+    cumulative-deviation window, and the per-block aggregate (same key ⇒
+    partitioning reused); the E[R/S] and OLS reductions aggregate
+    strictly shrinking key spaces. Per-task memory is one n ≤ max(sizes)
+    block, never a series. Degenerate blocks (S = 0, exact — sqrt of an
+    exact-zero square sum) drop on both engines; series need ≥ 2 sizes
+    with a valid block for a slope (k ≥ 2 gate, integer-exact)."""
+    w_ord = W.partitionBy("conv_id", "metric").orderBy("ts", "event_id")
+    w_all = W.partitionBy("conv_id", "metric")
+    base = (
+        df.select("conv_id", "metric", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w_ord))
+        # NOT "N": Spark resolves column names case-insensitively, so a
+        # later withColumn("n", ...) would silently REPLACE it
+        .withColumn("slen", F.count("*").over(w_all))
+    )
+    e = (
+        base.withColumn(
+            "n", F.explode(F.array(*[F.lit(int(s)) for s in sizes]))
+        )
+        .where(F.col("rn") <= F.col("slen") - F.col("slen") % F.col("n"))
+        .withColumn("blk", F.expr("(rn - 1) div n"))
+    )
+    wb = W.partitionBy("conv_id", "metric", "n", "blk")
+    d = (
+        e.withColumn("bm", F.avg("value").over(wb))
+        .withColumn("dev", F.col("value") - F.col("bm"))
+        .withColumn("z", F.sum("dev").over(wb.orderBy("rn")))
+    )
+    blocks = (
+        d.groupBy("conv_id", "metric", "n", "blk")
+        .agg(
+            (F.max("z") - F.min("z")).alias("r"),
+            F.sum(F.expr("dev * dev")).alias("ssq"),
+        )
+        .withColumn("s", F.expr("sqrt(ssq / n)"))
+    )
+    rs = (
+        blocks.where(F.col("s") > 0)
+        .groupBy("conv_id", "metric", "n")
+        .agg(F.avg(F.expr("r / s")).alias("ers"))
+    )
+    fit = rs.groupBy("conv_id", "metric").agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum(F.expr("ln(n)")).alias("sx"),
+        F.sum(F.expr("ln(ers)")).alias("sy"),
+        F.sum(F.expr("ln(n) * ln(ers)")).alias("sxy"),
+        F.sum(F.expr("ln(n) * ln(n)")).alias("sxx"),
+    )
+    return fit.where("k >= 2").select(
+        "conv_id",
+        "metric",
+        F.col("k").cast("long").alias("n_sizes"),
+        F.round(F.expr(HURST_SLOPE_EXPR), 5).alias("hurst"),
+    )

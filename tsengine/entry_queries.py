@@ -4015,6 +4015,53 @@ def ts_moments(spark, sf_dir):
 
 
 @q(
+    "ts_hurst",
+    f"""
+WITH ev AS ({_EV}),
+b AS (SELECT conv_id, metric, value,
+        row_number() OVER (PARTITION BY conv_id, metric
+                           ORDER BY ts, event_id) AS rn,
+        count(*) OVER (PARTITION BY conv_id, metric) AS nn
+      FROM ev),
+e AS (SELECT b.*, s.n, (rn - 1) // s.n AS blk
+      FROM b CROSS JOIN (SELECT unnest([4, 8, 16]) AS n) s
+      WHERE rn <= nn - nn % s.n),
+d AS (SELECT conv_id, metric, n, blk, rn, value,
+        avg(value) OVER (PARTITION BY conv_id, metric, n, blk) AS bm
+      FROM e),
+z AS (SELECT conv_id, metric, n, blk, value - bm AS dev,
+        sum(value - bm) OVER (PARTITION BY conv_id, metric, n, blk
+                              ORDER BY rn) AS z
+      FROM d),
+blocks AS (SELECT conv_id, metric, n, blk, max(z) - min(z) AS r,
+        sqrt(sum(dev * dev) / n) AS s
+      FROM z GROUP BY 1, 2, 3, 4),
+rs AS (SELECT conv_id, metric, n, avg(r / s) AS ers
+      FROM blocks WHERE s > 0 GROUP BY 1, 2, 3),
+f AS (SELECT conv_id, metric, count(*)::DOUBLE AS k,
+        sum(ln(n)) AS sx, sum(ln(ers)) AS sy,
+        sum(ln(n) * ln(ers)) AS sxy, sum(ln(n) * ln(n)) AS sxx
+      FROM rs GROUP BY 1, 2)
+SELECT conv_id, metric, k::BIGINT AS n_sizes,
+       round({anomaly.HURST_SLOPE_EXPR}, 5) AS hurst
+FROM f WHERE k >= 2
+""",
+)
+def ts_hurst(spark, sf_dir):
+    """Hurst exponent by rescaled-range analysis (`anomaly.hurst_rs`,
+    Hurst 1951 / Mandelbrot-Wallis 1969): per-block range of cumulative
+    deviations over population std, averaged per block size, OLS slope
+    of ln E[R/S] on ln n. The long-memory diagnostic — does a
+    conversation's signal compound (H > 0.5) or self-correct
+    (H < 0.5)? Block sizes (4, 8, 16) fit the test series (max length
+    24); one exchange on (series, n, blk) serves both windows and the
+    block aggregate, then two shrinking reductions. The OLS-slope text
+    is shared with the oracle (`anomaly.HURST_SLOPE_EXPR`)."""
+    ev = _events_long(spark, sf_dir)
+    return anomaly.hurst_rs(ev, sizes=(4, 8, 16))
+
+
+@q(
     "ts_m4_downsample",
     f"""
 WITH ev AS ({_EV}),
@@ -5142,11 +5189,21 @@ def _sq8_sql(dim: int = 64, k: int = 10) -> str:
     recon = {
         i: f"(mn{i} + c{i} * ((mx{i} - mn{i}) / 255.0))" for i in range(dim)
     }
-    terms = " + ".join(
-        f"(qv[{i + 1}] - {recon[i]}) * (qv[{i + 1}] - {recon[i]})"
-        for i in range(dim)
+    # the SAME grouped association the Spark side uses (a flat 64-term
+    # chain exceeds DuckDB's 128-level binder recursion limit)
+    terms = vecops._grouped_sum_sql(
+        [
+            f"(qv[{i + 1}] - {recon[i]}) * (qv[{i + 1}] - {recon[i]})"
+            for i in range(dim)
+        ]
     )
-    code_str = " || '-' || ".join(f"c{i}::VARCHAR" for i in range(dim))
+    # string concat is associative, so grouping here is purely a binder-
+    # depth cap and cannot change the value
+    code_parts = [f"c{i}::VARCHAR" for i in range(dim)]
+    code_str = " || '-' || ".join(
+        "(" + " || '-' || ".join(code_parts[j:j + 8]) + ")"
+        for j in range(0, dim, 8)
+    )
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE vec_id <> 0),
@@ -6143,7 +6200,7 @@ _DRIVER_COVERED_R1_R4 = frozenset({
 _ROTATION_FRONT = [
     "ts_kalman_chunked", "ts_holt_winters_chunked", "ts_bloom_member",
     "vec_opq_topk", "mm_png_roundtrip", "text_hash_embed", "ts_kmv_distinct",
-    "vec_sq8_topk", "ts_moments",
+    "vec_sq8_topk", "ts_moments", "ts_hurst",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]

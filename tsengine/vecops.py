@@ -1058,6 +1058,21 @@ def sq8_params(
     return mins, maxs
 
 
+def _grouped_sum_sql(terms: list[str], group: int = 8) -> str:
+    """Sum ``terms`` as a left-associated chain of parenthesized
+    ``group``-term left-associated sub-chains: ((t0+…+t7)) + ((t8+…)) + …
+    A flat 64-term chain nests the first term ~64 levels deep, which
+    blows DuckDB's 128-level binder recursion limit once each term has
+    its own depth; grouping caps the depth at ~group + dim/group. The
+    grouping CHANGES float association vs a flat chain, so BOTH engines
+    must (and do) use this same helper-generated shape."""
+    chunks = [
+        "(" + " + ".join(terms[i:i + group]) + ")"
+        for i in range(0, len(terms), group)
+    ]
+    return " + ".join(chunks)
+
+
 def sq8_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -1105,7 +1120,7 @@ def sq8_topk(
     enc = embeddings.select(
         id_col, F.col(vec_col).cast("array<double>").alias("_dv")
     ).selectExpr(id_col, *code_exprs)
-    dist = F.expr(" + ".join(terms))
+    dist = F.expr(_grouped_sum_sql(terms))
     return (
         enc.withColumn("_sqd", dist)
         .orderBy(F.round(F.col("_sqd"), 6).asc(), F.col(id_col).asc())
