@@ -253,6 +253,13 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
         eq.QUERIES["vec_pq_topk"](spark, sf_dir))
     thunks["ivfpq_topk"] = lambda: count_action(
         eq.QUERIES["vec_ivfpq_topk"](spark, sf_dir))
+    # round-5 pack (keys appended, never renamed)
+    thunks["sq8_topk"] = lambda: count_action(
+        eq.QUERIES["vec_sq8_topk"](spark, sf_dir))
+    thunks["moments"] = lambda: count_action(
+        eq.QUERIES["ts_moments"](spark, sf_dir))
+    thunks["hurst"] = lambda: count_action(
+        eq.QUERIES["ts_hurst"](spark, sf_dir))
     return thunks
 
 
