@@ -207,3 +207,67 @@ def test_hurst_short_or_constant_series_drop(spark):
     const = _ts_series_df(spark, [5.0] * 64)
     assert anomaly.hurst_rs(short, sizes=(8, 16, 32)).count() == 0
     assert anomaly.hurst_rs(const, sizes=(8, 16, 32)).count() == 0
+
+
+def _mk_corpus(spark):
+    texts = {
+        1: "spark window vector spark",
+        2: "table scan row filter",
+        3: "vector vector window join",
+        4: "spark agg",
+        5: "sort merge batch",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    # embeddings: vec 0 is the query; vec 5 nearest, then 2, then 3...
+    vecs = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0],
+        2: [0.9, 0.1, 0.0],
+        3: [0.5, 0.5, 0.0],
+        4: [0.0, 0.0, 1.0],
+        5: [1.0, 0.05, 0.0],
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    return emb, docs
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    emb, docs = _mk_corpus(spark)
+    got = vecops.hybrid_rrf_topk(
+        emb, docs, [1.0, 0.0, 0.0], ["spark", "vector"], k=5, k_each=3
+    ).toPandas()
+    by_id = got.set_index("doc_id")
+    # doc 3 is in BOTH top-3 lists (cosine rank 3, has 2x vector) —
+    # every returned doc must carry at least one rank, doc 3 both
+    assert not (by_id["vec_rank"].isna() & by_id["text_rank"].isna()).any()
+    r3 = by_id.loc[3]
+    assert r3["vec_rank"] > 0 and r3["text_rank"] > 0
+    # RRF score is exactly the sum of reciprocal ranks
+    for doc_id, row in by_id.iterrows():
+        want = 0.0
+        if not np.isnan(row["vec_rank"]):
+            want += 1.0 / (60.0 + row["vec_rank"])
+        if not np.isnan(row["text_rank"]):
+            want += 1.0 / (60.0 + row["text_rank"])
+        assert abs(row["rrf_score"] - round(want + 0, 6)) < 1.1e-6
+    # two-list doc 3 must outrank every one-list doc
+    one_list = by_id[by_id["vec_rank"].isna() | by_id["text_rank"].isna()]
+    if len(one_list):
+        assert by_id.loc[3, "rrf_score"] > one_list["rrf_score"].max()
+
+
+def test_hybrid_rrf_disjoint_lists_keep_both_sides(spark):
+    emb, docs = _mk_corpus(spark)
+    # query terms that only match docs 2/5 (no embedding overlap forced)
+    got = vecops.hybrid_rrf_topk(
+        emb, docs, [0.0, 0.0, 1.0], ["merge", "filter"], k=10, k_each=2
+    ).toPandas()
+    # full-outer fuse: docs from the lexical list appear even when they
+    # missed the dense top-2, and vice versa
+    assert set(got["doc_id"]) >= {2, 5}
+    assert len(got) >= 3

@@ -481,6 +481,12 @@ def main() -> None:
     audit("hurst R/S (explode + shared block exchange, shrinking reductions)",
           eq.QUERIES["ts_hurst"](spark, sf),
           ["partial_agg", "no_cartesian"])
+    # hybrid RRF: the 1-row corpus-stats crossJoin plans as the waived
+    # tiny-dim IdentityBroadcast NLJ, so no_cartesian is not asserted;
+    # the volume paths are the two partial top-k scans + bounded fuse
+    audit("hybrid RRF fuse (two independent top-k lists, bounded join)",
+          eq.QUERIES["vec_hybrid_rrf"](spark, sf),
+          ["partial_agg"])
 
 
 if __name__ == "__main__":

@@ -5234,6 +5234,77 @@ def vec_sq8_topk(spark, sf_dir):
     return vecops.sq8_topk(base, qv, k=10)
 
 
+_RRF_TERMS = ("vector", "spark", "window")
+
+
+def _rrf_sql(k_each: int = 50, rrf_k: int = 60, k: int = 10) -> str:
+    """Hybrid-RRF oracle: the dense list re-ranks by the 5-dp-rounded
+    cosine (the `vec_knn_brute` cross-engine rule), the lexical list by
+    the 6-dp-rounded BM25 sum (exact-integer tf/df/dl through the one
+    mirrored formula), and the fused score is two divisions of exact
+    integers in the same written order as the Spark side — bitwise-
+    identical, ties by doc_id."""
+    terms_in = ", ".join(f"'{t}'" for t in _RRF_TERMS)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id <> 0),
+qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id, round(list_cosine_similarity(v, q), 5) AS sim
+      FROM e CROSS JOIN qv),
+vr AS (SELECT vec_id AS rid,
+              row_number() OVER (ORDER BY sim DESC, vec_id) AS vec_rank
+       FROM s ORDER BY sim DESC, vec_id LIMIT {k_each}),
+tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tfa AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tfa GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+              (SELECT sum(tf) FROM tfa)::BIGINT AS total_tokens),
+tf AS (SELECT * FROM tfa WHERE term IN ({terms_in})),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+sc AS (SELECT tf.doc_id,
+          ln(1.0::DOUBLE + (s.n_docs - dft.df + 0.5::DOUBLE)
+                           / (dft.df + 0.5::DOUBLE))
+          * ((tf.tf * 2.2::DOUBLE)
+             / (tf.tf + 1.2::DOUBLE
+                * (0.25::DOUBLE + 0.75::DOUBLE
+                   * (dl.dl / (s.total_tokens::DOUBLE
+                               / s.n_docs::DOUBLE))))) AS ts
+       FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN st s),
+ds AS (SELECT doc_id, round(sum(ts), 6) AS score FROM sc GROUP BY 1),
+tr AS (SELECT doc_id AS rid,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS text_rank
+       FROM ds ORDER BY score DESC, doc_id LIMIT {k_each}),
+f AS (SELECT coalesce(vr.rid, tr.rid) AS doc_id,
+             vr.vec_rank::BIGINT AS vec_rank,
+             tr.text_rank::BIGINT AS text_rank,
+             coalesce(1.0 / ({float(rrf_k)} + vr.vec_rank), 0.0)
+             + coalesce(1.0 / ({float(rrf_k)} + tr.text_rank), 0.0) AS rrf
+      FROM vr FULL OUTER JOIN tr ON vr.rid = tr.rid)
+SELECT doc_id, vec_rank, text_rank, round(rrf, 6) AS rrf_score
+FROM f ORDER BY round(rrf, 6) DESC, doc_id LIMIT {k}
+"""
+
+
+@q("vec_hybrid_rrf", _rrf_sql())
+def vec_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion
+    (`vecops.hybrid_rrf_topk`, Cormack-Clarke-Buettcher 2009): fuse a
+    dense cosine top-50 (query = vec_id 0) and a lexical BM25 top-50
+    (query terms 'vector spark window') as Σ 1/(60 + rank) — the
+    standard sparse+dense production recipe, calibration-free because
+    RRF consumes only ranks. Each list is an independent map-side
+    partial top-k over its own scan; the fuse joins two ≤ 50-row
+    constants. Ranks are exact integers ⇒ the fused score is bitwise
+    cross-engine; exact ties (symmetric rank swaps) break by doc_id."""
+    qv = _query_vec(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return vecops.hybrid_rrf_topk(
+        emb, docs, qv, list(_RRF_TERMS), k=10, k_each=50, rrf_k=60
+    )
+
+
 def _ivfpq_sql(
     n_centroids: int = 8,
     nprobe: int = 2,
@@ -6200,7 +6271,7 @@ _DRIVER_COVERED_R1_R4 = frozenset({
 _ROTATION_FRONT = [
     "ts_kalman_chunked", "ts_holt_winters_chunked", "ts_bloom_member",
     "vec_opq_topk", "mm_png_roundtrip", "text_hash_embed", "ts_kmv_distinct",
-    "vec_sq8_topk", "ts_moments", "ts_hurst",
+    "vec_sq8_topk", "ts_moments", "ts_hurst", "vec_hybrid_rrf",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]

@@ -814,6 +814,84 @@ def bm25_terms(
     )
 
 
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 document retrieval for a fixed query-term set: per-document
+    score = Σ over matched query terms of the Okapi term score (same
+    idf/tf formula as ``bm25_terms``), ranked by (6-dp-rounded score
+    desc, ``id_col``) — the cross-engine determinism rule, since the
+    per-term association order of the Σ differs between engines at ulp
+    level.
+
+    Scale shape: the (doc, term) tf groupBy is the only raw-volume
+    shuffle (shared with ``bm25_terms``); the query-term filter lands
+    immediately after it, so df/join/score run on the ~|query| fraction
+    of the tf table, while dl and corpus stats (exact integers) come
+    from the unfiltered aggregates. Top-k is one orderBy-limit
+    (map-side partial top-k)."""
+    qt = [str(t) for t in query_terms]
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf_all = tok.groupBy(id_col, "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = tf_all.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    stats = docs.agg(F.count("*").cast("long").alias("n_docs")).crossJoin(
+        tf_all.agg(F.sum("tf").cast("long").alias("total_tokens"))
+    )
+    tf = tf_all.where(F.col("term").isin(qt))
+    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    sc = (
+        tf.join(dft, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = (
+        F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * (F.col("dl") / avgdl)
+    )
+    term_score = idf * ((F.col("tf") * F.lit(float(k1) + 1.0)) / denom)
+    scored = (
+        sc.withColumn("_ts", term_score)
+        .groupBy(id_col)
+        .agg(
+            F.sum("_ts").alias("_score"),
+            F.count("*").cast("long").alias("n_terms"),
+        )
+    )
+    return (
+        scored.withColumn("_r", F.round(F.col("_score"), 6))
+        .orderBy(F.col("_r").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            F.row_number()
+            .over(
+                W.orderBy(F.col("_r").desc(), F.col(id_col).asc())
+            )
+            .cast("long")
+            .alias("rank"),
+            F.col("_r").alias("score"),
+            "n_terms",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline operators: split / pack / decontaminate / repetition
 # --------------------------------------------------------------------------

@@ -1133,3 +1133,85 @@ def sq8_topk(
             F.round(F.col("_sqd") + F.lit(5e-10), 6).alias("sq_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval — reciprocal-rank fusion (Cormack, Clarke & Buettcher
+# SIGIR 2009) of a lexical BM25 ranking and a dense cosine ranking: the
+# standard two-tower production recipe (sparse + dense retrievers fused
+# without score calibration, since RRF only consumes ranks).
+# --------------------------------------------------------------------------
+
+def hybrid_rrf_topk(
+    embeddings: DataFrame,
+    docs: DataFrame,
+    query_vec: list[float],
+    query_terms: list[str],
+    k: int = 10,
+    k_each: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by RRF score ``Σ_lists 1/(rrf_k + rank)``
+    over two independently-computed top-``k_each`` lists: dense = cosine
+    vs the literal query vector ranked by (5-dp-rounded sim desc, id) —
+    the ``vec_knn_brute`` determinism rule — and lexical =
+    ``textops.bm25_search`` ranked by (6-dp-rounded score desc, id).
+    Ranks are exact integers, so the fused score is bitwise-identical
+    cross-engine (same two divisions, same written order); exact RRF
+    ties (symmetric rank swaps) break by id.
+
+    Scale shape: each list is an independent top-k (map-side partial
+    top-k over its own scan — the BM25 side never touches embeddings and
+    vice versa), the fuse is a full-outer join of two ≤ k_each-row sets
+    (driver-bounded constants, broadcast by AQE), and the final rank
+    sorts ≤ 2·k_each rows."""
+    from pyspark.sql import Window as W
+
+    from tsengine import textops
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sims = embeddings.where(F.col(id_col) != 0).select(
+        F.col(id_col).alias("_rid"),
+        F.round(cosine(_as_double(F.col(vec_col)), q), 5).alias("_sim"),
+    )
+    wv = W.orderBy(F.col("_sim").desc(), F.col("_rid").asc())
+    v = (
+        sims.orderBy(F.col("_sim").desc(), F.col("_rid").asc())
+        .limit(k_each)
+        .select(
+            "_rid",
+            F.row_number().over(wv).cast("long").alias("vec_rank"),
+        )
+    )
+    t = textops.bm25_search(
+        docs, query_terms, k=k_each, id_col=doc_id_col
+    ).select(F.col(doc_id_col).alias("_rid"), F.col("rank").alias("text_rank"))
+    # D suffixes: Spark types bare decimal literals as DECIMAL (DuckDB
+    # types them DOUBLE), and decimal division would both change the
+    # values and break schema parity with the oracle
+    rrf = (
+        f"coalesce(1.0D / ({float(rrf_k)}D + vec_rank), 0.0D)"
+        f" + coalesce(1.0D / ({float(rrf_k)}D + text_rank), 0.0D)"
+    )
+    fused = (
+        v.join(t, "_rid", "full_outer")
+        .select(
+            F.col("_rid").alias(doc_id_col),
+            "vec_rank",
+            "text_rank",
+            F.expr(rrf).alias("_rrf"),
+        )
+    )
+    return (
+        fused.orderBy(F.round(F.col("_rrf"), 6).desc(), F.col(doc_id_col))
+        .limit(k)
+        .select(
+            doc_id_col,
+            "vec_rank",
+            "text_rank",
+            F.round(F.col("_rrf"), 6).alias("rrf_score"),
+        )
+    )
