@@ -271,3 +271,48 @@ def test_hybrid_rrf_disjoint_lists_keep_both_sides(spark):
     # missed the dense top-2, and vice versa
     assert set(got["doc_id"]) >= {2, 5}
     assert len(got) >= 3
+
+
+def test_transition_matrix_hand_computed(spark):
+    import datetime as dt
+
+    from tsengine import temporal
+
+    t0 = dt.datetime(2024, 1, 1)
+    seq = {"c1": ["a", "b", "a", "b", "c"], "c2": ["a", "a", "b"]}
+    rows = []
+    for cid, states in seq.items():
+        for i, s in enumerate(states):
+            rows.append((cid, t0 + dt.timedelta(minutes=i), s, 1.0, i))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, ts timestamp, metric string, value double,"
+        " event_id long",
+    )
+    got = {
+        (r["from_state"], r["to_state"]): (r["n_trans"], r["prob"])
+        for r in temporal.transition_matrix(df).collect()
+    }
+    # c1 pairs: a>b, b>a, a>b, b>c ; c2 pairs: a>a, a>b
+    # from a: a>b x3, a>a x1 (total 4); from b: b>a x1, b>c x1 (total 2)
+    assert got[("a", "b")] == (3, 0.75)
+    assert got[("a", "a")] == (1, 0.25)
+    assert got[("b", "a")] == (1, 0.5)
+    assert got[("b", "c")] == (1, 0.5)
+    assert ("c", "a") not in got  # 'c' is terminal, no outgoing row
+    # rows per from-state sum to 1
+    assert abs(sum(p for (f, _), (_, p) in got.items() if f == "a") - 1) < 1e-9
+
+
+def test_transition_matrix_single_event_convs_emit_nothing(spark):
+    import datetime as dt
+
+    from tsengine import temporal
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("c1", t0, "a", 1.0, 0), ("c2", t0, "b", 1.0, 0)],
+        "conv_id string, ts timestamp, metric string, value double,"
+        " event_id long",
+    )
+    assert temporal.transition_matrix(df).count() == 0

@@ -487,6 +487,9 @@ def main() -> None:
     audit("hybrid RRF fuse (two independent top-k lists, bounded join)",
           eq.QUERIES["vec_hybrid_rrf"](spark, sf),
           ["partial_agg"])
+    audit("transition matrix (one lag window + matrix-sized partial agg)",
+          eq.QUERIES["ts_transitions"](spark, sf),
+          ["partial_agg", "no_cartesian"])
 
 
 if __name__ == "__main__":

@@ -4015,6 +4015,34 @@ def ts_moments(spark, sf_dir):
 
 
 @q(
+    "ts_transitions",
+    f"""
+WITH ev AS ({_EV}),
+p AS (SELECT conv_id, metric AS to_state,
+        lag(metric) OVER (PARTITION BY conv_id
+                          ORDER BY ts, event_id) AS from_state
+      FROM ev),
+c AS (SELECT from_state, to_state, count(*)::BIGINT AS n_trans
+      FROM p WHERE from_state IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT *, sum(n_trans) OVER (PARTITION BY from_state) AS row_total
+      FROM c)
+SELECT from_state, to_state, n_trans,
+       round(n_trans::DOUBLE / row_total::DOUBLE, 6) AS prob
+FROM t
+""",
+)
+def ts_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-conversation event
+    streams (`temporal.transition_matrix`): consecutive
+    (from → to) event-type pairs under stable (ts, event_id) ordering,
+    row-normalized — the path-analysis flow map. One raw-volume lag
+    window, then partial-agg down to |states|² rows; exact-integer
+    counts make prob a division of identical doubles cross-engine."""
+    ev = _events_long(spark, sf_dir)
+    return temporal.transition_matrix(ev)
+
+
+@q(
     "ts_hurst",
     f"""
 WITH ev AS ({_EV}),
@@ -6272,6 +6300,7 @@ _ROTATION_FRONT = [
     "ts_kalman_chunked", "ts_holt_winters_chunked", "ts_bloom_member",
     "vec_opq_topk", "mm_png_roundtrip", "text_hash_embed", "ts_kmv_distinct",
     "vec_sq8_topk", "ts_moments", "ts_hurst", "vec_hybrid_rrf",
+    "ts_transitions",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]

@@ -1272,3 +1272,45 @@ def scd2_intervals(
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.lead(ts_col).over(w2).isNull().cast("long").alias("is_current"),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key: str = "conv_id",
+    state: str = "metric",
+    order: tuple[str, str] = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event streams:
+    count every consecutive (from_state → to_state) pair under the
+    stable per-key ordering, row-normalize to transition probabilities —
+    the "what happens after X" path-analysis operator (next-action
+    prediction, funnel-free flow maps) over conversation turn streams.
+
+    Scale shape: ONE key-partitioned lag window over raw volume, then a
+    (from, to) groupBy that partial-aggregates map-side down to
+    |states|² rows; the row-normalizing sum is a window over that
+    already-tiny matrix. Counts are exact integers, so prob =
+    n/row_total divides identical doubles on every engine (round 6 at
+    the edge)."""
+    w = W.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    pairs = (
+        df.withColumn("from_state", F.lag(state).over(w))
+        .where(F.col("from_state").isNotNull())
+        .select("from_state", F.col(state).alias("to_state"))
+    )
+    cnt = pairs.groupBy("from_state", "to_state").agg(
+        F.count("*").cast("long").alias("n_trans")
+    )
+    wf = W.partitionBy("from_state")
+    return cnt.withColumn(
+        "row_total", F.sum("n_trans").over(wf)
+    ).select(
+        "from_state",
+        "to_state",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double")
+            / F.col("row_total").cast("double"),
+            6,
+        ).alias("prob"),
+    )
