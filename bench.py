@@ -260,6 +260,15 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
         eq.QUERIES["ts_moments"](spark, sf_dir))
     thunks["hurst"] = lambda: count_action(
         eq.QUERIES["ts_hurst"](spark, sf_dir))
+    # complexity-diagnostics pack (keys appended, never renamed)
+    thunks["perm_entropy"] = lambda: count_action(
+        eq.QUERIES["ts_perm_entropy"](spark, sf_dir))
+    thunks["haar_energy"] = lambda: count_action(
+        eq.QUERIES["ts_haar_energy"](spark, sf_dir))
+    thunks["runs_test"] = lambda: count_action(
+        eq.QUERIES["ts_runs_test"](spark, sf_dir))
+    thunks["zipf_slope"] = lambda: count_action(
+        eq.QUERIES["text_zipf_slope"](spark, sf_dir))
     return thunks
 
 

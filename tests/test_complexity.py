@@ -1,0 +1,450 @@
+"""Complexity/randomness diagnostics (tsengine/complexity.py) + corpus
+laws (textops.heaps_law / zipf_slope) — hand-computed and numpy twins."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+
+from tsengine import complexity, textops
+
+T0 = dt.datetime(2025, 1, 1)
+
+
+def _series(spark, vals, conv="c1", metric="m"):
+    rows = [
+        (conv, T0 + dt.timedelta(minutes=i), metric, float(v), i)
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, metric string, value double, event_id int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# permutation entropy
+# ---------------------------------------------------------------------------
+
+def test_perm_entropy_monotone_is_zero(spark):
+    # strictly increasing series → single ordinal pattern → H = 0
+    got = complexity.permutation_entropy(
+        _series(spark, range(10)), min_triples=1
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_triples == 8 and r.n_patterns == 1
+    assert r.perm_entropy == 0.0
+
+
+def test_perm_entropy_matches_hand_computation(spark):
+    vals = [3.0, 1.0, 2.0, 5.0, 4.0, 4.0, 6.0, 0.0]
+    got = complexity.permutation_entropy(
+        _series(spark, vals), min_triples=1
+    ).collect()[0]
+    # hand: classify each triple by (rank0, rank1, rank2), ties → earlier
+    # index ranks lower
+    pats = {}
+    for i in range(len(vals) - 2):
+        x = vals[i : i + 3]
+        r0 = (x[1] < x[0]) + (x[2] < x[0])
+        r1 = (x[0] <= x[1]) + (x[2] < x[1])
+        r2 = (x[0] <= x[2]) + (x[1] <= x[2])
+        code = r0 * 9 + r1 * 3 + r2
+        pats[code] = pats.get(code, 0) + 1
+    n = sum(pats.values())
+    h = -sum(c / n * math.log(c / n) for c in pats.values()) / math.log(6)
+    assert got.n_triples == n
+    assert got.n_patterns == len(pats)
+    assert got.perm_entropy == pytest.approx(round(h, 5), abs=2e-5)
+
+
+def test_perm_entropy_min_triples_gate(spark):
+    assert (
+        complexity.permutation_entropy(
+            _series(spark, [1, 2, 3, 4, 5]), min_triples=4
+        ).count()
+        == 0
+    )  # only 3 triples
+
+
+# ---------------------------------------------------------------------------
+# Allan variance
+# ---------------------------------------------------------------------------
+
+def test_allan_variance_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.uniform(0, 100, 24), 2)
+    got = {
+        r["m"]: r
+        for r in complexity.allan_variance(_series(spark, vals)).collect()
+    }
+    for m in (1, 2, 4):
+        n = len(vals) - len(vals) % m
+        yb = np.asarray(vals[:n], dtype=np.float64).reshape(-1, m).mean(axis=1)
+        d = np.diff(yb)
+        expect = (d * d).sum() / (2.0 * len(d))
+        assert got[m].n_blocks == len(yb)
+        assert got[m].avar == pytest.approx(expect, abs=2e-5)
+
+
+def test_allan_white_noise_halves_with_m(spark):
+    # AVAR(m) ≈ sigma^2/m for white noise: check monotone decrease
+    rng = np.random.default_rng(1)
+    vals = np.round(rng.normal(50, 10, 512), 2)
+    rows = {r["m"]: r.avar for r in complexity.allan_variance(
+        _series(spark, vals)).collect()}
+    assert rows[1] > rows[2] > rows[4]
+    assert rows[1] / rows[4] == pytest.approx(4.0, rel=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Benford digits
+# ---------------------------------------------------------------------------
+
+def test_benford_digit_extraction_and_chi2(spark):
+    # digits by exact integer math: 1.02→1, 19.99→1, 90.5→9, 100.0→1;
+    # values < 1 dropped
+    vals = [1.02, 19.99, 90.5, 100.0, 0.5, 2.25, 25.0]
+    got = {r.digit: r for r in complexity.benford_digits(
+        _series(spark, vals)).collect()}
+    assert set(got) == {1, 2, 9}
+    assert got[1].n_obs == 3 and got[2].n_obs == 2 and got[9].n_obs == 1
+    n_tot = 6
+    assert got[1].p_obs == pytest.approx(0.5, abs=1e-6)
+    chi = sum(
+        (obs - n_tot * math.log10(1 + 1 / d)) ** 2
+        / (n_tot * math.log10(1 + 1 / d))
+        for d, obs in [(1, 3), (2, 2), (9, 1)]
+    ) + sum(
+        n_tot * math.log10(1 + 1 / d) for d in (3, 4, 5, 6, 7, 8)
+    ) * 0  # absent digits contribute nothing (observed-support chi2)
+    assert got[1].chi2_metric == pytest.approx(round(chi, 4), abs=2e-4)
+    assert got[1].chi2_metric == got[9].chi2_metric  # window-constant
+
+
+def test_benford_conformant_sample_low_chi2(spark):
+    # synthesize an exactly-Benford-ish multiset: counts ∝ log10(1+1/d)
+    vals = []
+    for d in range(1, 10):
+        vals += [float(d)] * round(1000 * math.log10(1 + 1 / d))
+    got = complexity.benford_digits(_series(spark, vals)).collect()
+    assert max(r.chi2_metric for r in got) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# runs test
+# ---------------------------------------------------------------------------
+
+def test_runs_test_alternating_series(spark):
+    # perfect alternation around the median → max runs, z > 0
+    vals = [1.0, 9.0] * 8
+    got = complexity.runs_test(_series(spark, vals)).collect()[0]
+    n1 = n2 = 8
+    n = 16
+    runs = 16
+    mu = 1 + 2 * n1 * n2 / n
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    assert got.n_runs == runs and got.n_above == 8 and got.n_below == 8
+    assert got.runs_z == pytest.approx((runs - mu) / math.sqrt(var), abs=1e-4)
+
+
+def test_runs_test_trending_series_negative_z(spark):
+    # monotone trend → exactly 2 runs → strongly negative z
+    got = complexity.runs_test(_series(spark, range(20))).collect()[0]
+    assert got.n_runs == 2
+    assert got.runs_z < -3.0
+
+
+def test_runs_test_constant_series_dropped(spark):
+    # all values equal the median → n_above = 0 → filtered out
+    assert complexity.runs_test(_series(spark, [5.0] * 10)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Haar energy
+# ---------------------------------------------------------------------------
+
+def _np_haar_energy(vals, levels=3):
+    n = len(vals) - len(vals) % (2 ** levels)
+    x = np.asarray(vals[:n], dtype=np.float64)
+    out = {}
+    for lev in range(1, levels + 1):
+        b, h = 2 ** lev, 2 ** (lev - 1)
+        blocks = x.reshape(-1, b)
+        d = (blocks[:, :h].sum(axis=1) - blocks[:, h:].sum(axis=1)) / b
+        out[lev] = (d * d).sum()
+    return out
+
+
+def test_haar_energy_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vals = np.round(rng.uniform(0, 200, 24), 2)
+    got = {r.level: r for r in complexity.haar_energy(
+        _series(spark, vals)).collect()}
+    expect = _np_haar_energy(vals)
+    tot = sum(expect.values())
+    for lev in (1, 2, 3):
+        assert got[lev].n_coeffs == 24 // 2 ** lev
+        assert got[lev].energy == pytest.approx(expect[lev], abs=2e-5)
+        assert got[lev].energy_share == pytest.approx(
+            expect[lev] / tot, abs=2e-5
+        )
+
+
+def test_haar_energy_level_isolation(spark):
+    # period-2 alternation puts ALL detail energy at level 1
+    vals = [10.0, 0.0] * 8
+    got = {r.level: r for r in complexity.haar_energy(
+        _series(spark, vals)).collect()}
+    assert got[1].energy_share == pytest.approx(1.0, abs=1e-6)
+    assert got[2].energy == 0.0 and got[3].energy == 0.0
+
+
+def test_haar_energy_short_series_empty(spark):
+    assert complexity.haar_energy(_series(spark, [1.0] * 7)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# corpus laws
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(5)
+    # zipfian corpus: 200 docs, vocab drawn with p ∝ 1/rank
+    vocab = [f"w{i}" for i in range(400)]
+    p = 1.0 / np.arange(1, 401)
+    p /= p.sum()
+    rows = []
+    for i in range(200):
+        toks = rng.choice(vocab, size=40, p=p)
+        rows.append((i, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_heaps_law_fit(docs):
+    got = textops.heaps_law(docs).collect()[0]
+    assert got.n_points == 200
+    # sublinear vocab growth on zipfian text
+    assert 0.2 < got.heaps_beta < 0.95
+    assert got.heaps_k > 0
+
+
+def test_heaps_law_matches_numpy(spark):
+    rows = [(1, "a b c"), (2, "a b d"), (3, "e e e"), (4, "a")]
+    got = textops.heaps_law(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()[0]
+    cum_n = np.array([3, 6, 9, 10], dtype=float)
+    cum_v = np.array([3, 4, 5, 5], dtype=float)
+    slope, intercept = np.polyfit(np.log(cum_n), np.log(cum_v), 1)
+    assert got.n_points == 4
+    assert got.heaps_beta == pytest.approx(slope, abs=1e-4)
+    assert got.heaps_k == pytest.approx(math.exp(intercept), abs=1e-3)
+
+
+def test_zipf_slope_near_minus_one(docs):
+    got = textops.zipf_slope(docs, min_freq=2).collect()[0]
+    assert got.n_terms > 50
+    assert -1.6 < got.zipf_slope < -0.5
+
+
+def test_zipf_slope_matches_numpy(spark):
+    # deterministic term counts: freqs 8,4,2 (min_freq=2 drops the hapax)
+    text = " ".join(["x"] * 8 + ["y"] * 4 + ["z"] * 2 + ["q"])
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = textops.zipf_slope(d, min_freq=2).collect()[0]
+    slope, intercept = np.polyfit(
+        np.log([1, 2, 3]), np.log([8, 4, 2]), 1
+    )
+    assert got.n_terms == 3
+    assert got.zipf_slope == pytest.approx(slope, abs=1e-4)
+    assert got.zipf_intercept == pytest.approx(intercept, abs=1e-4)
+
+
+def test_zipf_top_k_cap(spark):
+    # top_k=2 keeps only the two most frequent terms in the fit
+    text = " ".join(["x"] * 8 + ["y"] * 4 + ["z"] * 2)
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = textops.zipf_slope(d, min_freq=2, top_k=2).collect()[0]
+    assert got.n_terms == 2
+    slope, _ = np.polyfit(np.log([1, 2]), np.log([8, 4]), 1)
+    assert got.zipf_slope == pytest.approx(slope, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# sample entropy
+# ---------------------------------------------------------------------------
+
+def _np_sampen(vals, r_frac=0.2):
+    c = np.round(np.asarray(vals) * 100).astype(np.int64)
+    n = len(c)
+    var = (n * (c * c).sum() - c.sum() ** 2) / (n * n)
+    r = int(np.floor(r_frac * np.sqrt(var)))
+    # canonical index set: A and B over the same n-2 full-window templates
+    tmpl = [(c[i], c[i + 1], c[i + 2]) for i in range(n - 2)]
+    b_cnt = a_cnt = 0
+    for i in range(len(tmpl)):
+        for j in range(i + 1, len(tmpl)):
+            a, b = tmpl[i], tmpl[j]
+            if abs(a[0] - b[0]) <= r and abs(a[1] - b[1]) <= r:
+                b_cnt += 1
+                if abs(a[2] - b[2]) <= r:
+                    a_cnt += 1
+    return r, b_cnt, a_cnt
+
+
+def test_sampen_matches_numpy(spark):
+    rng = np.random.default_rng(9)
+    vals = np.round(rng.uniform(0, 50, 20), 2)
+    got = complexity.sample_entropy(_series(spark, vals)).collect()[0]
+    r, b_cnt, a_cnt = _np_sampen(vals)
+    assert got.r_cents == r
+    assert got.b_count == b_cnt and got.a_count == a_cnt
+    if a_cnt > 0:
+        assert got.sampen == pytest.approx(-math.log(a_cnt / b_cnt), abs=1e-4)
+
+
+def test_sampen_regular_lower_than_noise(spark):
+    regular = [10.0, 20.0] * 12
+    rng = np.random.default_rng(2)
+    noise = np.round(rng.uniform(0, 40, 24), 2)
+    df = _series(spark, regular, conv="reg").unionByName(
+        _series(spark, noise, conv="noise"))
+    got = {r.conv_id: r for r in complexity.sample_entropy(df).collect()}
+    # perfect alternation: every template matches every same-parity
+    # template → A/B high → sampen ~0; noise should be clearly higher
+    assert got["reg"].sampen is not None
+    if got.get("noise") is not None and got["noise"].sampen is not None:
+        assert got["noise"].sampen > got["reg"].sampen
+
+
+def test_sampen_constant_series(spark):
+    # constant: r=0, all diffs 0 ≤ 0 → every pair matches → sampen = 0
+    got = complexity.sample_entropy(_series(spark, [7.0] * 10)).collect()[0]
+    assert got.sampen == 0.0
+
+
+# ---------------------------------------------------------------------------
+# markov entropy rate
+# ---------------------------------------------------------------------------
+
+def test_markov_entropy_rate_hand_computed(spark):
+    from tsengine import temporal
+
+    # stream over one conv: a b a b a c  → from a: {b:2, c:1}; from b: {a:2}
+    seq = ["a", "b", "a", "b", "a", "c"]
+    rows = [("c1", T0 + dt.timedelta(minutes=i), s, 1.0, i)
+            for i, s in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, ts timestamp, metric string, value double, event_id int",
+    )
+    got = {r.from_state: r for r in temporal.markov_entropy_rate(df).collect()}
+    h_a = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert got["a"].n_from == 3 and got["b"].n_from == 2
+    assert got["a"].h_cond == pytest.approx(h_a, abs=1e-4)
+    assert got["b"].h_cond == 0.0  # deterministic successor
+    rate = 3 / 5 * h_a + 2 / 5 * 0.0
+    for r in got.values():
+        assert r.entropy_rate == pytest.approx(rate, abs=1e-4)
+        assert r.p_state == pytest.approx(r.n_from / 5, abs=1e-6)
+
+
+def test_markov_entropy_deterministic_chain_is_zero(spark):
+    from tsengine import temporal
+
+    seq = ["x", "y", "x", "y", "x", "y"]
+    rows = [("c1", T0 + dt.timedelta(minutes=i), s, 1.0, i)
+            for i, s in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, ts timestamp, metric string, value double, event_id int",
+    )
+    got = temporal.markov_entropy_rate(df).collect()
+    assert all(r.entropy_rate == 0.0 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# MMR re-rank (vecops) — numpy twin + diversity property
+# ---------------------------------------------------------------------------
+
+def _py_cos(a, b):
+    # sequential-fold twin of vecops.dot/norm (NOT np.dot: same op order)
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+    for x in a:
+        na = na + x * x
+    for y in b:
+        nb = nb + y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def test_mmr_matches_python_greedy(spark):
+    from tsengine import vecops
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(30, 8)).astype(np.float64)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = [float(x) for x in vecs[0]]
+    base = emb.where("vec_id != 0")
+    got = vecops.mmr_rerank(base, qv, k=5, k_cand=10).collect()
+
+    # python twin on the same rounded sims
+    cand = sorted(
+        ((i, _py_cos(vecs[i], qv)) for i in range(1, 30)),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    simq = {i: round(s, 6) for i, s in cand}
+    sim = {
+        (i, j): round(_py_cos(vecs[i], vecs[j]), 6)
+        for i in simq for j in simq if i != j
+    }
+    remaining = set(simq)
+    first = max(remaining, key=lambda d: (simq[d], -d))
+    sel = [(1, first, simq[first])]
+    remaining.discard(first)
+    while remaining and len(sel) < 5:
+        best = None
+        for d in remaining:
+            score = 0.7 * simq[d] - 0.3 * max(sim[(d, s)] for _, s, _ in sel)
+            if best is None or (score, -d) > (best[1], -best[0]):
+                best = (d, score)
+        sel.append((len(sel) + 1, best[0], best[1]))
+        remaining.discard(best[0])
+
+    assert [(r.sel_rank, r.vec_id) for r in got] == [
+        (rk, v) for rk, v, _ in sel
+    ]
+    for r, (_, _, s) in zip(got, sel):
+        assert r.mmr_score == pytest.approx(round(s + 1e-9, 5), abs=2e-5)
+
+
+def test_mmr_diversifies_near_duplicates(spark):
+    from tsengine import vecops
+
+    # 3 near-identical highly-relevant vectors + spread-out others:
+    # plain top-3 picks all three clones; MMR must skip at least one
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    clones = [q + np.array([0.0, eps, 0.0, 0.0]) for eps in (0.01, 0.02, 0.03)]
+    others = [
+        np.array([0.8, 0.6, 0.0, 0.0]),
+        np.array([0.8, 0.0, 0.6, 0.0]),
+        np.array([0.8, 0.0, 0.0, 0.6]),
+    ]
+    vecs = clones + others
+    rows = [(i + 1, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = vecops.mmr_rerank(
+        emb, [float(x) for x in q], k=3, k_cand=6, lam=0.3, beta=0.7
+    ).collect()
+    picked = {r.vec_id for r in got}
+    assert not {1, 2, 3}.issubset(picked)  # did not take all three clones
+    assert got[0].vec_id == 1  # most relevant still first

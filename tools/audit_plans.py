@@ -490,6 +490,46 @@ def main() -> None:
     audit("transition matrix (one lag window + matrix-sized partial agg)",
           eq.QUERIES["ts_transitions"](spark, sf),
           ["partial_agg", "no_cartesian"])
+    audit("permutation entropy (one lead window, <=6-row/series partial agg)",
+          eq.QUERIES["ts_perm_entropy"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    # allan/haar cross-join a 3-row broadcast level table — the waived
+    # tiny-dim NLJ; the volume path is the integer block-sum partial agg
+    audit("allan variance (exact-cents block sums, map-side collapse)",
+          eq.QUERIES["ts_allan_var"](spark, sf),
+          ["partial_agg"])
+    audit("benford digit audit (integer digit extract, 9-row/metric agg)",
+          eq.QUERIES["ts_benford"](spark, sf),
+          ["partial_agg", "no_cartesian", "codegen"])
+    audit("runs test (median window + sign lag share one exchange)",
+          eq.QUERIES["ts_runs_test"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    audit("haar energy (signed half-block integer sums, shrinking levels)",
+          eq.QUERIES["ts_haar_energy"](spark, sf),
+          ["partial_agg"])
+    audit("heaps law (first-seen token rows, no quadratic distinct scan)",
+          eq.QUERIES["text_heaps_law"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    audit("zipf slope (take-ordered top-k head, bounded rank window)",
+          eq.QUERIES["text_zipf_slope"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    audit("sample entropy (per-series equi-join self-pairs, integer match)",
+          eq.QUERIES["ts_sampen"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    audit("markov entropy rate (one lag window, matrix-sized windows)",
+          eq.QUERIES["ts_markov_entropy"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    # vec_mmr's distributed stages are the take-ordered candidate scan +
+    # bounded pair self-join; the returned frame is a driver-built 5-row
+    # result, so plan checks target the candidate scan instead
+    from tsengine import vecops as vec_mod
+
+    qv_mmr = eq._query_vec(spark, sf)
+    audit("mmr candidate scan (constant-folded query, take-ordered)",
+          vec_mod.cosine_topk(
+              spark.read.parquet(f"{sf}/embeddings.parquet")
+              .where(F.col("vec_id") != 0), qv_mmr, k=20),
+          ["codegen", "no_cartesian"])
 
 
 if __name__ == "__main__":

@@ -1,0 +1,418 @@
+"""Series complexity / randomness diagnostics: permutation entropy, Allan
+variance, Benford first-digit audit, Wald-Wolfowitz runs test, Haar wavelet
+energy decomposition.
+
+No direct reference analog (rewemo validates weather series by physical
+invariants, not statistical ones); these are the signal-quality battery a
+transcript-telemetry engine needs before trusting a series enough to roll
+it up — "is this conversation's latency stream structured or noise?".
+
+Scale shapes (every operator here is windows-then-partial-agg):
+- ``permutation_entropy``: ONE key-partitioned window produces the two
+  leads, exact ordinal comparisons classify each triple into one of six
+  patterns JVM-side, then a groupBy collapses raw volume to at most
+  |series| * 6 rows before the entropy sum. No Python in the hot path.
+- ``allan_variance``: block means via groupBy on an integer block id
+  (map-side partial agg), one lag window over the already-collapsed
+  block-mean stream. Cost per extra cluster size m is one more pass over
+  n/m rows — the cascade gets cheaper as m grows, like the rollup tiers.
+- ``benford_digits``: first significant digit extracted by exact integer
+  string math (no log10 of a float near a power-of-10 boundary), ONE
+  groupBy to 9 * |metrics| rows; the chi-square is a window over that
+  tiny table.
+- ``runs_test``: per-series exact median as a window aggregate (reuses
+  the same (key, ts) exchange as the sign-change lag), then one groupBy.
+- ``haar_energy``: all wavelet levels in ONE pass — the level table is a
+  broadcast cross join, the signed half-block sum is a single groupBy on
+  (series, level, block), so the shuffle volume is SUM(n / 2^l) < n.
+
+Skew note: all windows partition by the series key; mega-conversations
+serialize within one task, same trade as `temporal.py` — pre-split with
+the chunk machinery when a single series outgrows a task.
+
+Cross-engine exactness: pattern codes, block ids, digits, and run flags
+are integer-exact; only the final entropy / variance / z-score touches
+float accumulation, and those are rounded (4-5 dp) like every other
+oracle-gated float in this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+KEY = ("conv_id", "metric")
+ORDER = ("ts", "event_id")
+
+# shared OLS slope over pre-aggregated power sums (same shape as
+# anomaly.HURST_SLOPE_EXPR; kept verbatim in the SQL oracles)
+OLS_SLOPE_EXPR = "(k * sxy - sx * sy) / (k * sxx - sx * sx)"
+
+
+def _w():
+    return W.partitionBy(*KEY).orderBy(*[F.col(c) for c in ORDER])
+
+
+def permutation_entropy(df: DataFrame, min_triples: int = 4) -> DataFrame:
+    """Order-3 permutation entropy per series: classify every consecutive
+    value triple into one of the 6 ordinal patterns (ties broken by time
+    index, so the classification is integer-exact on any engine), then
+    H = -sum p*ln(p) over the pattern histogram, normalized by ln(6).
+
+    Near 1.0 = white noise, near 0 = monotone/deterministic structure —
+    the standard cheap "is there signal here?" screen (Bandt-Pompe 2002).
+
+    One lead window over raw volume, one groupBy down to <= 6 rows per
+    series; entropy is computed on exact integer counts.
+    """
+    w = _w()
+    t = (
+        df.withColumn("v1", F.lead("value", 1).over(w))
+        .withColumn("v2", F.lead("value", 2).over(w))
+        .where(F.col("v2").isNotNull())
+    )
+    x0, x1, x2 = F.col("value"), F.col("v1"), F.col("v2")
+    # rank_i = #{j : xj < xi, or xj == xi with j < i} — exact comparisons
+    r0 = (x1 < x0).cast("int") + (x2 < x0).cast("int")
+    r1 = (x0 <= x1).cast("int") + (x2 < x1).cast("int")
+    r2 = (x0 <= x2).cast("int") + (x1 <= x2).cast("int")
+    pat = t.select(*KEY, (r0 * 9 + r1 * 3 + r2).alias("pattern"))
+    hist = pat.groupBy(*KEY, "pattern").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    ws = W.partitionBy(*KEY)
+    hist = hist.withColumn("n_tot", F.sum("cnt").over(ws))
+    p = F.col("cnt").cast("double") / F.col("n_tot").cast("double")
+    return (
+        hist.groupBy(*KEY)
+        .agg(
+            F.max("n_tot").alias("n_triples"),
+            F.count("*").cast("long").alias("n_patterns"),
+            F.round(
+                -F.sum(p * F.log(p)) / F.log(F.lit(6.0)), 5
+            ).alias("perm_entropy"),
+        )
+        .where(F.col("n_triples") >= min_triples)
+    )
+
+
+def allan_variance(df: DataFrame, sizes: tuple[int, ...] = (1, 2, 4)) -> DataFrame:
+    """Overlapping-free (standard) Allan variance per series at cluster
+    sizes ``m``: AVAR(m) = mean((ybar_{k+1} - ybar_k)^2) / 2 over the
+    consecutive size-m block means ybar_k. The stability fingerprint —
+    flat vs m = white noise, rising = drift/random walk (used for
+    oscillator/ sensor drift; here: is a conversation's latency stream
+    drifting?).
+
+    Block ids are exact integer math on row_number; block means collapse
+    map-side (groupBy on the block id), so the lag window runs over
+    n/m rows, not n.
+
+    Exactness: values are quantized to 1/``value_scale`` cents, so block
+    cent-sums C_k, their consecutive differences D_k, and sum(D_k^2) are
+    all exact BIGINTs; AVAR(m) = sum(D^2) / (2 * (M-1) * (scale*m)^2) is
+    ONE float division on identical integer operands — no float
+    accumulation order anywhere. A +1e-9 nudge before rounding keeps an
+    exact-rational .xxxxx5 off the engines' divergent half-rounding
+    (Spark rounds the shortest decimal repr, DuckDB the binary value).
+    """
+    spark = df.sparkSession
+    value_scale = 100
+    sz = spark.createDataFrame([(int(m),) for m in sizes], "m int")
+    w = _w()
+    b = (
+        df.withColumn(
+            "cents", F.round(F.col("value") * value_scale, 0).cast("long")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("nn", F.count("*").over(W.partitionBy(*KEY)))
+        .crossJoin(F.broadcast(sz))
+        .where(F.col("rn") <= F.col("nn") - F.col("nn") % F.col("m"))
+        .withColumn("blk", ((F.col("rn") - 1) / F.col("m")).cast("long"))
+    )
+    csums = b.groupBy(*KEY, "m", "blk").agg(
+        F.sum("cents").alias("csum")
+    )
+    wb = W.partitionBy(*KEY, "m").orderBy("blk")
+    d = csums.withColumn("prev", F.lag("csum").over(wb)).where(
+        F.col("prev").isNotNull()
+    )
+    dd = F.col("csum") - F.col("prev")
+    g = d.groupBy(*KEY, "m").agg(
+        (F.count("*") + 1).cast("long").alias("n_blocks"),
+        F.sum(dd * dd).alias("d2"),
+    )
+    denom = (
+        2
+        * (F.col("n_blocks") - 1)
+        * (F.lit(value_scale) * F.col("m")).cast("long")
+        * (F.lit(value_scale) * F.col("m")).cast("long")
+    )
+    return g.select(
+        *KEY,
+        "m",
+        "n_blocks",
+        F.round(
+            F.col("d2").cast("double") / denom.cast("double") + F.lit(1e-9),
+            5,
+        ).alias("avar"),
+    )
+
+
+def benford_digits(df: DataFrame) -> DataFrame:
+    """Benford first-significant-digit audit per metric over values >= 1:
+    observed digit share vs the Benford expectation log10(1 + 1/d), plus
+    the per-metric Pearson chi-square. Fabricated/truncated telemetry
+    shows up as a digit histogram that rejects Benford.
+
+    The digit is extracted by exact integer math — floor to BIGINT, cast
+    to string, first character — never log10 of a float, so a value like
+    exactly 100.0 can't straddle a power-of-10 boundary differently on
+    two engines. One groupBy to 9 rows per metric.
+    """
+    d = df.where(F.col("value") >= 1.0).select(
+        "metric",
+        F.substring(
+            F.floor(F.col("value")).cast("long").cast("string"), 1, 1
+        ).cast("int").alias("digit"),
+    )
+    cnt = d.groupBy("metric", "digit").agg(
+        F.count("*").cast("long").alias("n_obs")
+    )
+    wm = W.partitionBy("metric")
+    cnt = cnt.withColumn("n_tot", F.sum("n_obs").over(wm))
+    p_obs = F.col("n_obs").cast("double") / F.col("n_tot").cast("double")
+    p_exp = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    e_cnt = F.col("n_tot").cast("double") * p_exp
+    dev = F.col("n_obs").cast("double") - e_cnt
+    chi_term = dev * dev / e_cnt
+    return cnt.select(
+        "metric",
+        "digit",
+        "n_obs",
+        F.round(p_obs + F.lit(1e-9), 6).alias("p_obs"),
+        F.round(p_exp, 6).alias("p_exp"),
+        F.round(F.sum(chi_term).over(wm), 4).alias("chi2_metric"),
+    )
+
+
+def runs_test(df: DataFrame, min_n: int = 3) -> DataFrame:
+    """Wald-Wolfowitz runs test per series: dichotomize on the exact
+    per-series median (value > median → above; ties go below), count
+    runs of consecutive same-side values, and z-score against the
+    random-order expectation. |z| >> 0 = the series is not exchangeable
+    (trending or oscillating), so order-sensitive rollups matter.
+
+    The median is an exact interpolated percentile computed as a window
+    aggregate over the SAME (key, ts) exchange the sign-change lag uses —
+    one shuffle total, then a groupBy to one row per series.
+    """
+    wk = W.partitionBy(*KEY)
+    w = _w()
+    t = (
+        df.withColumn("med", F.expr("percentile(value, 0.5)").over(wk))
+        .withColumn("above", (F.col("value") > F.col("med")).cast("int"))
+        .withColumn("prev_above", F.lag("above").over(w))
+    )
+    new_run = F.when(
+        F.col("prev_above").isNull()
+        | (F.col("above") != F.col("prev_above")),
+        1,
+    ).otherwise(0)
+    g = t.withColumn("is_new", new_run).groupBy(*KEY).agg(
+        F.sum("is_new").cast("long").alias("n_runs"),
+        F.sum("above").cast("long").alias("n_above"),
+        F.sum(1 - F.col("above")).cast("long").alias("n_below"),
+        F.count("*").cast("long").alias("n_obs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    nn = n1 + n2
+    mu = 1.0 + 2.0 * n1 * n2 / nn
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - nn) / (nn * nn * (nn - 1.0))
+    z = (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
+    return (
+        g.where(
+            (F.col("n_obs") >= min_n)
+            & (F.col("n_above") > 0)
+            & (F.col("n_below") > 0)
+        )
+        .select(
+            *KEY,
+            "n_obs",
+            "n_runs",
+            "n_above",
+            "n_below",
+            F.round(F.when(var > 0, z + F.lit(1e-9)), 5).alias("runs_z"),
+        )
+    )
+
+
+def haar_energy(
+    df: DataFrame, levels: int = 3, value_scale: int = 100
+) -> DataFrame:
+    """Haar wavelet detail-energy decomposition per series, levels
+    1..``levels``: each series is truncated to a multiple of 2^levels,
+    and at level l the detail coefficient of block k is
+    d = (sum of first 2^(l-1) values - sum of second half) / 2^l
+    (the half-mean difference over 2), energy_l = sum_k d^2. The
+    multi-resolution twin of the spectral op: which timescale carries
+    the variance — turn-to-turn jitter (level 1) or slow drift (level 3)?
+
+    All levels compute in ONE pass: a broadcast level table cross-joins
+    in, the signed sum (+1 first half / -1 second half) collapses in a
+    single groupBy on (series, level, block) — total shuffle volume is
+    sum_l n/2^l < n, then a groupBy to |series| * levels rows. The
+    energy share per level is a window over that tiny result.
+
+    Exactness: values are quantized to 1/``value_scale`` (the engine's
+    event values are cents), so every signed block sum K is an exact
+    BIGINT, energy scales to the integer E_l = (2^levels/blocksz)^2 *
+    sum K^2 with energy = E_l / (value_scale * 2^levels)^2 — a SINGLE
+    float division on identical integer operands, bitwise-identical on
+    any engine (no float accumulation order anywhere). The integer path
+    is exact while |value| * value_scale * 2^levels < 2^31.5 or so
+    (E_l must fit a signed 64-bit: K^2 * 16 * n_blocks < 2^63).
+    """
+    spark = df.sparkSession
+    block = 2 ** levels
+    lv = spark.createDataFrame(
+        [
+            (lev, 2 ** (lev - 1), 2 ** lev, (block // (2 ** lev)) ** 2)
+            for lev in range(1, levels + 1)
+        ],
+        "level int, halfsz int, blocksz int, wsq long",
+    )
+    w = _w()
+    b = (
+        df.withColumn(
+            "cents", F.round(F.col("value") * value_scale, 0).cast("long")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("nn", F.count("*").over(W.partitionBy(*KEY)))
+        .where(F.col("rn") <= F.col("nn") - F.col("nn") % F.lit(block))
+        .crossJoin(F.broadcast(lv))
+        .withColumn("blk", ((F.col("rn") - 1) / F.col("blocksz")).cast("long"))
+        .withColumn(
+            "sgn",
+            F.when(
+                ((F.col("rn") - 1) / F.col("halfsz")).cast("long") % 2 == 0,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long")),
+        )
+    )
+    det = b.groupBy(*KEY, "level", "wsq", "blk").agg(
+        F.sum(F.col("sgn") * F.col("cents")).alias("ksum")
+    )
+    en = det.groupBy(*KEY, "level").agg(
+        F.count("*").cast("long").alias("n_coeffs"),
+        F.sum(F.col("ksum") * F.col("ksum") * F.col("wsq")).alias("e_int"),
+    )
+    denom = float(value_scale * block) ** 2
+    ws = W.partitionBy(*KEY)
+    tot = F.sum("e_int").over(ws)  # exact integer total
+    return en.select(
+        *KEY,
+        "level",
+        "n_coeffs",
+        F.round(
+            F.col("e_int").cast("double") / F.lit(denom) + F.lit(1e-9), 5
+        ).alias("energy"),
+        F.round(
+            F.when(
+                tot > 0,
+                F.col("e_int").cast("double") / tot.cast("double")
+                + F.lit(1e-9),
+            ),
+            5,
+        ).alias("energy_share"),
+    )
+
+
+def sample_entropy(
+    df: DataFrame, value_scale: int = 100, r_frac: float = 0.2
+) -> DataFrame:
+    """Sample entropy (Richman-Moorman 2000) per series, m=2: SampEn =
+    -ln(A/B) where B counts template pairs (i<j) with both length-2
+    windows within tolerance r and A counts pairs still within r at
+    length 3. Low SampEn = self-similar/regular (templated bot traffic),
+    high = irregular. The complexity sibling of permutation entropy —
+    PE sees only order, SampEn sees amplitude.
+
+    Exactness: values are cents, so template distances are exact integer
+    |Δcents|; the tolerance is floor(r_frac * std) in cents where the
+    variance comes from exact integer power sums (n*S2 - S1²)/n² — one
+    float sqrt on identical operands per series, then every match test
+    is an integer comparison. A, B are exact BIGINTs; the single -ln is
+    the only transcendental.
+
+    Scale shape: ONE lead window builds length-3 templates, then a
+    per-series equi-join self-pairs them — O(n²) pairs WITHIN a series
+    (the classic SampEn cost), so this is for bounded series (chunk or
+    sample mega-conversations first; the engine's per-conv streams are
+    bounded by retention). The join key is the series, so no shuffle
+    explosion across series.
+    """
+    w = _w()
+    wk = W.partitionBy(*KEY)
+    t = (
+        df.withColumn(
+            "cents", F.round(F.col("value") * value_scale, 0).cast("long")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("s1", F.sum("cents").over(wk))
+        .withColumn(
+            "s2", F.sum(F.col("cents") * F.col("cents")).over(wk)
+        )
+        .withColumn("nn", F.count("*").over(wk))
+        .withColumn("c1", F.lead("cents", 1).over(w))
+        .withColumn("c2", F.lead("cents", 2).over(w))
+        # canonical Richman-Moorman index set: A and B count pairs over
+        # the SAME n-m-1 templates (those with a full length-3 window),
+        # so a constant series scores exactly -ln(1) = 0
+        .where(F.col("c2").isNotNull())
+    )
+    var = (
+        F.col("nn") * F.col("s2") - F.col("s1") * F.col("s1")
+    ).cast("double") / (F.col("nn") * F.col("nn")).cast("double")
+    t = t.withColumn(
+        "r_cents", F.floor(F.lit(r_frac) * F.sqrt(var)).cast("long")
+    ).select(*KEY, "rn", "nn", "r_cents", F.col("cents").alias("c0"), "c1", "c2")
+    a = t.alias("a")
+    b = t.alias("b")
+    pairs = a.join(
+        b,
+        [F.col(f"a.{k}") == F.col(f"b.{k}") for k in KEY]
+        + [F.col("a.rn") < F.col("b.rn")],
+    )
+    near = lambda x, y: (
+        F.abs(F.col(f"a.{x}") - F.col(f"b.{x}")) <= F.col(f"a.{y}")
+    )
+    match2 = near("c0", "r_cents") & near("c1", "r_cents")
+    match3 = match2 & near("c2", "r_cents")
+    g = pairs.groupBy(F.col(f"a.{KEY[0]}"), F.col(f"a.{KEY[1]}")).agg(
+        F.max("a.nn").alias("n_obs"),
+        F.max("a.r_cents").alias("r_cents"),
+        F.sum(match2.cast("long")).alias("b_count"),
+        F.sum(match3.cast("long")).alias("a_count"),
+    )
+    return g.where(F.col("b_count") > 0).select(
+        *KEY,
+        "n_obs",
+        "r_cents",
+        "b_count",
+        "a_count",
+        F.round(
+            F.when(
+                F.col("a_count") > 0,
+                # + 0.0 normalizes -ln(1) = -0.0 to +0.0 (IEEE) so both
+                # engines hash identically on perfectly regular series
+                -F.log(
+                    F.col("a_count").cast("double")
+                    / F.col("b_count").cast("double")
+                )
+                + F.lit(0.0),
+            ),
+            5,
+        ).alias("sampen"),
+    )

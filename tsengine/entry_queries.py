@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from tsengine import (
     anomaly,
     chunks,
+    complexity,
     curves,
     disagg,
     export_emps,
@@ -6253,6 +6254,414 @@ def ts_kmv_distinct(spark, sf_dir):
 
 
 # ===========================================================================
+# Complexity / randomness diagnostics (complexity.py) + corpus laws
+# ===========================================================================
+
+@q(
+    "ts_perm_entropy",
+    f"""
+WITH ev AS ({_EV}),
+t AS (SELECT conv_id, metric, value AS x0,
+        lead(value, 1) OVER w AS x1, lead(value, 2) OVER w AS x2
+      FROM ev
+      WINDOW w AS (PARTITION BY conv_id, metric ORDER BY ts, event_id)),
+p AS (SELECT conv_id, metric,
+        ((CASE WHEN x1 < x0 THEN 1 ELSE 0 END)
+         + (CASE WHEN x2 < x0 THEN 1 ELSE 0 END)) * 9
+      + ((CASE WHEN x0 <= x1 THEN 1 ELSE 0 END)
+         + (CASE WHEN x2 < x1 THEN 1 ELSE 0 END)) * 3
+      + ((CASE WHEN x0 <= x2 THEN 1 ELSE 0 END)
+         + (CASE WHEN x1 <= x2 THEN 1 ELSE 0 END)) AS pattern
+      FROM t WHERE x2 IS NOT NULL),
+h AS (SELECT conv_id, metric, pattern, count(*)::BIGINT AS cnt
+      FROM p GROUP BY 1, 2, 3),
+s AS (SELECT *, sum(cnt) OVER (PARTITION BY conv_id, metric) AS n_tot FROM h)
+SELECT conv_id, metric, max(n_tot)::BIGINT AS n_triples,
+       count(*)::BIGINT AS n_patterns,
+       round(-sum((cnt::DOUBLE / n_tot::DOUBLE)
+                  * ln(cnt::DOUBLE / n_tot::DOUBLE)) / ln(6.0), 5)
+         AS perm_entropy
+FROM s GROUP BY 1, 2 HAVING max(n_tot) >= 4
+""",
+)
+def ts_perm_entropy(spark, sf_dir):
+    """Order-3 permutation entropy per series
+    (`complexity.permutation_entropy`): ordinal-pattern histogram with
+    integer-exact time-index tie-breaks, normalized Shannon entropy —
+    the Bandt-Pompe "structured or noise?" screen. One lead window over
+    raw volume, one groupBy to <= 6 rows/series."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.permutation_entropy(ev)
+
+
+@q(
+    "ts_allan_var",
+    f"""
+WITH ev AS ({_EV}),
+b AS (SELECT conv_id, metric, value,
+        row_number() OVER (PARTITION BY conv_id, metric
+                           ORDER BY ts, event_id) AS rn,
+        count(*) OVER (PARTITION BY conv_id, metric) AS nn
+      FROM ev),
+e AS (SELECT b.*, s.m, (rn - 1) // s.m AS blk
+      FROM b CROSS JOIN (SELECT unnest([1, 2, 4]) AS m) s
+      WHERE rn <= nn - nn % s.m),
+mb AS (SELECT conv_id, metric, m, blk,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS csum
+       FROM e GROUP BY 1, 2, 3, 4),
+d AS (SELECT conv_id, metric, m, csum,
+        lag(csum) OVER (PARTITION BY conv_id, metric, m ORDER BY blk) AS prev
+      FROM mb),
+g AS (SELECT conv_id, metric, m, (count(*) + 1)::BIGINT AS n_blocks,
+        sum((csum - prev) * (csum - prev))::BIGINT AS d2
+      FROM d WHERE prev IS NOT NULL GROUP BY 1, 2, 3)
+SELECT conv_id, metric, m, n_blocks,
+       round(d2::DOUBLE
+             / (2 * (n_blocks - 1) * (100 * m)::BIGINT
+                * (100 * m)::BIGINT)::DOUBLE
+             + 1e-9, 5) AS avar
+FROM g
+""",
+)
+def ts_allan_var(spark, sf_dir):
+    """Allan variance at cluster sizes 1/2/4 per series
+    (`complexity.allan_variance`): mean squared difference of consecutive
+    block means over 2 — the drift-vs-noise stability fingerprint. Block
+    means collapse map-side on an exact-integer block id, so each extra
+    cluster size lags over n/m rows, not n."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.allan_variance(ev)
+
+
+@q(
+    "ts_benford",
+    f"""
+WITH ev AS ({_EV}),
+d AS (SELECT metric,
+        CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1)
+             AS INT) AS digit
+      FROM ev WHERE value >= 1.0),
+c AS (SELECT metric, digit, count(*)::BIGINT AS n_obs FROM d GROUP BY 1, 2),
+t AS (SELECT *, sum(n_obs) OVER (PARTITION BY metric) AS n_tot FROM c),
+x AS (SELECT *,
+        n_tot::DOUBLE * log10(1.0 + 1.0 / digit::DOUBLE) AS e_cnt
+      FROM t)
+SELECT metric, digit, n_obs,
+       round(n_obs::DOUBLE / n_tot::DOUBLE + 1e-9, 6) AS p_obs,
+       round(log10(1.0 + 1.0 / digit::DOUBLE), 6) AS p_exp,
+       round(sum((n_obs::DOUBLE - e_cnt) * (n_obs::DOUBLE - e_cnt) / e_cnt)
+             OVER (PARTITION BY metric), 4) AS chi2_metric
+FROM x
+""",
+)
+def ts_benford(spark, sf_dir):
+    """Benford first-digit audit per metric (`complexity.benford_digits`):
+    observed digit shares vs log10(1+1/d) expectation + per-metric
+    chi-square. Digit extraction is exact integer string math (floor →
+    BIGINT → first char), never float log10 near a power-of-10 boundary.
+    One groupBy to 9 rows/metric."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.benford_digits(ev)
+
+
+@q(
+    "ts_runs_test",
+    f"""
+WITH ev AS ({_EV}),
+t AS (SELECT conv_id, metric, ts, event_id, value,
+        quantile_cont(value, 0.5)
+          OVER (PARTITION BY conv_id, metric) AS med
+      FROM ev),
+a AS (SELECT conv_id, metric, ts, event_id,
+        CASE WHEN value > med THEN 1 ELSE 0 END AS above FROM t),
+r AS (SELECT conv_id, metric, above,
+        lag(above) OVER (PARTITION BY conv_id, metric
+                         ORDER BY ts, event_id) AS prev
+      FROM a),
+g AS (SELECT conv_id, metric,
+        sum(CASE WHEN prev IS NULL OR above != prev THEN 1 ELSE 0 END)::BIGINT
+          AS n_runs,
+        sum(above)::BIGINT AS n_above,
+        sum(1 - above)::BIGINT AS n_below,
+        count(*)::BIGINT AS n_obs
+      FROM r GROUP BY 1, 2),
+z AS (SELECT *, n_above::DOUBLE AS n1, n_below::DOUBLE AS n2,
+        (n_above + n_below)::DOUBLE AS nn FROM g)
+SELECT conv_id, metric, n_obs, n_runs, n_above, n_below,
+  round(CASE WHEN 2.0 * n1 * n2 * (2.0 * n1 * n2 - nn)
+                  / (nn * nn * (nn - 1.0)) > 0
+        THEN (n_runs::DOUBLE - (1.0 + 2.0 * n1 * n2 / nn))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - nn)
+                    / (nn * nn * (nn - 1.0))) + 1e-9 END, 5) AS runs_z
+FROM z WHERE n_obs >= 3 AND n_above > 0 AND n_below > 0
+""",
+)
+def ts_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test per series (`complexity.runs_test`):
+    dichotomize on the exact per-series median (window percentile —
+    same exchange as the sign-change lag), count same-side runs, z-score
+    vs the exchangeable expectation. |z| >> 0 means order matters."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.runs_test(ev)
+
+
+@q(
+    "ts_haar_energy",
+    f"""
+WITH ev AS ({_EV}),
+b AS (SELECT conv_id, metric,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        row_number() OVER (PARTITION BY conv_id, metric
+                           ORDER BY ts, event_id) AS rn,
+        count(*) OVER (PARTITION BY conv_id, metric) AS nn
+      FROM ev),
+e AS (SELECT b.*, s.level, s.halfsz, s.blocksz, s.wsq,
+        (rn - 1) // s.blocksz AS blk,
+        CASE WHEN ((rn - 1) // s.halfsz) % 2 = 0
+             THEN 1 ELSE -1 END AS sgn
+      FROM b CROSS JOIN (SELECT unnest([1, 2, 3]) AS level,
+                                unnest([1, 2, 4]) AS halfsz,
+                                unnest([2, 4, 8]) AS blocksz,
+                                unnest([16, 4, 1]) AS wsq) s
+      WHERE rn <= nn - nn % 8),
+det AS (SELECT conv_id, metric, level, wsq, blk,
+          sum(sgn * cents)::BIGINT AS ksum
+        FROM e GROUP BY 1, 2, 3, 4, 5),
+en AS (SELECT conv_id, metric, level, count(*)::BIGINT AS n_coeffs,
+          sum(ksum * ksum * wsq)::BIGINT AS e_int
+        FROM det GROUP BY 1, 2, 3)
+SELECT conv_id, metric, level, n_coeffs,
+       round(e_int::DOUBLE / 640000.0 + 1e-9, 5) AS energy,
+       round(CASE WHEN sum(e_int)
+                       OVER (PARTITION BY conv_id, metric) > 0
+             THEN e_int::DOUBLE
+                  / (sum(e_int)
+                     OVER (PARTITION BY conv_id, metric))::DOUBLE
+                  + 1e-9
+             END, 5) AS energy_share
+FROM en
+""",
+)
+def ts_haar_energy(spark, sf_dir):
+    """Haar wavelet detail-energy by level (`complexity.haar_energy`):
+    which timescale carries the variance — turn-to-turn jitter (level 1)
+    or slow drift (level 3). All levels in ONE pass via a broadcast level
+    table + signed half-block sums; shuffle volume sum_l n/2^l < n."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.haar_energy(ev)
+
+
+@q(
+    "ts_sampen",
+    f"""
+WITH ev AS ({_EV}),
+base AS (SELECT conv_id, metric,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           row_number() OVER w AS rn,
+           sum(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY conv_id, metric) AS s1,
+           sum(CAST(round(value * 100) AS BIGINT)
+               * CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY conv_id, metric) AS s2,
+           count(*) OVER (PARTITION BY conv_id, metric) AS nn,
+           lead(CAST(round(value * 100) AS BIGINT), 1) OVER w AS c1,
+           lead(CAST(round(value * 100) AS BIGINT), 2) OVER w AS c2
+         FROM ev
+         WINDOW w AS (PARTITION BY conv_id, metric ORDER BY ts, event_id)),
+t AS (SELECT conv_id, metric, rn, nn,
+        CAST(floor(0.2 * sqrt((nn * s2 - s1 * s1)::DOUBLE
+                              / (nn * nn)::DOUBLE)) AS BIGINT) AS r_cents,
+        cents AS c0, c1, c2
+      FROM base WHERE c2 IS NOT NULL),
+p AS (SELECT a.conv_id, a.metric, a.nn, a.r_cents,
+        CASE WHEN abs(a.c0 - b.c0) <= a.r_cents
+                  AND abs(a.c1 - b.c1) <= a.r_cents
+             THEN 1 ELSE 0 END AS m2,
+        CASE WHEN abs(a.c0 - b.c0) <= a.r_cents
+                  AND abs(a.c1 - b.c1) <= a.r_cents
+                  AND abs(a.c2 - b.c2) <= a.r_cents
+             THEN 1 ELSE 0 END AS m3
+      FROM t a JOIN t b
+        ON a.conv_id = b.conv_id AND a.metric = b.metric AND a.rn < b.rn),
+g AS (SELECT conv_id, metric, max(nn)::BIGINT AS n_obs,
+        max(r_cents)::BIGINT AS r_cents,
+        sum(m2)::BIGINT AS b_count, sum(m3)::BIGINT AS a_count
+      FROM p GROUP BY 1, 2)
+SELECT conv_id, metric, n_obs, r_cents, b_count, a_count,
+       round(CASE WHEN a_count > 0
+             THEN -ln(a_count::DOUBLE / b_count::DOUBLE) + 0.0 END, 5)
+         AS sampen
+FROM g WHERE b_count > 0
+""",
+)
+def ts_sampen(spark, sf_dir):
+    """Sample entropy m=2 per series (`complexity.sample_entropy`):
+    -ln(A/B) over tolerance-matched template pairs — regular/templated
+    vs irregular. Tolerance = floor(0.2*std) in exact cents from integer
+    power sums, so every match test is an integer comparison; the
+    per-series self-join is the classic O(n²) SampEn cost, bounded by
+    retention-capped series length."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.sample_entropy(ev)
+
+
+@q(
+    "ts_markov_entropy",
+    f"""
+WITH ev AS ({_EV}),
+p AS (SELECT conv_id, metric AS to_state,
+        lag(metric) OVER (PARTITION BY conv_id
+                          ORDER BY ts, event_id) AS from_state
+      FROM ev),
+c AS (SELECT from_state, to_state, count(*)::BIGINT AS n_trans
+      FROM p WHERE from_state IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT *, sum(n_trans) OVER (PARTITION BY from_state) AS n_from,
+        sum(n_trans) OVER () AS n_all FROM c),
+g AS (SELECT from_state, max(n_from)::BIGINT AS n_from,
+        max(n_all)::BIGINT AS n_all,
+        sum(-(n_trans::DOUBLE / n_from::DOUBLE)
+            * ln(n_trans::DOUBLE / n_from::DOUBLE)) AS h_raw
+      FROM t GROUP BY 1),
+r AS (SELECT *, sum((n_from::DOUBLE / n_all::DOUBLE) * h_raw)
+        OVER () AS rate_raw FROM g)
+SELECT from_state, n_from,
+       round(n_from::DOUBLE / n_all::DOUBLE, 6) AS p_state,
+       round(h_raw, 5) AS h_cond,
+       round(rate_raw, 5) AS entropy_rate
+FROM r
+""",
+)
+def ts_markov_entropy(spark, sf_dir):
+    """Markov-chain entropy rate (`temporal.markov_entropy_rate`):
+    per-from-state conditional next-step entropy + the empirical-weighted
+    overall rate — "how predictable is the next action?" on top of the
+    transition matrix. Same one-lag-window shape; both entropies are
+    windows over the |states|²-row matrix (the unpartitioned windows run
+    over ≤|states|² rows, never raw volume)."""
+    ev = _events_long(spark, sf_dir)
+    return temporal.markov_entropy_rate(ev)
+
+
+@q(
+    "text_heaps_law",
+    f"""
+WITH t AS (SELECT doc_id AS _doc, unnest({_TOKS}) AS _tok FROM documents),
+pd AS (SELECT _doc, count(*)::BIGINT AS n_toks FROM t GROUP BY 1),
+fsd AS (SELECT _doc, count(*)::BIGINT AS n_new
+        FROM (SELECT _tok, min(_doc) AS _doc FROM t GROUP BY 1)
+        GROUP BY 1),
+cum AS (SELECT pd._doc,
+          sum(pd.n_toks) OVER (ORDER BY pd._doc) AS cum_n,
+          sum(coalesce(fsd.n_new, 0)) OVER (ORDER BY pd._doc) AS cum_v
+        FROM pd LEFT JOIN fsd USING (_doc)),
+pts AS (SELECT ln(cum_n::DOUBLE) AS lx, ln(cum_v::DOUBLE) AS ly
+        FROM cum WHERE cum_n > 0 AND cum_v > 0),
+f AS (SELECT count(*)::DOUBLE AS k, sum(lx) AS sx, sum(ly) AS sy,
+        sum(lx * ly) AS sxy, sum(lx * lx) AS sxx FROM pts)
+SELECT k::BIGINT AS n_points,
+       round({complexity.OLS_SLOPE_EXPR}, 5) AS heaps_beta,
+       round(exp((sy - ({complexity.OLS_SLOPE_EXPR}) * sx) / k), 4) AS heaps_k
+FROM f WHERE k >= 2
+""",
+)
+def text_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (`textops.heaps_law`): V(N) ≈
+    K*N^beta over one checkpoint per doc in stable doc_id order. No
+    quadratic distinct-so-far scan — each token type contributes one row
+    at its FIRST doc (min doc id per token), then two cumulative windows
+    over |docs| rows feed the 5-sum OLS."""
+    d = _read(spark, sf_dir, "documents")
+    return textops.heaps_law(d)
+
+
+@q(
+    "text_zipf_slope",
+    f"""
+WITH tf AS (SELECT _tok, count(*)::BIGINT AS freq
+            FROM (SELECT unnest({_TOKS}) AS _tok FROM documents)
+            GROUP BY 1 HAVING count(*) >= 2
+            ORDER BY freq DESC, _tok ASC LIMIT 10000),
+pts AS (SELECT
+          ln((row_number() OVER (ORDER BY freq DESC, _tok ASC))::DOUBLE)
+            AS lx,
+          ln(freq::DOUBLE) AS ly FROM tf),
+f AS (SELECT count(*)::DOUBLE AS k, sum(lx) AS sx, sum(ly) AS sy,
+        sum(lx * ly) AS sxy, sum(lx * lx) AS sxx FROM pts)
+SELECT k::BIGINT AS n_terms,
+       round({complexity.OLS_SLOPE_EXPR}, 5) AS zipf_slope,
+       round((sy - ({complexity.OLS_SLOPE_EXPR}) * sx) / k, 5)
+         AS zipf_intercept
+FROM f WHERE k >= 2
+""",
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency fit (`textops.zipf_slope`): OLS of ln freq on
+    ln rank over the deterministic top-10k terms (freq desc, term asc;
+    hapaxes dropped). The only single-partition window runs over the
+    LIMITed head — never the full vocabulary."""
+    d = _read(spark, sf_dir, "documents")
+    return textops.zipf_slope(d)
+
+
+def _mmr_oracle_sql(k: int = 5, k_cand: int = 20) -> str:
+    """Unrolled greedy MMR in ANSI SQL: step i picks argmax of
+    0.7*simq - 0.3*max(sim to already-selected) over the not-yet-selected
+    candidates — the same literal arithmetic the Spark/driver greedy uses
+    on the same 6-dp-rounded sims, so every comparison is on identical
+    doubles."""
+    qv = _QVEC_SQL
+    parts = [
+        f"""WITH cand AS (
+  SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], {qv}), 6)
+           AS simq,
+         embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE vec_id <> 0
+  ORDER BY list_cosine_similarity(embedding::DOUBLE[], {qv}) DESC, vec_id
+  LIMIT {k_cand}),
+pair AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+           round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+         FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+s1 AS (SELECT 1 AS sel_rank, vec_id, simq AS score FROM cand
+       ORDER BY simq DESC, vec_id LIMIT 1),
+sel1 AS (SELECT vec_id FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+r{i} AS (SELECT c.vec_id, 0.7 * c.simq - 0.3 * max(p.sim) AS score
+       FROM cand c JOIN pair p ON p.ai = c.vec_id
+       WHERE p.bi IN (SELECT vec_id FROM sel{i - 1})
+         AND c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+       GROUP BY c.vec_id, c.simq),
+s{i} AS (SELECT {i} AS sel_rank, vec_id, score FROM r{i}
+       ORDER BY score DESC, vec_id LIMIT 1),
+sel{i} AS (SELECT vec_id FROM sel{i - 1}
+           UNION ALL SELECT vec_id FROM s{i})"""
+        )
+    union = "\nUNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    parts.append(
+        f"""
+SELECT sel_rank, vec_id, round(score + 1e-9, 5) AS mmr_score
+FROM ({union}) ORDER BY sel_rank"""
+    )
+    return "".join(parts)
+
+
+@q("vec_mmr", _mmr_oracle_sql())
+def vec_mmr(spark, sf_dir):
+    """MMR diversity re-rank (`vecops.mmr_rerank`): greedy top-5 from the
+    brute-force top-20 cosine candidates, score = 0.7·sim(q,d) −
+    0.3·max sim(d, selected). Distributed work = the corpus scan + the
+    k_cand² pair sims; the inherently-sequential greedy runs driver-side
+    over the bounded collected matrix (like OPQ's eigendecomposition),
+    disclosed here. Oracle replays the greedy as an unrolled 5-step CTE
+    chain on the same 6-dp sims."""
+    qv = _query_vec(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    return vecops.mmr_rerank(emb, qv, k=5, k_cand=20)
+
+
+# ===========================================================================
 # Flagship entry
 # ===========================================================================
 
@@ -6300,7 +6709,9 @@ _ROTATION_FRONT = [
     "ts_kalman_chunked", "ts_holt_winters_chunked", "ts_bloom_member",
     "vec_opq_topk", "mm_png_roundtrip", "text_hash_embed", "ts_kmv_distinct",
     "vec_sq8_topk", "ts_moments", "ts_hurst", "vec_hybrid_rrf",
-    "ts_transitions",
+    "ts_transitions", "ts_perm_entropy", "ts_allan_var", "ts_benford",
+    "ts_runs_test", "ts_haar_energy", "text_heaps_law", "text_zipf_slope",
+    "ts_sampen", "ts_markov_entropy", "vec_mmr",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]

@@ -1314,3 +1314,55 @@ def transition_matrix(
             6,
         ).alias("prob"),
     )
+
+
+def markov_entropy_rate(
+    df: DataFrame,
+    key: str = "conv_id",
+    state: str = "metric",
+    order: tuple[str, str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Entropy rate of the empirical first-order Markov chain over per-key
+    event streams: per from-state, the conditional next-step entropy
+    H(next | from) = -sum_j p(j|i) ln p(j|i), plus the chain's overall
+    rate sum_i p(i) H(next|i) weighted by the empirical from-state
+    distribution. The one-number "how predictable is the next action?"
+    summary on top of `transition_matrix` — 0 = deterministic flows,
+    ln|states| = uniform chaos.
+
+    Scale shape: identical to transition_matrix (ONE lag window + a
+    |states|²-row partial agg); both entropies are windows over that
+    tiny matrix. Counts are exact BIGINTs, so every ratio inside ln
+    divides identical doubles cross-engine (round 5 at the edge).
+    """
+    w = W.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    pairs = (
+        df.withColumn("from_state", F.lag(state).over(w))
+        .where(F.col("from_state").isNotNull())
+        .select("from_state", F.col(state).alias("to_state"))
+    )
+    cnt = pairs.groupBy("from_state", "to_state").agg(
+        F.count("*").cast("long").alias("n_trans")
+    )
+    wf = W.partitionBy("from_state")
+    wall = W.partitionBy()
+    cnt = cnt.withColumn("n_from", F.sum("n_trans").over(wf)).withColumn(
+        "n_all", F.sum("n_trans").over(wall)
+    )
+    p_cond = F.col("n_trans").cast("double") / F.col("n_from").cast("double")
+    per_state = cnt.groupBy("from_state").agg(
+        F.max("n_from").alias("n_from"),
+        F.max("n_all").alias("n_all"),
+        F.sum(-p_cond * F.log(p_cond)).alias("h_raw"),
+    )
+    p_state = F.col("n_from").cast("double") / F.col("n_all").cast("double")
+    per_state = per_state.withColumn(
+        "rate_raw", F.sum(p_state * F.col("h_raw")).over(wall)
+    )
+    return per_state.select(
+        "from_state",
+        "n_from",
+        F.round(p_state, 6).alias("p_state"),
+        F.round("h_raw", 5).alias("h_cond"),
+        F.round("rate_raw", 5).alias("entropy_rate"),
+    )

@@ -1472,3 +1472,115 @@ def hash_embed(
             ).alias("val"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# corpus-scale vocabulary laws: Heaps growth, Zipf rank-frequency
+# --------------------------------------------------------------------------
+
+_OLS_SLOPE = "(k * sxy - sx * sy) / (k * sxx - sx * sx)"
+_OLS_INTERCEPT = "(sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k"
+
+
+def heaps_law(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heaps'-law fit over the corpus: how fast does the vocabulary grow
+    with corpus size? V(N) ≈ K * N^beta, fit as OLS of ln V on ln N over
+    one checkpoint per document in stable ``id_col`` order. beta ≈ 0.5
+    is natural text; beta → 1 flags near-random token soup (bad OCR,
+    hashes), beta → 0 flags template spam — the corpus-level twin of the
+    per-doc quality score.
+
+    Scale shape: NO quadratic "distinct so far" scan. Each token type
+    contributes exactly one row at its FIRST document (min doc id per
+    token — one token-volume exchange with map-side partial agg), so
+    V(N) is a cumulative sum over per-doc first-seen counts and N is a
+    cumulative sum over per-doc token counts — two tiny window passes
+    over |docs| rows. Counts are integer-exact; only the final ln/OLS is
+    float, rounded like every regression in this engine.
+    """
+    from pyspark.sql import Window
+
+    t = docs.select(
+        F.col(id_col).alias("_doc"), F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+    per_doc = t.groupBy("_doc").agg(F.count("*").cast("long").alias("n_toks"))
+    first_seen = (
+        t.groupBy("_tok")
+        .agg(F.min("_doc").alias("_doc"))
+        .groupBy("_doc")
+        .agg(F.count("*").cast("long").alias("n_new"))
+    )
+    wo = Window.orderBy("_doc").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        per_doc.join(first_seen, "_doc", "left")
+        .fillna({"n_new": 0})
+        .withColumn("cum_n", F.sum("n_toks").over(wo))
+        .withColumn("cum_v", F.sum("n_new").over(wo))
+        .where((F.col("cum_n") > 0) & (F.col("cum_v") > 0))
+        .select(
+            F.log(F.col("cum_n").cast("double")).alias("lx"),
+            F.log(F.col("cum_v").cast("double")).alias("ly"),
+        )
+    )
+    fit = pts.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    return fit.where(F.col("k") >= 2).select(
+        F.col("k").cast("long").alias("n_points"),
+        F.round(F.expr(_OLS_SLOPE), 5).alias("heaps_beta"),
+        F.round(F.exp(F.expr(_OLS_INTERCEPT)), 4).alias("heaps_k"),
+    )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_freq: int = 2,
+    top_k: int = 10000,
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus term distribution:
+    freq(rank) ≈ C * rank^slope, fit as OLS of ln freq on ln rank with a
+    deterministic rank (frequency desc, term asc — integer-exact, no
+    float tie ambiguity). Natural language sits near slope ≈ -1;
+    machine-generated or deduplicated-to-death corpora drift away. Terms
+    below ``min_freq`` are dropped (the hapax tail is noise for the fit)
+    and the fit uses the deterministic top-``top_k`` ranks (freq desc,
+    term asc) — the standard head-of-the-distribution fit.
+
+    Scale shape: ONE token-volume exchange to term counts (map-side
+    partial agg), then ORDER BY + LIMIT top_k is a distributed
+    take-ordered (per-partition top-k, merged on the driver-side sort),
+    so the only single-partition window runs over <= top_k rows — never
+    the full vocabulary. Output is one row.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .where(F.col("freq") >= min_freq)
+        .orderBy(F.col("freq").desc(), F.col("_tok").asc())
+        .limit(top_k)
+    )
+    wr = Window.orderBy(F.col("freq").desc(), F.col("_tok").asc())
+    pts = tf.withColumn("rank", F.row_number().over(wr)).select(
+        F.log(F.col("rank").cast("double")).alias("lx"),
+        F.log(F.col("freq").cast("double")).alias("ly"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    return fit.where(F.col("k") >= 2).select(
+        F.col("k").cast("long").alias("n_terms"),
+        F.round(F.expr(_OLS_SLOPE), 5).alias("zipf_slope"),
+        F.round(F.expr(_OLS_INTERCEPT), 5).alias("zipf_intercept"),
+    )

@@ -1215,3 +1215,81 @@ def hybrid_rrf_topk(
             F.round(F.col("_rrf"), 6).alias("rrf_score"),
         )
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    k_cand: int = 20,
+    lam: float = 0.7,
+    beta: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell-Goldstein 1998):
+    greedily build a k-item result where each pick maximizes
+    lam * sim(query, d) - beta * max_{s in selected} sim(d, s) — relevance
+    minus redundancy, the standard diversity re-rank on top of ANN
+    retrieval. ``beta`` is passed explicitly (not computed as 1 - lam) so
+    both engines use the same exact literal.
+
+    Scale shape: the DISTRIBUTED work is the corpus-wide top-k_cand scan
+    (constant-folded query literal, whole-stage codegen, take-ordered) and
+    the k_cand² pairwise cosine self-join — both bounded by k_cand, not
+    the corpus. The greedy itself is inherently sequential (each pick
+    conditions on the previous), so it runs driver-side over the collected
+    k_cand² sim matrix — bounded, like the OPQ eigendecomposition. All
+    sims are rounded to 6 dp BEFORE the greedy so the selection compares
+    identical doubles on every engine; scores use the same literal
+    arithmetic (lam*simq - beta*maxsim) as the SQL oracle.
+    """
+    cand = cosine_topk(embeddings, query_vec, k=k_cand, id_col=id_col,
+                       vec_col=vec_col)
+    c = (
+        cand.join(embeddings.select(id_col, vec_col), id_col)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.round("cosine_sim", 6).alias("simq"),
+            _as_double(F.col(vec_col)).alias("emb"),
+        )
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(b, F.col("a.cid") != F.col("b.cid")).select(
+        F.col("a.cid").alias("ai"),
+        F.col("b.cid").alias("bi"),
+        F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("sim"),
+    )
+    simq = {r["cid"]: r["simq"] for r in c.select("cid", "simq").collect()}
+    sim = {(r["ai"], r["bi"]): r["sim"] for r in pairs.collect()}
+
+    remaining = set(simq)
+    # first pick: pure relevance, ties to the smaller id
+    first = max(remaining, key=lambda d: (simq[d], -_id_key(d)))
+    sel = [(1, first, simq[first])]
+    remaining.discard(first)
+    while remaining and len(sel) < k:
+        best = None
+        for d in remaining:
+            redun = max(sim[(d, s)] for _, s, _ in sel)
+            score = lam * simq[d] - beta * redun
+            if best is None or (score, -_id_key(d)) > (best[1], -_id_key(best[0])):
+                best = (d, score)
+        sel.append((len(sel) + 1, best[0], best[1]))
+        remaining.discard(best[0])
+
+    spark = embeddings.sparkSession
+    out = spark.createDataFrame(
+        [(r, int(v), float(s)) for r, v, s in sel],
+        f"sel_rank int, {id_col} long, score_raw double",
+    )
+    return out.select(
+        "sel_rank",
+        id_col,
+        F.round(F.col("score_raw") + F.lit(1e-9), 5).alias("mmr_score"),
+    )
+
+
+def _id_key(v):
+    """Sort key for candidate ids (int ids sort numerically)."""
+    return int(v)
