@@ -448,3 +448,142 @@ def test_mmr_diversifies_near_duplicates(spark):
     picked = {r.vec_id for r in got}
     assert not {1, 2, 3}.issubset(picked)  # did not take all three clones
     assert got[0].vec_id == 1  # most relevant still first
+
+
+# ---------------------------------------------------------------------------
+# variance ratio
+# ---------------------------------------------------------------------------
+
+def _np_vr(vals, q):
+    c = np.round(np.asarray(vals) * 100).astype(np.int64)
+    d1 = np.diff(c, 1)
+    dq = c[q:] - c[:-q]
+    v1 = d1.var()  # population variance of 1-period increments
+    vq = dq.var()
+    return vq / (q * v1)
+
+
+def test_variance_ratio_matches_numpy(spark):
+    rng = np.random.default_rng(21)
+    vals = np.round(rng.uniform(0, 100, 24), 2)
+    got = {r["q"]: r for r in complexity.variance_ratio(
+        _series(spark, vals)).collect()}
+    for q in (2, 4):
+        assert got[q].n_obs == 24
+        assert got[q].vr == pytest.approx(_np_vr(vals, q), abs=2e-5)
+
+
+def test_variance_ratio_random_walk_near_one(spark):
+    rng = np.random.default_rng(4)
+    walk = np.round(np.cumsum(rng.normal(0, 5, 800)) + 1000, 2)
+    got = {r["q"]: r.vr for r in complexity.variance_ratio(
+        _series(spark, walk)).collect()}
+    assert got[2] == pytest.approx(1.0, abs=0.2)
+    assert got[4] == pytest.approx(1.0, abs=0.3)
+
+
+def test_variance_ratio_mean_reverting_below_one(spark):
+    # strict alternation is maximal mean reversion: VR(2) ≈ 0
+    vals = [10.0, 20.0] * 50
+    got = {r["q"]: r.vr for r in complexity.variance_ratio(
+        _series(spark, vals)).collect()}
+    assert got[2] < 0.1
+
+
+# ---------------------------------------------------------------------------
+# turning points
+# ---------------------------------------------------------------------------
+
+def test_turning_points_hand_computed(spark):
+    vals = [1.0, 3.0, 2.0, 4.0, 4.0, 5.0, 1.0]
+    # interior: 3 (peak), 2 (trough), 4 (tie -> not strict), 4->5 rising
+    # (no), 5 (peak): turns at idx1, idx2, idx5 = 3
+    got = complexity.turning_points(_series(spark, vals)).collect()[0]
+    assert got.n_obs == 7 and got.n_turns == 3
+    mu = 2 * (7 - 2) / 3
+    var = (16 * 7 - 29) / 90
+    assert got.turns_z == pytest.approx((3 - mu) / math.sqrt(var), abs=1e-4)
+
+
+def test_turning_points_monotone_zero_turns(spark):
+    got = complexity.turning_points(_series(spark, range(12))).collect()[0]
+    assert got.n_turns == 0
+    assert got.turns_z < -2.5
+
+
+# ---------------------------------------------------------------------------
+# pacf
+# ---------------------------------------------------------------------------
+
+def _np_pacf(vals):
+    c = np.round(np.asarray(vals) * 100).astype(np.int64)
+    n = len(c)
+    cc = n * c - c.sum()
+    a0 = float((cc * cc).sum())
+    r = [float((cc[:-k] * cc[k:]).sum()) / a0 for k in (1, 2, 3)]
+    r1, r2, r3 = r
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    phi21 = r1 * (1 - phi22)
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2)
+    return r1, phi22, phi33
+
+
+def test_pacf_matches_numpy(spark):
+    rng = np.random.default_rng(17)
+    vals = np.round(rng.uniform(0, 100, 24), 2)
+    got = complexity.pacf_yule_walker(_series(spark, vals)).collect()[0]
+    p1, p2, p3 = _np_pacf(vals)
+    assert got.n_obs == 24
+    assert got.pacf1 == pytest.approx(p1, abs=2e-5)
+    assert got.pacf2 == pytest.approx(p2, abs=2e-5)
+    assert got.pacf3 == pytest.approx(p3, abs=2e-5)
+
+
+def test_pacf_ar1_cuts_off_after_lag1(spark):
+    # AR(1) with phi=0.8: pacf1 ≈ 0.8, pacf2/pacf3 ≈ 0
+    rng = np.random.default_rng(23)
+    x = np.zeros(600)
+    for i in range(1, 600):
+        x[i] = 0.8 * x[i - 1] + rng.normal(0, 1)
+    vals = np.round(x + 100, 2)
+    got = complexity.pacf_yule_walker(_series(spark, vals)).collect()[0]
+    assert got.pacf1 == pytest.approx(0.8, abs=0.12)
+    assert abs(got.pacf2) < 0.15 and abs(got.pacf3) < 0.15
+
+
+# ---------------------------------------------------------------------------
+# JS divergence by source
+# ---------------------------------------------------------------------------
+
+def test_js_divergence_hand_computed(spark):
+    rows = [
+        (1, "a a b", "s1"),
+        (2, "a b b c", "s2"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in textops.js_divergence_by_source(d).collect()}
+    # corpus: a:3 b:3 c:1 of 7
+    corpus = {"a": 3 / 7, "b": 3 / 7, "c": 1 / 7}
+    def jsd(p):
+        t = 0.0
+        for term, q in corpus.items():
+            pp = p.get(term, 0.0)
+            m = (pp + q) / 2
+            if pp > 0:
+                t += 0.5 * pp * math.log(pp / m)
+            t += 0.5 * q * math.log(q / m)
+        return t
+    p1 = {"a": 2 / 3, "b": 1 / 3}
+    p2 = {"a": 1 / 4, "b": 2 / 4, "c": 1 / 4}
+    assert got["s1"].n_tokens == 3 and got["s2"].n_tokens == 4
+    assert got["s1"].jsd == pytest.approx(jsd(p1), abs=2e-5)
+    assert got["s2"].jsd == pytest.approx(jsd(p2), abs=2e-5)
+    for r in got.values():
+        assert 0 <= r.jsd_norm <= 1
+
+
+def test_js_divergence_identical_source_is_zero(spark):
+    rows = [(1, "x y z", "only")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = textops.js_divergence_by_source(d).collect()[0]
+    assert got.jsd == 0.0  # the single source IS the corpus

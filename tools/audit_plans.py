@@ -519,6 +519,19 @@ def main() -> None:
     audit("markov entropy rate (one lag window, matrix-sized windows)",
           eq.QUERIES["ts_markov_entropy"](spark, sf),
           ["partial_agg", "no_cartesian"])
+    audit("variance ratio (one window pass for all lags, exact-int VR)",
+          eq.QUERIES["ts_variance_ratio"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    audit("turning points (one lag/lead window, integer extrema counts)",
+          eq.QUERIES["ts_turning_points"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    audit("pacf (three leads share one series exchange, integer autocovs)",
+          eq.QUERIES["ts_pacf"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    # js-divergence crossJoins the 1-row corpus-total dim (waived tiny NLJ)
+    audit("js divergence by source (present-terms only, broadcast total)",
+          eq.QUERIES["text_js_divergence"](spark, sf),
+          ["partial_agg"])
     # vec_mmr's distributed stages are the take-ordered candidate scan +
     # bounded pair self-join; the returned frame is a driver-built 5-row
     # result, so plan checks target the candidate scan instead

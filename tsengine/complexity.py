@@ -243,7 +243,9 @@ def runs_test(df: DataFrame, min_n: int = 3) -> DataFrame:
             "n_runs",
             "n_above",
             "n_below",
-            F.round(F.when(var > 0, z + F.lit(1e-9)), 5).alias("runs_z"),
+            (
+                F.round(F.when(var > 0, z + F.lit(1e-9)), 5) + F.lit(0.0)
+            ).alias("runs_z"),
         )
     )
 
@@ -415,4 +417,165 @@ def sample_entropy(
             ),
             5,
         ).alias("sampen"),
+    )
+
+
+def variance_ratio(
+    df: DataFrame, qs: tuple[int, ...] = (2, 4), value_scale: int = 100
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test per series: VR(q) =
+    Var(q-period increments) / (q * Var(1-period increments)), both from
+    overlapping increments. VR ≈ 1 = random walk, < 1 = mean reversion,
+    > 1 = momentum — the classic "is this series a random walk?" screen.
+
+    Exactness: increments of cent-quantized values are exact BIGINTs, so
+    both variance numerators n*Σd² - (Σd)² are exact integers and
+    VR = (VarNum_q * n1²) / (q * VarNum_1 * n_q²) is ONE float division
+    of exact integer products — bitwise identical on any engine. The
+    whole battery computes in ONE window pass (lags 1 and q share the
+    series exchange) and one groupBy.
+    """
+    w = _w()
+    t = df.withColumn(
+        "cents", F.round(F.col("value") * value_scale, 0).cast("long")
+    )
+    t = t.withColumn("d1", F.col("cents") - F.lag("cents", 1).over(w))
+    for q_ in qs:
+        t = t.withColumn(
+            f"d{q_}x", F.col("cents") - F.lag("cents", q_).over(w)
+        )
+    aggs = [
+        F.count("d1").alias("n1"),
+        F.sum("d1").alias("s1"),
+        F.sum(F.col("d1") * F.col("d1")).alias("ss1"),
+    ]
+    for q_ in qs:
+        c = F.col(f"d{q_}x")
+        aggs += [
+            F.count(c).alias(f"n{q_}x"),
+            F.sum(c).alias(f"s{q_}x"),
+            F.sum(c * c).alias(f"ss{q_}x"),
+        ]
+    g = t.groupBy(*KEY).agg(*aggs)
+    vn1 = F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")
+    rows = []
+    for q_ in qs:
+        nq = F.col(f"n{q_}x")
+        vnq = nq * F.col(f"ss{q_}x") - F.col(f"s{q_}x") * F.col(f"s{q_}x")
+        vr = (vnq * F.col("n1") * F.col("n1")).cast("double") / (
+            F.lit(q_) * vn1 * nq * nq
+        ).cast("double")
+        rows.append(
+            g.where((vn1 > 0) & (nq >= 2)).select(
+                *KEY,
+                F.lit(q_).cast("int").alias("q"),
+                (F.col("n1") + 1).alias("n_obs"),
+                F.round(vr + F.lit(1e-9), 5).alias("vr"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def turning_points(df: DataFrame, min_n: int = 5) -> DataFrame:
+    """Turning-point test per series: count interior strict local extrema
+    (both neighbors strictly on the same side) and z-score against the
+    i.i.d. expectation E[T] = 2(n-2)/3, Var[T] = (16n-29)/90 — a
+    randomness screen complementary to the runs test (runs sees level,
+    turning points see direction changes).
+
+    ONE lag/lead window, exact integer comparisons and counts; the only
+    float math is the final z — identical operands on every engine.
+    """
+    w = _w()
+    t = (
+        df.withColumn("prev", F.lag("value").over(w))
+        .withColumn("nxt", F.lead("value").over(w))
+        .where(F.col("prev").isNotNull() & F.col("nxt").isNotNull())
+    )
+    is_turn = (
+        (F.col("prev") < F.col("value")) & (F.col("nxt") < F.col("value"))
+    ) | ((F.col("prev") > F.col("value")) & (F.col("nxt") > F.col("value")))
+    g = t.groupBy(*KEY).agg(
+        F.sum(is_turn.cast("long")).alias("n_turns"),
+        (F.count("*") + 2).alias("n_obs"),
+    )
+    nn = F.col("n_obs").cast("double")
+    mu = 2.0 * (nn - 2.0) / 3.0
+    var = (16.0 * nn - 29.0) / 90.0
+    z = (F.col("n_turns").cast("double") - mu) / F.sqrt(var)
+    return g.where(F.col("n_obs") >= min_n).select(
+        *KEY,
+        "n_obs",
+        "n_turns",
+        (F.round(z + F.lit(1e-9), 5) + F.lit(0.0)).alias("turns_z"),
+    )
+
+
+def pacf_yule_walker(
+    df: DataFrame, value_scale: int = 100, min_n: int = 6
+) -> DataFrame:
+    """Partial autocorrelation at lags 1-3 per series via the closed-form
+    Durbin-Levinson recursion on the first three autocorrelations — the
+    AR-order fingerprint (pacf cuts off after lag p for an AR(p)
+    process), closing the ACF/PACF pair every series engine ships.
+
+    Exactness: autocovariances are computed on n-scaled centered cents
+    (n*c_t - S1, exact BIGINTs), so every r_k = A_k / A_0 divides exact
+    integers; the Durbin-Levinson algebra then runs on identical doubles
+    with the SAME expression tree as the SQL oracle. One window pass
+    (three leads share the series exchange), one groupBy.
+    """
+    w = _w()
+    wk = W.partitionBy(*KEY)
+    t = (
+        df.withColumn(
+            "cents", F.round(F.col("value") * value_scale, 0).cast("long")
+        )
+        .withColumn("s1t", F.sum("cents").over(wk))
+        .withColumn("nnt", F.count("*").over(wk))
+        .withColumn("cc", F.col("nnt") * F.col("cents") - F.col("s1t"))
+        .withColumn("c1", F.lead("cc", 1).over(w))
+        .withColumn("c2", F.lead("cc", 2).over(w))
+        .withColumn("c3", F.lead("cc", 3).over(w))
+    )
+    g = t.groupBy(*KEY).agg(
+        F.max("nnt").alias("n_obs"),
+        F.sum(F.col("cc") * F.col("cc")).alias("a0"),
+        F.sum(F.col("cc") * F.col("c1")).alias("a1"),
+        F.sum(F.col("cc") * F.col("c2")).alias("a2"),
+        F.sum(F.col("cc") * F.col("c3")).alias("a3"),
+    )
+    r1 = F.col("a1").cast("double") / F.col("a0").cast("double")
+    r2 = F.col("a2").cast("double") / F.col("a0").cast("double")
+    r3 = F.col("a3").cast("double") / F.col("a0").cast("double")
+    # Durbin-Levinson: phi11 = r1; phi22 = (r2-r1²)/(1-r1²);
+    # phi21 = r1*(1-phi22); phi33 from the level-3 step — the SQL oracle
+    # repeats these expression trees verbatim
+    phi22_num = r2 - r1 * r1
+    phi22_den = 1.0 - r1 * r1
+    phi22 = phi22_num / phi22_den
+    phi21 = r1 * (1.0 - phi22)
+    phi33_num = r3 - phi21 * r2 - phi22 * r1
+    phi33_den = 1.0 - phi21 * r1 - phi22 * r2
+    return g.where((F.col("n_obs") >= min_n) & (F.col("a0") > 0)).select(
+        *KEY,
+        "n_obs",
+        (F.round(r1 + F.lit(1e-9), 5) + F.lit(0.0)).alias("pacf1"),
+        (
+            F.round(F.when(phi22_den != 0, phi22 + F.lit(1e-9)), 5)
+            + F.lit(0.0)
+        ).alias("pacf2"),
+        (
+            F.round(
+                F.when(
+                    (phi22_den != 0) & (phi33_den != 0),
+                    phi33_num / phi33_den + F.lit(1e-9),
+                ),
+                5,
+            )
+            + F.lit(0.0)
+        ).alias("pacf3"),
     )

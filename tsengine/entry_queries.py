@@ -6392,7 +6392,8 @@ SELECT conv_id, metric, n_obs, n_runs, n_above, n_below,
                   / (nn * nn * (nn - 1.0)) > 0
         THEN (n_runs::DOUBLE - (1.0 + 2.0 * n1 * n2 / nn))
              / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - nn)
-                    / (nn * nn * (nn - 1.0))) + 1e-9 END, 5) AS runs_z
+                    / (nn * nn * (nn - 1.0))) + 1e-9 END, 5) + 0.0
+    AS runs_z
 FROM z WHERE n_obs >= 3 AND n_above > 0 AND n_below > 0
 """,
 )
@@ -6603,6 +6604,167 @@ def text_zipf_slope(spark, sf_dir):
     return textops.zipf_slope(d)
 
 
+@q(
+    "ts_variance_ratio",
+    f"""
+WITH ev AS ({_EV}),
+b AS (SELECT conv_id, metric,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS p1,
+        lag(CAST(round(value * 100) AS BIGINT), 2) OVER w AS p2,
+        lag(CAST(round(value * 100) AS BIGINT), 4) OVER w AS p4
+      FROM ev
+      WINDOW w AS (PARTITION BY conv_id, metric ORDER BY ts, event_id)),
+g AS (SELECT conv_id, metric,
+        count(cents - p1)::BIGINT AS n1,
+        sum(cents - p1)::BIGINT AS s1,
+        sum((cents - p1) * (cents - p1))::BIGINT AS ss1,
+        count(cents - p2)::BIGINT AS n2x,
+        sum(cents - p2)::BIGINT AS s2x,
+        sum((cents - p2) * (cents - p2))::BIGINT AS ss2x,
+        count(cents - p4)::BIGINT AS n4x,
+        sum(cents - p4)::BIGINT AS s4x,
+        sum((cents - p4) * (cents - p4))::BIGINT AS ss4x
+      FROM b GROUP BY 1, 2),
+u AS (SELECT conv_id, metric, 2 AS q, n1, s1, ss1,
+        n2x AS nq, s2x AS sq, ss2x AS ssq FROM g
+      UNION ALL
+      SELECT conv_id, metric, 4, n1, s1, ss1, n4x, s4x, ss4x FROM g)
+SELECT conv_id, metric, q::INT AS q, (n1 + 1)::BIGINT AS n_obs,
+       round(((nq * ssq - sq * sq) * n1 * n1)::DOUBLE
+             / (q * (n1 * ss1 - s1 * s1) * nq * nq)::DOUBLE + 1e-9, 5) AS vr
+FROM u WHERE (n1 * ss1 - s1 * s1) > 0 AND nq >= 2
+""",
+)
+def ts_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay variance-ratio test at q=2,4
+    (`complexity.variance_ratio`): Var(q-period increments) over
+    q·Var(1-period) — random walk vs mean reversion vs momentum. Both
+    variance numerators are exact BIGINTs on cent increments, so VR is
+    ONE float division of exact integer products; one window pass for
+    all lags, one groupBy."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.variance_ratio(ev)
+
+
+@q(
+    "ts_turning_points",
+    f"""
+WITH ev AS ({_EV}),
+t AS (SELECT conv_id, metric, value,
+        lag(value) OVER w AS prev, lead(value) OVER w AS nxt
+      FROM ev
+      WINDOW w AS (PARTITION BY conv_id, metric ORDER BY ts, event_id)),
+g AS (SELECT conv_id, metric,
+        sum(CASE WHEN (prev < value AND nxt < value)
+                   OR (prev > value AND nxt > value)
+             THEN 1 ELSE 0 END)::BIGINT AS n_turns,
+        (count(*) + 2)::BIGINT AS n_obs
+      FROM t WHERE prev IS NOT NULL AND nxt IS NOT NULL GROUP BY 1, 2)
+SELECT conv_id, metric, n_obs, n_turns,
+       round((n_turns::DOUBLE - 2.0 * (n_obs::DOUBLE - 2.0) / 3.0)
+             / sqrt((16.0 * n_obs::DOUBLE - 29.0) / 90.0) + 1e-9, 5) + 0.0
+         AS turns_z
+FROM g WHERE n_obs >= 5
+""",
+)
+def ts_turning_points(spark, sf_dir):
+    """Turning-point randomness test (`complexity.turning_points`):
+    strict interior local extrema counted with exact comparisons,
+    z-scored against the i.i.d. expectation 2(n-2)/3 — the directional
+    sibling of the runs test. One lag/lead window, one groupBy."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.turning_points(ev)
+
+
+@q(
+    "ts_pacf",
+    f"""
+WITH ev AS ({_EV}),
+b AS (SELECT conv_id, metric, ts, event_id,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        sum(CAST(round(value * 100) AS BIGINT))
+          OVER (PARTITION BY conv_id, metric) AS s1t,
+        count(*) OVER (PARTITION BY conv_id, metric) AS nnt
+      FROM ev),
+t AS (SELECT conv_id, metric, nnt, (nnt * cents - s1t) AS cc,
+        lead(nnt * cents - s1t, 1) OVER w AS c1,
+        lead(nnt * cents - s1t, 2) OVER w AS c2,
+        lead(nnt * cents - s1t, 3) OVER w AS c3
+      FROM b
+      WINDOW w AS (PARTITION BY conv_id, metric ORDER BY ts, event_id)),
+g AS (SELECT conv_id, metric, max(nnt)::BIGINT AS n_obs,
+        sum(cc * cc)::BIGINT AS a0, sum(cc * c1)::BIGINT AS a1,
+        sum(cc * c2)::BIGINT AS a2, sum(cc * c3)::BIGINT AS a3
+      FROM t GROUP BY 1, 2),
+r AS (SELECT conv_id, metric, n_obs,
+        a1::DOUBLE / a0::DOUBLE AS r1,
+        a2::DOUBLE / a0::DOUBLE AS r2,
+        a3::DOUBLE / a0::DOUBLE AS r3
+      FROM g WHERE n_obs >= 6 AND a0 > 0),
+d AS (SELECT *, (r2 - r1 * r1) AS p22n, (1.0 - r1 * r1) AS p22d FROM r),
+e AS (SELECT *, p22n / p22d AS phi22 FROM d),
+f AS (SELECT *, r1 * (1.0 - phi22) AS phi21 FROM e)
+SELECT conv_id, metric, n_obs,
+       round(r1 + 1e-9, 5) + 0.0 AS pacf1,
+       round(CASE WHEN p22d != 0 THEN phi22 + 1e-9 END, 5) + 0.0 AS pacf2,
+       round(CASE WHEN p22d != 0
+                   AND (1.0 - phi21 * r1 - phi22 * r2) != 0
+             THEN (r3 - phi21 * r2 - phi22 * r1)
+                  / (1.0 - phi21 * r1 - phi22 * r2) + 1e-9 END, 5) + 0.0
+         AS pacf3
+FROM f
+""",
+)
+def ts_pacf(spark, sf_dir):
+    """Partial autocorrelation lags 1-3 (`complexity.pacf_yule_walker`):
+    Durbin-Levinson closed form on autocorrelations from n-scaled
+    centered cents — exact-integer autocovariances, then identical
+    double algebra on both engines. Closes the ACF/PACF pair; pacf cuts
+    off after lag p for AR(p). One window pass, one groupBy."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.pacf_yule_walker(ev)
+
+
+@q(
+    "text_js_divergence",
+    f"""
+WITH t AS (SELECT source AS src, unnest({_TOKS}) AS _tok FROM documents),
+st AS (SELECT src, _tok, count(*)::BIGINT AS n_st FROM t GROUP BY 1, 2),
+tot AS (SELECT sum(n_st)::BIGINT AS n_all FROM st),
+x AS (SELECT st.*, sum(n_st) OVER (PARTITION BY _tok) AS n_t,
+        sum(n_st) OVER (PARTITION BY src) AS n_s, tot.n_all
+      FROM st CROSS JOIN tot),
+y AS (SELECT src, n_s,
+        n_st::DOUBLE / n_s::DOUBLE AS p,
+        n_t::DOUBLE / n_all::DOUBLE AS q
+      FROM x),
+g AS (SELECT src, count(*)::BIGINT AS n_terms, max(n_s)::BIGINT AS n_tokens,
+        sum(0.5 * p * ln(p / ((p + q) / 2.0))
+            + 0.5 * q * ln(q / ((p + q) / 2.0))) AS jsd_present,
+        sum(q) AS q_covered
+      FROM y GROUP BY 1),
+h AS (SELECT src, n_terms, n_tokens,
+        jsd_present + 0.5 * 0.6931471805599453 * (1.0 - q_covered)
+          AS jsd_raw
+      FROM g)
+SELECT src AS source, n_terms, n_tokens,
+       round(jsd_raw + 1e-9, 5) AS jsd,
+       round(jsd_raw / 0.6931471805599453 + 1e-9, 5) AS jsd_norm
+FROM h
+""",
+)
+def text_js_divergence(spark, sf_dir):
+    """Per-source Jensen-Shannon divergence from the corpus term
+    distribution (`textops.js_divergence_by_source`) — the text-side
+    drift detector (PSI's corpus sibling), symmetric and bounded by ln 2.
+    Absent-term mass folds to 0.5·ln2·(1-coverage), so only present
+    (source, term) rows materialize; corpus total is a broadcast 1-row
+    dim, never an unpartitioned window."""
+    d = _read(spark, sf_dir, "documents")
+    return textops.js_divergence_by_source(d)
+
+
 def _mmr_oracle_sql(k: int = 5, k_cand: int = 20) -> str:
     """Unrolled greedy MMR in ANSI SQL: step i picks argmax of
     0.7*simq - 0.3*max(sim to already-selected) over the not-yet-selected
@@ -6711,7 +6873,8 @@ _ROTATION_FRONT = [
     "vec_sq8_topk", "ts_moments", "ts_hurst", "vec_hybrid_rrf",
     "ts_transitions", "ts_perm_entropy", "ts_allan_var", "ts_benford",
     "ts_runs_test", "ts_haar_energy", "text_heaps_law", "text_zipf_slope",
-    "ts_sampen", "ts_markov_entropy", "vec_mmr",
+    "ts_sampen", "ts_markov_entropy", "vec_mmr", "ts_variance_ratio",
+    "ts_turning_points", "ts_pacf", "text_js_divergence",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]

@@ -1584,3 +1584,69 @@ def zipf_slope(
         F.round(F.expr(_OLS_SLOPE), 5).alias("zipf_slope"),
         F.round(F.expr(_OLS_INTERCEPT), 5).alias("zipf_intercept"),
     )
+
+
+def js_divergence_by_source(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Jensen-Shannon divergence of each source's term distribution from
+    the whole-corpus distribution — the text-side drift detector (the
+    sibling of the PSI drift op on series): a source whose vocabulary
+    usage diverges from the corpus scores high; JSD is symmetric and
+    bounded by ln 2.
+
+    Absent-term handling without a full outer join: for terms the source
+    never uses, p=0 and the JSD contribution reduces to 0.5*ln2*q, so
+    the absent-term mass is 0.5*ln2*(1 - sum of corpus probability the
+    source DOES cover) — only present (source, term) rows are ever
+    materialized.
+
+    Scale shape: ONE token-volume exchange to (source, term) counts
+    (map-side partial agg); corpus totals are window sums over the
+    |sources|*|vocab| count table; the JSD is a per-source sum over that
+    table. Counts are exact integers; the ln-sum is rounded like every
+    entropy in this engine.
+    """
+    from pyspark.sql import Window
+
+    t = docs.select(
+        F.col(source_col).alias("src"),
+        F.explode(tokens(F.col(text_col))).alias("_tok"),
+    )
+    st = t.groupBy("src", "_tok").agg(
+        F.count("*").cast("long").alias("n_st")
+    )
+    wt = Window.partitionBy("_tok")
+    ws = Window.partitionBy("src")
+    # corpus total as a broadcast 1-row dim (the bm25 corpus-stats idiom)
+    # instead of an unpartitioned window that would single-partition the
+    # (source, term) table at scale
+    n_all_df = st.agg(F.sum("n_st").alias("n_all"))
+    st = (
+        st.withColumn("n_t", F.sum("n_st").over(wt))
+        .withColumn("n_s", F.sum("n_st").over(ws))
+        .crossJoin(F.broadcast(n_all_df))
+    )
+    p = F.col("n_st").cast("double") / F.col("n_s").cast("double")
+    q = F.col("n_t").cast("double") / F.col("n_all").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m)
+    g = st.groupBy("src").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.max("n_s").alias("n_tokens"),
+        F.sum(term).alias("jsd_present"),
+        F.sum(q).alias("q_covered"),
+    )
+    ln2 = 0.6931471805599453
+    jsd = F.col("jsd_present") + F.lit(0.5) * F.lit(ln2) * (
+        F.lit(1.0) - F.col("q_covered")
+    )
+    return g.select(
+        F.col("src").alias("source"),
+        "n_terms",
+        "n_tokens",
+        F.round(jsd + F.lit(1e-9), 5).alias("jsd"),
+        F.round(jsd / F.lit(ln2) + F.lit(1e-9), 5).alias("jsd_norm"),
+    )
