@@ -587,3 +587,77 @@ def test_js_divergence_identical_source_is_zero(spark):
     d = spark.createDataFrame(rows, "doc_id long, text string, source string")
     got = textops.js_divergence_by_source(d).collect()[0]
     assert got.jsd == 0.0  # the single source IS the corpus
+
+
+# ---------------------------------------------------------------------------
+# seasonal strength / volume gini / mean excess
+# ---------------------------------------------------------------------------
+
+def _series_hourly(spark, vals, conv="c1", metric="m"):
+    rows = [
+        (conv, T0 + dt.timedelta(hours=i), metric, float(v), i)
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, metric string, value double, event_id int"
+    )
+
+
+def test_seasonal_strength_pure_hourly_signal(spark):
+    # value is a pure function of hour-of-day → within-group SS = 0 →
+    # strength = 1
+    vals = [float(10 + (i % 24)) for i in range(96)]
+    got = complexity.seasonal_strength(
+        _series_hourly(spark, vals)).collect()[0]
+    assert got.n_obs == 96 and got.n_hours == 24
+    assert got.seasonal_strength == pytest.approx(1.0, abs=1e-6)
+
+
+def test_seasonal_strength_matches_numpy(spark):
+    rng = np.random.default_rng(31)
+    vals = np.round(rng.uniform(0, 100, 96), 2)
+    got = complexity.seasonal_strength(
+        _series_hourly(spark, vals)).collect()[0]
+    c = np.round(np.asarray(vals) * 100).astype(np.int64)
+    hod = np.arange(96) % 24
+    sst = c.var() * len(c)
+    ssw = sum(c[hod == h].var() * (hod == h).sum() for h in range(24))
+    assert got.seasonal_strength == pytest.approx(1 - ssw / sst, abs=2e-5)
+
+
+def test_volume_gini_uniform_is_low_concentrated_high(spark):
+    rows = []
+    # metric "flat": 10 convs × 5 events; metric "skew": one conv has 91,
+    # nine have 1
+    for cv in range(10):
+        for i in range(5):
+            rows.append((f"c{cv}", T0, "flat", 1.0, cv * 100 + i))
+        n = 91 if cv == 0 else 1
+        for i in range(n):
+            rows.append((f"c{cv}", T0, "skew", 1.0, cv * 1000 + i))
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, metric string, value double, event_id int")
+    got = {r.metric: r for r in complexity.volume_gini(df).collect()}
+    assert got["flat"].gini == pytest.approx(0.0, abs=1e-6)
+    assert got["skew"].gini > 0.7
+    # hand formula for the skew case
+    x = sorted([1] * 9 + [91])
+    n, xt = 10, 100
+    rx = sum((i + 1) * v for i, v in enumerate(x))
+    expect = 2 * rx / (n * xt) - (n + 1) / n
+    assert got["skew"].gini == pytest.approx(expect, abs=1e-5)
+
+
+def test_mean_excess_hand_computed(spark):
+    vals = [float(i) for i in range(1, 21)]  # 1..20
+    got = complexity.mean_excess(_series(spark, vals), p=0.9).collect()[0]
+    u = np.quantile(np.array(vals), 0.9)  # linear interpolation, = 18.1
+    exceed = [v for v in vals if v > u]
+    assert got.threshold == pytest.approx(u, abs=1e-5)
+    assert got.n_exceed == len(exceed)
+    assert got.mean_excess == pytest.approx(
+        sum(v - u for v in exceed) / len(exceed), abs=1e-4)
+
+
+def test_mean_excess_min_n_gate(spark):
+    assert complexity.mean_excess(_series(spark, [1.0] * 5), p=0.9).count() == 0

@@ -528,6 +528,18 @@ def main() -> None:
     audit("pacf (three leads share one series exchange, integer autocovs)",
           eq.QUERIES["ts_pacf"](spark, sf),
           ["partial_agg", "no_cartesian"])
+    # seasonal strength cascades two aggs (metric×hour, then metric) —
+    # the second exchange moves 24 rows/metric, so single_exchange is
+    # intentionally not asserted
+    audit("seasonal strength (groupBy to metric-hour, 24-row reduce)",
+          eq.QUERIES["ts_seasonal_strength"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    audit("volume gini (rank window over pre-aggregated conv counts)",
+          eq.QUERIES["ts_volume_gini"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    audit("mean excess (percentile window shares exceedance exchange)",
+          eq.QUERIES["ts_mean_excess"](spark, sf),
+          ["partial_agg", "no_cartesian"])
     # js-divergence crossJoins the 1-row corpus-total dim (waived tiny NLJ)
     audit("js divergence by source (present-terms only, broadcast total)",
           eq.QUERIES["text_js_divergence"](spark, sf),

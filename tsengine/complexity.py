@@ -579,3 +579,117 @@ def pacf_yule_walker(
             + F.lit(0.0)
         ).alias("pacf3"),
     )
+
+
+def seasonal_strength(
+    df: DataFrame, value_scale: int = 100, min_n: int = 48
+) -> DataFrame:
+    """Hour-of-day seasonality strength per metric: 1 - SS_within/SS_total
+    where groups are the 24 hours — the variance-explained measure that
+    says whether an hour-of-day profile is worth materializing for a
+    metric (strength ~ 0: skip the profile tier; ~ 1: the profile IS the
+    signal).
+
+    SS_total's numerator n*S2 - S1² is an exact BIGINT on cents; each
+    hour's within-group numerator likewise — only the final ≤24-term sum
+    of group fractions and the 1 - ratio touch floats (round + nudge).
+    One groupBy to (metric, hour), then a 24-row reduce per metric.
+    """
+    t = df.select(
+        "metric",
+        F.hour("ts").alias("hod"),
+        F.round(F.col("value") * value_scale, 0).cast("long").alias("cents"),
+    )
+    g = t.groupBy("metric", "hod").agg(
+        F.count("*").alias("n_h"),
+        F.sum("cents").alias("s_h"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss_h"),
+    )
+    within = (
+        F.col("n_h") * F.col("ss_h") - F.col("s_h") * F.col("s_h")
+    ).cast("double") / F.col("n_h").cast("double")
+    m = g.groupBy("metric").agg(
+        F.sum("n_h").alias("n_obs"),
+        F.sum("s_h").alias("s1"),
+        F.sum("ss_h").alias("s2"),
+        F.sum(within).alias("ssw"),
+        F.count("*").cast("long").alias("n_hours"),
+    )
+    sst = (
+        F.col("n_obs") * F.col("s2") - F.col("s1") * F.col("s1")
+    ).cast("double") / F.col("n_obs").cast("double")
+    strength = 1.0 - F.col("ssw") / sst
+    return m.where((F.col("n_obs") >= min_n) & (sst > 0)).select(
+        "metric",
+        "n_obs",
+        "n_hours",
+        F.round(strength + F.lit(1e-9), 5).alias("seasonal_strength"),
+    )
+
+
+def volume_gini(df: DataFrame, key: str = "conv_id") -> DataFrame:
+    """Gini coefficient of event-volume concentration across conversations
+    per metric: G = (2*Σ rank_i*x_i) / (n*Σx) - (n+1)/n over ascending
+    per-conversation counts — the one-number answer to "is this metric's
+    volume a few mega-conversations or a broad base?", i.e. exactly the
+    skew the engine's salted repartitioning exists for.
+
+    Counts, ranks, and both Σ terms are exact BIGINTs (deterministic rank:
+    count asc, key asc), so G is float arithmetic on identical integer
+    operands. The rank window partitions by metric — fine while a single
+    metric's conversation list fits a task's sort (pre-aggregate to
+    per-conv counts first, so the window input is |convs| rows, not raw
+    volume).
+    """
+    cnt = df.groupBy("metric", key).agg(F.count("*").alias("x"))
+    wr = W.partitionBy("metric").orderBy(F.col("x").asc(), F.col(key).asc())
+    r = cnt.withColumn("rk", F.row_number().over(wr))
+    g = r.groupBy("metric").agg(
+        F.count("*").alias("n_convs"),
+        F.sum("x").alias("x_tot"),
+        F.sum(F.col("rk") * F.col("x")).alias("rx"),
+    )
+    nn = F.col("n_convs").cast("double")
+    gini = (2.0 * F.col("rx").cast("double")) / (
+        nn * F.col("x_tot").cast("double")
+    ) - (nn + 1.0) / nn
+    return g.where(F.col("n_convs") >= 2).select(
+        "metric",
+        "n_convs",
+        "x_tot",
+        F.round(gini + F.lit(1e-9), 5).alias("gini"),
+    )
+
+
+def mean_excess(df: DataFrame, p: float = 0.9, min_n: int = 10) -> DataFrame:
+    """Peaks-over-threshold tail summary per series: threshold u = the
+    exact p-quantile, exceedance count, and mean excess E[v - u | v > u]
+    — the extreme-value-theory screen for alerting thresholds (a rising
+    mean-excess curve = heavy tail, flat = exponential-ish).
+
+    The quantile is a window aggregate over the SAME series exchange the
+    exceedance filter uses (one shuffle); the excess sum is the only
+    float accumulation (≤ tail-count terms, round + nudge).
+    """
+    wk = W.partitionBy(*KEY)
+    t = df.withColumn(
+        "u", F.expr(f"percentile(value, {p!r})").over(wk)
+    ).withColumn("n_all", F.count("*").over(wk))
+    exc = t.where(F.col("value") > F.col("u"))
+    g = exc.groupBy(*KEY).agg(
+        F.max("n_all").alias("n_obs"),
+        F.max("u").alias("threshold"),
+        F.count("*").alias("n_exceed"),
+        F.sum(F.col("value") - F.col("u")).alias("excess_sum"),
+    )
+    return g.where(F.col("n_obs") >= min_n).select(
+        *KEY,
+        "n_obs",
+        F.round(F.col("threshold") + F.lit(1e-9), 5).alias("threshold"),
+        "n_exceed",
+        F.round(
+            F.col("excess_sum") / F.col("n_exceed").cast("double")
+            + F.lit(1e-9),
+            5,
+        ).alias("mean_excess"),
+    )

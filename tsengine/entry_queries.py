@@ -6765,6 +6765,93 @@ def text_js_divergence(spark, sf_dir):
     return textops.js_divergence_by_source(d)
 
 
+@q(
+    "ts_seasonal_strength",
+    f"""
+WITH ev AS ({_EV}),
+t AS (SELECT metric, hour(ts) AS hod,
+        CAST(round(value * 100) AS BIGINT) AS cents FROM ev),
+g AS (SELECT metric, hod, count(*)::BIGINT AS n_h,
+        sum(cents)::BIGINT AS s_h,
+        sum(cents * cents)::BIGINT AS ss_h
+      FROM t GROUP BY 1, 2),
+m AS (SELECT metric, sum(n_h)::BIGINT AS n_obs, sum(s_h)::BIGINT AS s1,
+        sum(ss_h)::BIGINT AS s2,
+        sum((n_h * ss_h - s_h * s_h)::DOUBLE / n_h::DOUBLE) AS ssw,
+        count(*)::BIGINT AS n_hours
+      FROM g GROUP BY 1)
+SELECT metric, n_obs, n_hours,
+       round(1.0 - ssw / ((n_obs * s2 - s1 * s1)::DOUBLE / n_obs::DOUBLE)
+             + 1e-9, 5) AS seasonal_strength
+FROM m WHERE n_obs >= 48 AND (n_obs * s2 - s1 * s1) > 0
+""",
+)
+def ts_seasonal_strength(spark, sf_dir):
+    """Hour-of-day seasonality strength per metric
+    (`complexity.seasonal_strength`): 1 - SS_within/SS_total over 24
+    hour groups — variance explained by the hour profile, i.e. "is the
+    hour-of-day tier worth materializing?". All group numerators are
+    exact BIGINTs on cents; one groupBy to (metric, hour), then a
+    24-row reduce."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.seasonal_strength(ev)
+
+
+@q(
+    "ts_volume_gini",
+    f"""
+WITH ev AS ({_EV}),
+cnt AS (SELECT metric, conv_id, count(*)::BIGINT AS x
+        FROM ev GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY metric
+                                   ORDER BY x ASC, conv_id ASC) AS rk
+      FROM cnt),
+g AS (SELECT metric, count(*)::BIGINT AS n_convs, sum(x)::BIGINT AS x_tot,
+        sum(rk * x)::BIGINT AS rx FROM r GROUP BY 1)
+SELECT metric, n_convs, x_tot,
+       round((2.0 * rx::DOUBLE) / (n_convs::DOUBLE * x_tot::DOUBLE)
+             - (n_convs::DOUBLE + 1.0) / n_convs::DOUBLE + 1e-9, 5) AS gini
+FROM g WHERE n_convs >= 2
+""",
+)
+def ts_volume_gini(spark, sf_dir):
+    """Gini concentration of per-conversation event volume per metric
+    (`complexity.volume_gini`) — the one-number skew report: is volume a
+    few mega-conversations (G→1, salting matters) or a broad base (G→0)?
+    Ranks and both Σ terms are exact BIGINTs over the pre-aggregated
+    per-conv counts, so G is float math on identical integer operands."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.volume_gini(ev)
+
+
+@q(
+    "ts_mean_excess",
+    f"""
+WITH ev AS ({_EV}),
+t AS (SELECT conv_id, metric, value,
+        quantile_cont(value, 0.9)
+          OVER (PARTITION BY conv_id, metric) AS u,
+        count(*) OVER (PARTITION BY conv_id, metric) AS n_all
+      FROM ev),
+g AS (SELECT conv_id, metric, max(n_all)::BIGINT AS n_obs,
+        max(u) AS threshold, count(*)::BIGINT AS n_exceed,
+        sum(value - u) AS excess_sum
+      FROM t WHERE value > u GROUP BY 1, 2)
+SELECT conv_id, metric, n_obs,
+       round(threshold + 1e-9, 5) AS threshold, n_exceed,
+       round(excess_sum / n_exceed::DOUBLE + 1e-9, 5) AS mean_excess
+FROM g WHERE n_obs >= 10
+""",
+)
+def ts_mean_excess(spark, sf_dir):
+    """Peaks-over-threshold tail summary per series
+    (`complexity.mean_excess`): exact p90 threshold (window percentile
+    sharing the exceedance filter's exchange), exceedance count, and
+    mean excess — the extreme-value screen behind alert thresholds."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.mean_excess(ev)
+
+
 def _mmr_oracle_sql(k: int = 5, k_cand: int = 20) -> str:
     """Unrolled greedy MMR in ANSI SQL: step i picks argmax of
     0.7*simq - 0.3*max(sim to already-selected) over the not-yet-selected
@@ -6875,6 +6962,7 @@ _ROTATION_FRONT = [
     "ts_runs_test", "ts_haar_energy", "text_heaps_law", "text_zipf_slope",
     "ts_sampen", "ts_markov_entropy", "vec_mmr", "ts_variance_ratio",
     "ts_turning_points", "ts_pacf", "text_js_divergence",
+    "ts_seasonal_strength", "ts_volume_gini", "ts_mean_excess",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]
