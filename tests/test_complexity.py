@@ -661,3 +661,73 @@ def test_mean_excess_hand_computed(spark):
 
 def test_mean_excess_min_n_gate(spark):
     assert complexity.mean_excess(_series(spark, [1.0] * 5), p=0.9).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ljung-box / metric correlation / hill tail
+# ---------------------------------------------------------------------------
+
+def test_ljung_box_matches_numpy(spark):
+    rng = np.random.default_rng(41)
+    vals = np.round(rng.uniform(0, 100, 24), 2)
+    got = complexity.ljung_box(_series(spark, vals)).collect()[0]
+    c = np.round(np.asarray(vals) * 100).astype(np.int64)
+    n = len(c)
+    cc = n * c - c.sum()
+    a0 = float((cc * cc).sum())
+    q = 0.0
+    for k in (1, 2, 3):
+        rk = float((cc[:-k] * cc[k:]).sum()) / a0
+        q += rk * rk / (n - k)
+    q *= n * (n + 2)
+    assert got.n_obs == 24 and got.n_lags == 3
+    assert got.lb_q == pytest.approx(q, abs=2e-4)
+
+
+def test_ljung_box_ar1_large_q(spark):
+    rng = np.random.default_rng(42)
+    x = np.zeros(200)
+    for i in range(1, 200):
+        x[i] = 0.9 * x[i - 1] + rng.normal(0, 1)
+    got = complexity.ljung_box(
+        _series(spark, np.round(x + 50, 2))).collect()[0]
+    # chi2(3) 99th percentile ≈ 11.3; strong AR(1) must blow far past it
+    assert got.lb_q > 50
+
+
+def test_metric_correlation_hand_computed(spark):
+    rows = []
+    # conv totals: metric u = [1,2,3], metric v = 2*u (perfect corr),
+    # metric w anti-correlated
+    for cv, (u, v, w) in enumerate([(1, 2, 30), (2, 4, 20), (3, 6, 10)]):
+        for metric, tot in (("u", u), ("v", v), ("w", w)):
+            rows.append((f"c{cv}", T0, metric, float(tot), cv * 10))
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, metric string, value double, event_id int")
+    got = {(r.metric_a, r.metric_b): r.corr
+           for r in complexity.metric_correlation(df).collect()}
+    assert got[("u", "v")] == pytest.approx(1.0, abs=1e-6)
+    assert got[("u", "w")] == pytest.approx(-1.0, abs=1e-6)
+    assert got[("v", "w")] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_hill_tail_matches_numpy(spark):
+    rng = np.random.default_rng(43)
+    vals = np.round(rng.pareto(2.0, 40) * 10 + 0.01, 2)
+    got = complexity.hill_tail(_series(spark, vals)).collect()[0]
+    c = np.sort(np.round(np.asarray(vals) * 100).astype(np.int64))[::-1]
+    n = len(c)
+    k = int(np.floor(0.25 * n))
+    h = np.log(c[:k].astype(float)).mean() - math.log(float(c[k]))
+    assert got.n_pos == n and got.k == k
+    assert got.hill_h == pytest.approx(h, abs=2e-5)
+    if h > 0:
+        assert got.tail_alpha == pytest.approx(1 / h, abs=2e-4)
+
+
+def test_hill_tail_pareto_recovers_alpha(spark):
+    rng = np.random.default_rng(44)
+    vals = np.round((1 + rng.pareto(1.5, 2000)) * 100, 2)
+    got = complexity.hill_tail(_series(spark, vals)).collect()[0]
+    # Hill on a Pareto(1.5) tail should land near 1.5
+    assert got.tail_alpha == pytest.approx(1.5, rel=0.25)

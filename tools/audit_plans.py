@@ -540,6 +540,15 @@ def main() -> None:
     audit("mean excess (percentile window shares exceedance exchange)",
           eq.QUERIES["ts_mean_excess"](spark, sf),
           ["partial_agg", "no_cartesian"])
+    audit("ljung-box (three leads share one series exchange)",
+          eq.QUERIES["ts_ljung_box"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    audit("metric correlation (conv-keyed self-join over totals)",
+          eq.QUERIES["ts_metric_corr"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    audit("hill tail (one desc rank window, conditional top-k sums)",
+          eq.QUERIES["ts_hill_tail"](spark, sf),
+          ["partial_agg", "no_cartesian"])
     # js-divergence crossJoins the 1-row corpus-total dim (waived tiny NLJ)
     audit("js divergence by source (present-terms only, broadcast total)",
           eq.QUERIES["text_js_divergence"](spark, sf),

@@ -693,3 +693,166 @@ def mean_excess(df: DataFrame, p: float = 0.9, min_n: int = 10) -> DataFrame:
             5,
         ).alias("mean_excess"),
     )
+
+
+def ljung_box(
+    df: DataFrame, lags: int = 3, value_scale: int = 100, min_n: int = 6
+) -> DataFrame:
+    """Ljung-Box portmanteau statistic per series at lags 1..``lags``:
+    Q = n(n+2) * sum_k r_k²/(n-k) — the "is there ANY autocorrelation?"
+    gate that decides whether the ACF/PACF battery is worth reading at
+    all (Q near 0: the series is white, skip modeling).
+
+    Same exact-integer autocovariance machinery as the PACF op (n-scaled
+    centered cents), so each r_k divides exact BIGINTs and Q is float
+    algebra on identical operands. One window pass, one groupBy.
+    """
+    w = _w()
+    wk = W.partitionBy(*KEY)
+    t = (
+        df.withColumn(
+            "cents", F.round(F.col("value") * value_scale, 0).cast("long")
+        )
+        .withColumn("s1t", F.sum("cents").over(wk))
+        .withColumn("nnt", F.count("*").over(wk))
+        .withColumn("cc", F.col("nnt") * F.col("cents") - F.col("s1t"))
+    )
+    for k in range(1, lags + 1):
+        t = t.withColumn(f"ck{k}", F.lead("cc", k).over(w))
+    aggs = [
+        F.max("nnt").alias("n_obs"),
+        F.sum(F.col("cc") * F.col("cc")).alias("a0"),
+    ] + [
+        F.sum(F.col("cc") * F.col(f"ck{k}")).alias(f"a{k}")
+        for k in range(1, lags + 1)
+    ]
+    g = t.groupBy(*KEY).agg(*aggs)
+    nn = F.col("n_obs").cast("double")
+    q = F.lit(0.0)
+    for k in range(1, lags + 1):
+        rk = F.col(f"a{k}").cast("double") / F.col("a0").cast("double")
+        q = q + rk * rk / (nn - F.lit(float(k)))
+    q = nn * (nn + 2.0) * q
+    return g.where((F.col("n_obs") >= min_n) & (F.col("a0") > 0)).select(
+        *KEY,
+        "n_obs",
+        F.lit(lags).cast("int").alias("n_lags"),
+        F.round(q + F.lit(1e-9), 5).alias("lb_q"),
+    )
+
+
+def metric_correlation(df: DataFrame, value_scale: int = 100) -> DataFrame:
+    """Pairwise Pearson correlation between metrics over per-conversation
+    totals — which per-turn signals move together across conversations
+    (latency with tool-call intensity?), the input to any composite
+    signal or redundancy pruning.
+
+    Per-conv totals in cents are exact BIGINTs, so all five correlation
+    sums are exact integers and r is float algebra on identical operands
+    (exact while n_convs * total² < 2^63 per metric pair — totals are
+    bounded by retention caps; beyond that, pre-scale). Shape: one
+    groupBy to |convs|×|metrics| totals, ONE conv-keyed self-join
+    (m1 < m2), then a pair-level reduce to |metrics|² rows.
+    """
+    tot = df.groupBy("conv_id", "metric").agg(
+        F.sum(
+            F.round(F.col("value") * value_scale, 0).cast("long")
+        ).alias("cx")
+    )
+    a, b = tot.alias("a"), tot.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.conv_id") == F.col("b.conv_id"))
+        & (F.col("a.metric") < F.col("b.metric")),
+    ).select(
+        F.col("a.metric").alias("metric_a"),
+        F.col("b.metric").alias("metric_b"),
+        F.col("a.cx").alias("x"),
+        F.col("b.cx").alias("y"),
+    )
+    g = pairs.groupBy("metric_a", "metric_b").agg(
+        F.count("*").alias("n_convs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_convs")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return g.where((F.col("n_convs") >= 3) & (dx > 0) & (dy > 0)).select(
+        "metric_a",
+        "metric_b",
+        "n_convs",
+        (
+            F.round(num / F.sqrt(dx * dy) + F.lit(1e-9), 5) + F.lit(0.0)
+        ).alias("corr"),
+    )
+
+
+def hill_tail(
+    df: DataFrame, tail_frac: float = 0.25, value_scale: int = 100,
+    min_k: int = 2,
+) -> DataFrame:
+    """Hill tail-index estimator per series: H = mean(ln(x_(i)/x_thr))
+    over the top k = floor(tail_frac * n_pos) order statistics against
+    the (k+1)-th largest as threshold; alpha = 1/H is the Pareto tail
+    exponent — finite-variance check for the latency tail (alpha < 2 =
+    variance doesn't exist, percentile tiers are mandatory).
+
+    Order statistics are exact (deterministic desc rank on cents with
+    time tie-breaks; the top-k VALUE multiset is tie-order invariant);
+    each ln ratio divides exact integers. One rank window, one groupBy.
+    """
+    w_desc = W.partitionBy(*KEY).orderBy(
+        F.col("cents").desc(), *[F.col(c) for c in ORDER]
+    )
+    wk = W.partitionBy(*KEY)
+    t = (
+        df.withColumn(
+            "cents", F.round(F.col("value") * value_scale, 0).cast("long")
+        )
+        .where(F.col("cents") > 0)
+        .withColumn("rn", F.row_number().over(w_desc))
+        .withColumn("n_pos", F.count("*").over(wk))
+        .withColumn(
+            "k", F.floor(F.lit(tail_frac) * F.col("n_pos")).cast("long")
+        )
+    )
+    thr = F.max(
+        F.when(F.col("rn") == F.col("k") + 1, F.col("cents"))
+    ).alias("thr_cents")
+    g = (
+        t.groupBy(*KEY)
+        .agg(
+            F.max("n_pos").alias("n_pos"),
+            F.max("k").alias("k"),
+            thr,
+            F.sum(
+                F.when(
+                    F.col("rn") <= F.col("k"),
+                    F.log(
+                        F.col("cents").cast("double")
+                    ),
+                )
+            ).alias("lnsum_top"),
+        )
+        .where(
+            (F.col("k") >= min_k) & (F.col("thr_cents") > 0)
+        )
+    )
+    # H = mean(ln x_i) - ln x_thr on identical doubles
+    h = F.col("lnsum_top") / F.col("k").cast("double") - F.log(
+        F.col("thr_cents").cast("double")
+    )
+    return g.select(
+        *KEY,
+        "n_pos",
+        "k",
+        F.round(h + F.lit(1e-9), 5).alias("hill_h"),
+        F.round(
+            F.when(h > 0, F.lit(1.0) / h + F.lit(1e-9)), 5
+        ).alias("tail_alpha"),
+    )

@@ -6852,6 +6852,122 @@ def ts_mean_excess(spark, sf_dir):
     return complexity.mean_excess(ev)
 
 
+@q(
+    "ts_ljung_box",
+    f"""
+WITH ev AS ({_EV}),
+b AS (SELECT conv_id, metric, ts, event_id,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        sum(CAST(round(value * 100) AS BIGINT))
+          OVER (PARTITION BY conv_id, metric) AS s1t,
+        count(*) OVER (PARTITION BY conv_id, metric) AS nnt
+      FROM ev),
+t AS (SELECT conv_id, metric, nnt, (nnt * cents - s1t) AS cc,
+        lead(nnt * cents - s1t, 1) OVER w AS ck1,
+        lead(nnt * cents - s1t, 2) OVER w AS ck2,
+        lead(nnt * cents - s1t, 3) OVER w AS ck3
+      FROM b
+      WINDOW w AS (PARTITION BY conv_id, metric ORDER BY ts, event_id)),
+g AS (SELECT conv_id, metric, max(nnt)::BIGINT AS n_obs,
+        sum(cc * cc)::BIGINT AS a0, sum(cc * ck1)::BIGINT AS a1,
+        sum(cc * ck2)::BIGINT AS a2, sum(cc * ck3)::BIGINT AS a3
+      FROM t GROUP BY 1, 2)
+SELECT conv_id, metric, n_obs, 3::INT AS n_lags,
+       round(n_obs::DOUBLE * (n_obs::DOUBLE + 2.0)
+             * (((0.0
+                  + (a1::DOUBLE / a0::DOUBLE) * (a1::DOUBLE / a0::DOUBLE)
+                    / (n_obs::DOUBLE - 1.0))
+                 + (a2::DOUBLE / a0::DOUBLE) * (a2::DOUBLE / a0::DOUBLE)
+                   / (n_obs::DOUBLE - 2.0))
+                + (a3::DOUBLE / a0::DOUBLE) * (a3::DOUBLE / a0::DOUBLE)
+                  / (n_obs::DOUBLE - 3.0))
+             + 1e-9, 5) AS lb_q
+FROM g WHERE n_obs >= 6 AND a0 > 0
+""",
+)
+def ts_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau Q at lags 1-3 (`complexity.ljung_box`): the
+    "any autocorrelation at all?" gate in front of the ACF/PACF battery.
+    Same exact-integer autocovariances as ts_pacf, so Q is float algebra
+    on identical operands; one window pass, one groupBy."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.ljung_box(ev)
+
+
+@q(
+    "ts_metric_corr",
+    f"""
+WITH ev AS ({_EV}),
+tot AS (SELECT conv_id, metric,
+          sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cx
+        FROM ev GROUP BY 1, 2),
+p AS (SELECT a.metric AS metric_a, b.metric AS metric_b,
+        a.cx AS x, b.cx AS y
+      FROM tot a JOIN tot b
+        ON a.conv_id = b.conv_id AND a.metric < b.metric),
+g AS (SELECT metric_a, metric_b, count(*)::BIGINT AS n_convs,
+        sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+        sum(x * y)::BIGINT AS sxy
+      FROM p GROUP BY 1, 2)
+SELECT metric_a, metric_b, n_convs,
+       round((n_convs * sxy - sx * sy)::DOUBLE
+             / sqrt((n_convs * sxx - sx * sx)::DOUBLE
+                    * (n_convs * syy - sy * sy)::DOUBLE)
+             + 1e-9, 5) + 0.0 AS corr
+FROM g WHERE n_convs >= 3
+  AND (n_convs * sxx - sx * sx) > 0 AND (n_convs * syy - sy * sy) > 0
+""",
+)
+def ts_metric_corr(spark, sf_dir):
+    """Cross-metric Pearson correlation over per-conversation totals
+    (`complexity.metric_correlation`): which per-turn signals move
+    together across conversations. All five correlation sums are exact
+    BIGINTs on cent totals; one groupBy, ONE conv-keyed self-join
+    (m1 < m2), pair-level reduce."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.metric_correlation(ev)
+
+
+@q(
+    "ts_hill_tail",
+    f"""
+WITH ev AS ({_EV}),
+b AS (SELECT conv_id, metric, ts, event_id,
+        CAST(round(value * 100) AS BIGINT) AS cents FROM ev
+      WHERE CAST(round(value * 100) AS BIGINT) > 0),
+t AS (SELECT conv_id, metric, cents,
+        row_number() OVER (PARTITION BY conv_id, metric
+                           ORDER BY cents DESC, ts, event_id) AS rn,
+        count(*) OVER (PARTITION BY conv_id, metric) AS n_pos,
+        CAST(floor(0.25 * (count(*) OVER (PARTITION BY conv_id, metric)))
+             AS BIGINT) AS k
+      FROM b),
+g AS (SELECT conv_id, metric, max(n_pos)::BIGINT AS n_pos,
+        max(k)::BIGINT AS k,
+        max(CASE WHEN rn = k + 1 THEN cents END)::BIGINT AS thr_cents,
+        sum(CASE WHEN rn <= k THEN ln(cents::DOUBLE) END) AS lnsum_top
+      FROM t GROUP BY 1, 2)
+SELECT conv_id, metric, n_pos, k,
+       round(lnsum_top / k::DOUBLE - ln(thr_cents::DOUBLE) + 1e-9, 5)
+         AS hill_h,
+       round(CASE WHEN lnsum_top / k::DOUBLE - ln(thr_cents::DOUBLE) > 0
+             THEN 1.0 / (lnsum_top / k::DOUBLE - ln(thr_cents::DOUBLE))
+                  + 1e-9 END, 5) AS tail_alpha
+FROM g WHERE k >= 2 AND thr_cents > 0
+""",
+)
+def ts_hill_tail(spark, sf_dir):
+    """Hill tail-index estimator (`complexity.hill_tail`): mean log ratio
+    of the top-25% order statistics to the (k+1)-th largest; alpha = 1/H
+    is the Pareto exponent — the finite-variance check on latency tails
+    (alpha < 2 ⇒ percentile tiers are mandatory, means lie). Exact
+    deterministic order statistics on cents; one rank window, one
+    groupBy."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.hill_tail(ev)
+
+
 def _mmr_oracle_sql(k: int = 5, k_cand: int = 20) -> str:
     """Unrolled greedy MMR in ANSI SQL: step i picks argmax of
     0.7*simq - 0.3*max(sim to already-selected) over the not-yet-selected
@@ -6963,6 +7079,7 @@ _ROTATION_FRONT = [
     "ts_sampen", "ts_markov_entropy", "vec_mmr", "ts_variance_ratio",
     "ts_turning_points", "ts_pacf", "text_js_divergence",
     "ts_seasonal_strength", "ts_volume_gini", "ts_mean_excess",
+    "ts_ljung_box", "ts_metric_corr", "ts_hill_tail",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]
