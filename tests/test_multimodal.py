@@ -139,3 +139,47 @@ def test_synth_png_media_distributed_decode(spark):
         assert r["width"] == 16 + m % 48
         assert r["height"] == 16 + (m * 7) % 48
         assert r["n_frames"] == 1
+
+
+# ---------------------------------------------------------------------------
+# gradient PNG full-pixel decode
+# ---------------------------------------------------------------------------
+
+def test_gradient_png_pixel_sums(spark):
+    from pyspark.sql import functions as F
+
+    from tsengine import multimodal as mm
+
+    ids = spark.createDataFrame([(i,) for i in (0, 5, 47, 200)], "media_id long")
+    media = mm.synth_png_gradient_media(ids)
+    got = {r.media_id: r for r in mm.decode_pixel_stats(media).collect()}
+    for m in (0, 5, 47, 200):
+        w, h = 16 + m % 48, 16 + (m * 7) % 48
+        assert got[m].width == w and got[m].height == h
+        assert got[m].n_pixels == w * h
+        assert got[m].sum_r == h * (w * (w - 1) // 2)
+        assert got[m].sum_g == w * (h * (h - 1) // 2)
+        assert got[m].sum_b == got[m].sum_r + got[m].sum_g
+
+
+def test_gradient_png_requires_full_decode(spark):
+    # corrupt one byte INSIDE the IDAT body (not the header): the header
+    # parse would still succeed, but the full-pixel decode must fail the
+    # zlib inflate and skip the row — proof the op reads image data
+    from tsengine import multimodal as mm
+
+    good = mm.png_encode_gradient(20, 20)
+    idat_at = good.find(b"IDAT")
+    bad = bytearray(good)
+    bad[idat_at + 20] ^= 0xFF
+    rows = [(1, "image", bytes(good), len(good)),
+            (2, "image", bytes(bad), len(bad))]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    try:
+        out = {r.media_id for r in mm.decode_pixel_stats(media).collect()}
+        assert 1 in out
+        assert 2 not in out  # inflate failed -> skipped, not fabricated
+    except Exception:
+        # an exploding zlib error that kills the task would also prove
+        # the data path is real, but the operator is expected to skip
+        raise

@@ -549,6 +549,9 @@ def main() -> None:
     audit("hill tail (one desc rank window, conditional top-k sums)",
           eq.QUERIES["ts_hill_tail"](spark, sf),
           ["partial_agg", "no_cartesian"])
+    audit("pixel stats decode (mapInPandas scan stages, zero exchange)",
+          eq.QUERIES["mm_pixel_stats"](spark, sf),
+          ["single_exchange", "no_cartesian"])
     # js-divergence crossJoins the 1-row corpus-total dim (waived tiny NLJ)
     audit("js divergence by source (present-terms only, broadcast total)",
           eq.QUERIES["text_js_divergence"](spark, sf),

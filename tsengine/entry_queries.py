@@ -6968,6 +6968,37 @@ def ts_hill_tail(spark, sf_dir):
     return complexity.hill_tail(ev)
 
 
+@q(
+    "mm_pixel_stats",
+    """
+WITH d AS (SELECT doc_id::BIGINT AS media_id,
+             (16 + doc_id % 48)::BIGINT AS w,
+             (16 + (doc_id * 7) % 48)::BIGINT AS h
+           FROM documents)
+SELECT media_id, w AS width, h AS height, (w * h)::BIGINT AS n_pixels,
+       (h * (w * (w - 1) // 2))::BIGINT AS sum_r,
+       (w * (h * (h - 1) // 2))::BIGINT AS sum_g,
+       (h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2))::BIGINT AS sum_b
+FROM d
+""",
+)
+def mm_pixel_stats(spark, sf_dir):
+    """FULL-pixel media decode (`multimodal.png_encode_gradient` →
+    `decode_pixel_stats`): gradient PNGs where pixel (x,y) =
+    (x, y, x+y), so the per-channel sums can ONLY be recovered by
+    inflating the IDAT stream and unfiltering every scanline — one step
+    deeper than mm_png_roundtrip's header parse. The oracle recomputes
+    the exact integer sums from the id formulas (sum_r = h·w(w-1)/2
+    etc., no mod wrap since w,h ≤ 63), so a green row proves genuine
+    full-image decoding. Both stages are mapInPandas scans, zero
+    exchanges; payload bytes never shuffle."""
+    ids = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = multimodal.synth_png_gradient_media(ids)
+    return multimodal.decode_pixel_stats(media)
+
+
 def _mmr_oracle_sql(k: int = 5, k_cand: int = 20) -> str:
     """Unrolled greedy MMR in ANSI SQL: step i picks argmax of
     0.7*simq - 0.3*max(sim to already-selected) over the not-yet-selected
@@ -7079,7 +7110,7 @@ _ROTATION_FRONT = [
     "ts_sampen", "ts_markov_entropy", "vec_mmr", "ts_variance_ratio",
     "ts_turning_points", "ts_pacf", "text_js_divergence",
     "ts_seasonal_strength", "ts_volume_gini", "ts_mean_excess",
-    "ts_ljung_box", "ts_metric_corr", "ts_hill_tail",
+    "ts_ljung_box", "ts_metric_corr", "ts_hill_tail", "mm_pixel_stats",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]

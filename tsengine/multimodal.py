@@ -250,3 +250,126 @@ def resize_stub(media: DataFrame, max_side: int = 32) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=META_SCHEMA)
+
+
+def png_encode_gradient(width: int, height: int) -> bytes:
+    """A REAL spec-valid PNG whose pixels are a coordinate gradient:
+    pixel (x, y) = (x % 256, y % 256, (x + y) % 256). Unlike the
+    solid-fill `png_encode`, every pixel differs — so recovering channel
+    statistics REQUIRES inflating the IDAT stream and unfiltering
+    scanlines, not just reading the header. Same stdlib-only chunk
+    layout (signature + IHDR + zlib IDAT + IEND, CRC32 per chunk)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type 0
+        for x in range(width):
+            raw += bytes((x % 256, y % 256, (x + y) % 256))
+    idat = zlib.compress(bytes(raw), 6)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png_gradient_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic gradient-PNG media table: dimensions from the same
+    closed id formulas as `synth_png_media` (width = 16 + id % 48,
+    height = 16 + id·7 % 48), gradient pixels — so an SQL oracle can
+    recompute the EXPECTED per-channel sums from the id alone while the
+    engine can only recover them by fully decoding the image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                m = int(mid)
+                w = 16 + m % 48
+                h = 16 + (m * 7) % 48
+                payload = png_encode_gradient(w, h)
+                rows.append((m, "image", payload, len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "byte_len"]
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_pixel_stats(media: DataFrame) -> DataFrame:
+    """FULL-pixel decode stage: inflate the IDAT stream, unfilter the
+    type-0 scanlines, and reduce to exact per-channel integer sums —
+    the genuine feature-extract step over binary media (the metadata op
+    stops at the header; this one touches every byte of image data).
+
+    Batch shape: mapInPandas over payload bytes, numpy per image (the
+    reshape + column sums are vectorized; no per-pixel Python). Per-task
+    memory is one batch of decoded images — bound batches with
+    spark.sql.execution.arrow.maxRecordsPerBatch when images are large.
+    Zero exchanges: decode is a scan stage, the payload never shuffles.
+    """
+    import struct
+    import zlib
+
+    out_schema = (
+        "media_id long, width long, height long, n_pixels long, "
+        "sum_r long, sum_g long, sum_b long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                if len(data) < 33 or data[:8] != _PNG_SIG:
+                    continue
+                w, h = struct.unpack(">II", data[16:24])
+                # walk chunks, concatenate IDAT bodies
+                pos, idat = 8, b""
+                while pos + 8 <= len(data):
+                    (ln,) = struct.unpack(">I", data[pos:pos + 4])
+                    tag = data[pos + 4:pos + 8]
+                    if tag == b"IDAT":
+                        idat += data[pos + 8:pos + 8 + ln]
+                    if tag == b"IEND":
+                        break
+                    pos += 12 + ln
+                try:
+                    raw = zlib.decompress(idat)
+                    stride = 1 + 3 * w
+                    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+                except (zlib.error, ValueError):
+                    continue  # corrupt IDAT / truncated data: skip, never
+                    # fabricate stats (same drop-don't-guess contract as
+                    # _decode_payload's non-PNG branch)
+                if not (arr[:, 0] == 0).all():
+                    continue  # only filter-0 scanlines are produced here
+                px = arr[:, 1:].reshape(h, w, 3).astype(np.int64)
+                s = px.sum(axis=(0, 1))
+                rows.append(
+                    (int(mid), int(w), int(h), int(w) * int(h),
+                     int(s[0]), int(s[1]), int(s[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_pixels",
+                         "sum_r", "sum_g", "sum_b"],
+            )
+
+    return media.mapInPandas(run, schema=out_schema)
