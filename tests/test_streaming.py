@@ -415,3 +415,87 @@ def test_streaming_decayed_weights_match_batch_across_batches(spark, tmp_path):
         assert abs(got[cid] - want[cid]) < 1e-6, cid
     # and the week-old activity has decayed into irrelevance
     assert got["new"] > got["old"]
+
+
+def test_streaming_gapfill_matches_batch_across_batches(spark, tmp_path):
+    """Cross-batch state carry: events split into THREE time-sliced files
+    drained one per micro-batch must produce exactly the batch ffill grid
+    minus each series' final (never-closing) bucket."""
+    import datetime as dt
+
+    from tsengine import gapfill
+
+    t0 = dt.datetime(2025, 3, 1)
+    rows = []
+    eid = 0
+    # two series with deliberate multi-hour gaps spanning the file splits
+    for conv, hours in (("a", [0, 1, 5, 6, 12]), ("b", [0, 7, 8, 20])):
+        for h in hours:
+            for j in range(2):  # two events per bucket -> real bucket means
+                rows.append(
+                    (conv, "view", t0 + dt.timedelta(hours=h, minutes=j * 7),
+                     float(10 * (h + 1) + j), eid))
+                eid += 1
+    sch = "conv_id string, metric string, ts timestamp, value double, event_id long"
+    df = spark.createDataFrame(rows, sch)
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    # three time slices, strictly increasing -> state must carry over
+    for i, (lo, hi) in enumerate([(0, 6), (6, 9), (9, 24)]):
+        sl = df.where(
+            (F.hour("ts") >= lo) & (F.hour("ts") < hi)
+        )
+        sl.coalesce(1).write.parquet(f"{flat}/slice={i}")
+    import glob
+    import shutil
+
+    merged = str(tmp_path / "merged")
+    os.makedirs(merged)
+    for i in range(3):
+        part = sorted(glob.glob(f"{flat}/slice={i}/part-*.parquet"))[0]
+        dst = f"{merged}/{i:03d}.parquet"
+        shutil.copy(part, dst)
+        # FileStreamSource orders batches by modification time — pin
+        # strictly ascending mtimes so slice order IS arrival order
+        os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+    )
+    filled = streaming.streaming_gapfill_ffill(stream)
+    qname = "t_stream_gapfill"
+    q = (
+        filled.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    got = spark.table(qname).toPandas().sort_values(
+        ["conv_id", "bucket_ts"]).reset_index(drop=True)
+
+    want_full = gapfill.gapfill_sql(df, freq="1h", method="ffill").toPandas()
+    # drop each series' final bucket (never closes on a stream)
+    want = (
+        want_full[want_full.bucket_ts
+                  < want_full.groupby(["conv_id", "metric"])["bucket_ts"]
+                  .transform("max")]
+        .sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.conv_id == want.conv_id).all()
+    assert (got.bucket_ts == want.bucket_ts).all()
+    assert (got.filled == want.filled).all()
+    assert (got.value - want.value).abs().max() < 1e-9
+    # sanity: gaps exist and fills carry the mean of the LAST closed bucket
+    a5 = got[(got.conv_id == "a")
+             & (got.bucket_ts == t0 + dt.timedelta(hours=3))]
+    # bucket h=1 holds values 20, 21 -> carried mean is 20.5
+    assert a5.filled.iloc[0] and abs(a5.value.iloc[0] - 20.5) < 1e-9

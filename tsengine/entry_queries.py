@@ -6999,6 +6999,62 @@ def mm_pixel_stats(spark, sf_dir):
     return multimodal.decode_pixel_stats(media)
 
 
+@q(
+    "ts_streaming_gapfill",
+    _GAPFILL_BASE
+    + """
+SELECT conv_id, metric, bucket_ts, value, filled FROM (
+  SELECT conv_id, metric, bucket_ts, round(prev_v, 6) AS value,
+         (w.value IS NULL) AS filled,
+         max(bucket_ts) OVER (PARTITION BY conv_id, metric) AS maxb
+  FROM w)
+WHERE bucket_ts < maxb
+""",
+)
+def ts_streaming_gapfill(spark, sf_dir):
+    """Stateful streaming forward-fill (`streaming.streaming_gapfill_ffill`,
+    applyInPandasWithState): buckets close when a later bucket's event
+    arrives, each close emits the bucket mean plus one ffill row per
+    empty hour since the previous close — the live twin of the batch
+    gap-fill, drained with trigger(availableNow=True). The oracle is the
+    batch ffill grid MINUS each series' final bucket (which never closes
+    on a stream — deterministic under any micro-batch split, disclosed
+    in the operator docstring)."""
+    from tsengine import streaming as streaming_mod
+
+    sch = _read(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    keyed = stream.where(F.col("event_type") == "view").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_type").alias("metric"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id"),
+        F.col("value"),
+    )
+    filled = streaming_mod.streaming_gapfill_ffill(keyed)
+    qname = "ts_streaming_gapfill_mem"
+    sq = (
+        filled.select(
+            "conv_id",
+            "metric",
+            "bucket_ts",
+            F.round("value", 6).alias("value"),
+            "filled",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(qname)
+
+
 def _mmr_oracle_sql(k: int = 5, k_cand: int = 20) -> str:
     """Unrolled greedy MMR in ANSI SQL: step i picks argmax of
     0.7*simq - 0.3*max(sim to already-selected) over the not-yet-selected
@@ -7111,6 +7167,7 @@ _ROTATION_FRONT = [
     "ts_turning_points", "ts_pacf", "text_js_divergence",
     "ts_seasonal_strength", "ts_volume_gini", "ts_mean_excess",
     "ts_ljung_box", "ts_metric_corr", "ts_hill_tail", "mm_pixel_stats",
+    "ts_streaming_gapfill",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]

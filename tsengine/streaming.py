@@ -426,3 +426,106 @@ def streaming_decayed_weights(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+GAPFILL_OUT = (
+    "conv_id string, metric string, bucket_ts timestamp, "
+    "value double, filled boolean"
+)
+GAPFILL_STATE = "open_us long, open_sum double, open_cnt long"
+
+_HOUR_US = 3_600_000_000
+
+
+def streaming_gapfill_ffill(stream: DataFrame) -> DataFrame:
+    """Stateful streaming forward-fill onto the hourly grid — the live
+    twin of `gapfill.gapfill_sql(method='ffill')`, via
+    applyInPandasWithState. A bucket CLOSES when any event for a later
+    bucket arrives; closing emits the bucket's mean (filled=false)
+    preceded by one forward-filled row per empty hour since the
+    previously closed bucket (filled=true).
+
+    Closing bucket O on arrival of bucket b emits O's mean, then one
+    ffill row per empty hour in (O, b) carrying O's mean — so the filled
+    grid stays complete up to the newest observation.
+
+    Streaming-inherent contract differences from the batch operator,
+    both deterministic under any micro-batch split:
+    - each series' FINAL observed bucket never closes (nothing later
+      arrives), so it is not emitted — the oracle excludes it;
+    - events for already-closed buckets are DROPPED (batch backfill is
+      authoritative for reordered history — the same lambda-split
+      policy as streaming_cusum's straggler rule).
+
+    State = 3 scalars per active series (the open-bucket aggregate),
+    independent of stream length; gap emission is O(gap hours) rows,
+    the same cost the batch grid explode pays.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        conv_id, metric = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = rows["ts"].astype("int64").to_numpy() // 1000
+        bkt = (ts_us // _HOUR_US) * _HOUR_US
+        vals = rows["value"].to_numpy()
+
+        if state.exists:
+            open_us, open_sum, open_cnt = state.get
+        else:
+            open_us, open_sum, open_cnt = -(1 << 62), 0.0, 0
+
+        keep = bkt >= open_us
+        bkt, vals = bkt[keep], vals[keep]
+        if not len(bkt):
+            return
+
+        out_us, out_val, out_fill = [], [], []
+        for b in np.unique(bkt):  # ascending
+            sel = bkt == b
+            if open_cnt > 0 and b > open_us:
+                closed_val = open_sum / open_cnt
+                out_us.append(open_us)
+                out_val.append(closed_val)
+                out_fill.append(False)
+                # forward-fill every empty hour up to the new bucket
+                for g in range(open_us + _HOUR_US, int(b), _HOUR_US):
+                    out_us.append(g)
+                    out_val.append(closed_val)
+                    out_fill.append(True)
+                open_us, open_sum, open_cnt = int(b), 0.0, 0
+            elif open_cnt == 0:
+                open_us = int(b)
+            open_sum += float(vals[sel].sum())
+            open_cnt += int(sel.sum())
+
+        state.update((int(open_us), float(open_sum), int(open_cnt)))
+        if out_us:
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "metric": metric,
+                    "bucket_ts": pd.to_datetime(
+                        np.asarray(out_us, dtype="int64") * 1000
+                    ),
+                    "value": out_val,
+                    "filled": out_fill,
+                }
+            )
+
+    return (
+        stream.select("conv_id", "metric", "ts", "event_id", "value")
+        .groupBy("conv_id", "metric")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=GAPFILL_OUT,
+            stateStructType=GAPFILL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
