@@ -731,3 +731,66 @@ def test_hill_tail_pareto_recovers_alpha(spark):
     got = complexity.hill_tail(_series(spark, vals)).collect()[0]
     # Hill on a Pareto(1.5) tail should land near 1.5
     assert got.tail_alpha == pytest.approx(1.5, rel=0.25)
+
+
+# ---------------------------------------------------------------------------
+# flow pagerank (temporal)
+# ---------------------------------------------------------------------------
+
+def _evstream(spark, seqs):
+    rows = []
+    eid = 0
+    for conv, seq in seqs.items():
+        for i, s in enumerate(seq):
+            rows.append((conv, T0 + dt.timedelta(minutes=i), s, 1.0, eid))
+            eid += 1
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, ts timestamp, metric string, value double, event_id int",
+    )
+
+
+def test_flow_pagerank_matches_numpy(spark):
+    from tsengine import temporal
+
+    seqs = {
+        "c1": ["a", "b", "c", "a", "b"],
+        "c2": ["b", "c", "c", "d"],
+        "c3": ["a", "c", "d", "a"],
+    }
+    got = {r.state: r.pagerank
+           for r in temporal.flow_pagerank(_evstream(spark, seqs)).collect()}
+
+    # numpy twin
+    from collections import Counter
+    edges = Counter()
+    for seq in seqs.values():
+        for u, v in zip(seq, seq[1:]):
+            edges[(u, v)] += 1
+    states = sorted({s for seq in seqs.values() for s in seq})
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    out_tot = Counter()
+    for (u, _), c in edges.items():
+        out_tot[u] += c
+    P = np.zeros((n, n))
+    for (u, v), c in edges.items():
+        P[idx[u], idx[v]] = c / out_tot[u]
+    r = np.full(n, 1 / n)
+    dangling = [i for i, s in enumerate(states) if out_tot[s] == 0]
+    for _ in range(10):
+        mass = r[dangling].sum()
+        r = 0.15 / n + 0.85 * (P.T @ r + mass / n)
+    for s in states:
+        assert got[s] == pytest.approx(r[idx[s]], abs=2e-6), s
+
+
+def test_flow_pagerank_sums_to_one_and_ranks_sink(spark):
+    from tsengine import temporal
+
+    # every conversation funnels into "end": it must out-rank the sources
+    seqs = {f"c{i}": ["a", "b", "end"] for i in range(5)}
+    got = {r.state: r.pagerank
+           for r in temporal.flow_pagerank(_evstream(spark, seqs)).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+    assert got["end"] > got["a"] and got["end"] > got["b"]

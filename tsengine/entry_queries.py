@@ -7055,6 +7055,64 @@ def ts_streaming_gapfill(spark, sf_dir):
     return spark.table(qname)
 
 
+def _pagerank_oracle_sql(n_iter: int = 10) -> str:
+    """Unrolled power iteration in ANSI SQL — each r{{k}} CTE applies one
+    damped step with the SAME expression tree as `temporal.flow_pagerank`
+    (0.15/n + 0.85*(in-sum + dangling-mass/n)) so every float op runs on
+    identical operands."""
+    parts = [
+        f"""WITH ev AS ({_EV}),
+pp AS (SELECT conv_id, metric AS to_state,
+        lag(metric) OVER (PARTITION BY conv_id
+                          ORDER BY ts, event_id) AS from_state
+      FROM ev),
+cnt AS (SELECT from_state, to_state, count(*)::BIGINT AS n_trans
+        FROM pp WHERE from_state IS NOT NULL GROUP BY 1, 2),
+edges AS MATERIALIZED (SELECT from_state, to_state,
+            n_trans::DOUBLE
+            / (sum(n_trans) OVER (PARTITION BY from_state))::DOUBLE AS p
+          FROM cnt),
+nodes AS MATERIALIZED (SELECT DISTINCT state FROM (
+            SELECT from_state AS state FROM edges
+            UNION ALL SELECT to_state FROM edges)),
+nc AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT state, 1.0 / nc.n AS r FROM nodes CROSS JOIN nc)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+r{k} AS MATERIALIZED (SELECT n.state,
+     0.15 / nc.n + 0.85 * (coalesce(s.insum, 0.0) + dm.mass / nc.n) AS r
+  FROM nodes n CROSS JOIN nc
+  LEFT JOIN (SELECT e.to_state AS state, sum(e.p * p.r) AS insum
+             FROM edges e JOIN r{k - 1} p ON p.state = e.from_state
+             GROUP BY 1) s ON s.state = n.state
+  CROSS JOIN (SELECT coalesce(sum(p.r), 0.0) AS mass
+              FROM r{k - 1} p
+              WHERE p.state NOT IN (SELECT from_state FROM edges)) dm)"""
+        )
+    parts.append(
+        f"""
+SELECT state, {n_iter}::INT AS n_iter,
+       round(r + 1e-9, 6) + 0.0 AS pagerank
+FROM r{n_iter}"""
+    )
+    return "".join(parts)
+
+
+@q("ts_flow_pagerank", _pagerank_oracle_sql())
+def ts_flow_pagerank(spark, sf_dir):
+    """PageRank over the conversation-flow graph
+    (`temporal.flow_pagerank`): event types as nodes, empirical
+    transitions as edges, 10 damped power iterations with uniform
+    dangling-mass redistribution — the centrality reading of the
+    transition matrix. The edge build is the only raw-volume pass; every
+    iteration runs on the |states|²-row matrix. Oracle unrolls the same
+    iteration as 10 CTE steps on identical literals."""
+    ev = _events_long(spark, sf_dir)
+    return temporal.flow_pagerank(ev)
+
+
 def _mmr_oracle_sql(k: int = 5, k_cand: int = 20) -> str:
     """Unrolled greedy MMR in ANSI SQL: step i picks argmax of
     0.7*simq - 0.3*max(sim to already-selected) over the not-yet-selected
@@ -7167,7 +7225,7 @@ _ROTATION_FRONT = [
     "ts_turning_points", "ts_pacf", "text_js_divergence",
     "ts_seasonal_strength", "ts_volume_gini", "ts_mean_excess",
     "ts_ljung_box", "ts_metric_corr", "ts_hill_tail", "mm_pixel_stats",
-    "ts_streaming_gapfill",
+    "ts_streaming_gapfill", "ts_flow_pagerank",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]

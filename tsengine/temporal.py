@@ -1366,3 +1366,99 @@ def markov_entropy_rate(
         F.round("h_raw", 5).alias("h_cond"),
         F.round("rate_raw", 5).alias("entropy_rate"),
     )
+
+
+def flow_pagerank(
+    df: DataFrame,
+    key: str = "conv_id",
+    state: str = "metric",
+    order: tuple[str, str] = ("ts", "event_id"),
+    n_iter: int = 10,
+    damping: float = 0.85,
+    teleport: float = 0.15,
+) -> DataFrame:
+    """PageRank over the conversation-flow graph: nodes are event types,
+    edges the empirical first-order transitions (prob = exact-integer
+    count ratios), ``n_iter`` power iterations with damping — "which
+    action is central to conversation flows", the graph-centrality
+    reading of the transition matrix. ``teleport`` is passed explicitly
+    (not computed as 1 - damping) so both engines use identical literals.
+
+    Dangling states (appearing only as targets) redistribute their mass
+    uniformly each step — the standard correction, kept in the same
+    expression shape as the SQL oracle.
+
+    Scale shape: ONE raw-volume lag window builds the edge list, which
+    partial-aggregates to |states|² rows; every iteration then runs on
+    that matrix-sized frame (10 tiny shuffles over ≤ |states|² rows —
+    at 10^12 turns the edge build dominates and the iterations are
+    noise). The rank vector is |states| rows, never collected.
+    """
+    w = W.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    pairs = (
+        df.withColumn("from_state", F.lag(state).over(w))
+        .where(F.col("from_state").isNotNull())
+        .select("from_state", F.col(state).alias("to_state"))
+    )
+    cnt = pairs.groupBy("from_state", "to_state").agg(
+        F.count("*").cast("long").alias("n_trans")
+    )
+    wf = W.partitionBy("from_state")
+    edges = cnt.withColumn(
+        "p",
+        F.col("n_trans").cast("double")
+        / F.sum("n_trans").over(wf).cast("double"),
+    ).select("from_state", "to_state", "p")
+    edges = edges.cache()
+
+    nodes = (
+        edges.select(F.col("from_state").alias("state"))
+        .unionByName(edges.select(F.col("to_state").alias("state")))
+        .distinct()
+        .cache()
+    )
+    n_nodes = nodes.count()
+    srcs = edges.select("from_state").distinct()
+    dangling = nodes.join(
+        srcs, nodes["state"] == srcs["from_state"], "left_anti"
+    ).cache()
+
+    r = nodes.select(
+        "state", (F.lit(1.0) / F.lit(float(n_nodes))).alias("r")
+    )
+    nn = F.lit(float(n_nodes))
+    for _ in range(n_iter):
+        insum = (
+            edges.join(r, edges["from_state"] == r["state"])
+            .groupBy("to_state")
+            .agg(F.sum(F.col("p") * F.col("r")).alias("insum"))
+        )
+        mass_row = (
+            dangling.join(r, "state").agg(
+                F.coalesce(F.sum("r"), F.lit(0.0)).alias("mass")
+            )
+        )
+        r = (
+            nodes.join(insum, nodes["state"] == insum["to_state"], "left")
+            .crossJoin(F.broadcast(mass_row))
+            .select(
+                "state",
+                (
+                    F.lit(teleport) / nn
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("insum"), F.lit(0.0))
+                        + F.col("mass") / nn
+                    )
+                ).alias("r"),
+            )
+            # truncate lineage every iteration: without this the nested-plan
+            # depth grows geometrically and Catalyst analysis dominates
+            # wall time long before the (tiny) data does
+            .localCheckpoint(eager=True)
+        )
+    return r.select(
+        "state",
+        F.lit(n_iter).cast("int").alias("n_iter"),
+        (F.round(F.col("r") + F.lit(1e-9), 6) + F.lit(0.0)).alias("pagerank"),
+    )
