@@ -794,3 +794,66 @@ def test_flow_pagerank_sums_to_one_and_ranks_sink(spark):
            for r in temporal.flow_pagerank(_evstream(spark, seqs)).collect()}
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
     assert got["end"] > got["a"] and got["end"] > got["b"]
+
+
+# ---------------------------------------------------------------------------
+# forecast metrics / conformal interval (temporal)
+# ---------------------------------------------------------------------------
+
+def _np_holt(vals, alpha=0.5, beta=0.25):
+    l, b = float(vals[0]), 0.0
+    fc = []
+    for y in vals[1:]:
+        fc.append(l + b)
+        l_new = alpha * y + (1 - alpha) * (l + b)
+        b = beta * (l_new - l) + (1 - beta) * b
+        l = l_new
+    fc.append(l + b)  # forecast of the unseen next step
+    return fc
+
+
+def test_forecast_metrics_matches_numpy(spark):
+    from tsengine import temporal
+
+    rng = np.random.default_rng(51)
+    vals = np.round(rng.uniform(10, 90, 20), 2)
+    got = temporal.forecast_metrics(_series(spark, vals)).collect()[0]
+    fc = _np_holt(vals)[:-1]
+    e = np.asarray(vals[1:]) - np.asarray(fc)
+    assert got.n_eval == 19
+    assert got.mae == pytest.approx(np.abs(e).mean(), abs=2e-5)
+    assert got.rmse == pytest.approx(np.sqrt((e * e).mean()), abs=2e-5)
+    assert got.bias == pytest.approx(e.mean(), abs=2e-5)
+    assert got.mape == pytest.approx(
+        (np.abs(e) / np.abs(vals[1:])).mean(), abs=2e-5)
+
+
+def test_forecast_metrics_perfect_on_linear_series(spark):
+    from tsengine import temporal
+
+    # a perfectly linear series: Holt converges, errors shrink toward 0
+    vals = [10.0 + 2.0 * i for i in range(40)]
+    got = temporal.forecast_metrics(_series(spark, vals)).collect()[0]
+    assert got.mae < 1.0  # converged well under the slope magnitude
+    rng = np.random.default_rng(52)
+    noisy = np.round(np.asarray(vals) + rng.normal(0, 5, 40), 2)
+    got_n = temporal.forecast_metrics(_series(spark, noisy)).collect()[0]
+    assert got_n.mae > got.mae  # noise must hurt
+
+
+def test_conformal_interval_properties(spark):
+    from tsengine import temporal
+
+    rng = np.random.default_rng(53)
+    vals = np.round(rng.uniform(10, 90, 30), 2)
+    got = temporal.conformal_interval(_series(spark, vals)).collect()[0]
+    fc = _np_holt(vals)
+    e = np.abs(np.asarray(vals[1:]) - np.asarray(fc[:-1]))
+    qhat = np.quantile(e, 0.9)
+    assert got.n_eval == 29
+    assert got.q_err == pytest.approx(qhat, abs=2e-4)
+    assert got.pi_lo == pytest.approx(fc[-1] - qhat, abs=2e-4)
+    assert got.pi_hi == pytest.approx(fc[-1] + qhat, abs=2e-4)
+    # empirical coverage of an interpolated q90 over 29 points
+    assert 0.85 <= got.coverage <= 0.97
+    assert got.pi_lo < got.pi_hi

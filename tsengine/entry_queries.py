@@ -7055,6 +7055,101 @@ def ts_streaming_gapfill(spark, sf_dir):
     return spark.table(qname)
 
 
+_HOLT_REC = f"""
+WITH RECURSIVE pts AS (
+  SELECT conv_id, metric, ts, event_id, value::DOUBLE AS y,
+         row_number() OVER (PARTITION BY conv_id, metric
+                            ORDER BY ts, event_id) AS i
+  FROM ({_EV}) e WHERE value IS NOT NULL
+),
+hw AS (
+  SELECT conv_id, metric, ts, event_id, i, y,
+         y AS l, 0.0::DOUBLE AS b
+  FROM pts WHERE i = 1
+  UNION ALL
+  SELECT p.conv_id, p.metric, p.ts, p.event_id, p.i, p.y,
+         0.5::DOUBLE * p.y + 0.5::DOUBLE * (h.l + h.b) AS l,
+         0.25::DOUBLE * ((0.5::DOUBLE * p.y + 0.5::DOUBLE * (h.l + h.b)) - h.l)
+           + 0.75::DOUBLE * h.b AS b
+  FROM hw h JOIN pts p
+    ON p.conv_id = h.conv_id AND p.metric = h.metric AND p.i = h.i + 1
+)"""
+
+
+@q(
+    "ts_forecast_metrics",
+    _HOLT_REC
+    + """,
+t AS (SELECT conv_id, metric, y,
+        lag(l + b) OVER (PARTITION BY conv_id, metric
+                         ORDER BY ts, event_id) AS fcst_prev
+      FROM hw),
+e AS (SELECT conv_id, metric, y, y - fcst_prev AS e
+      FROM t WHERE fcst_prev IS NOT NULL),
+g AS (SELECT conv_id, metric, count(*)::BIGINT AS n_eval,
+        sum(abs(e)) AS sae, sum(e * e) AS sse, sum(e) AS se,
+        sum(CASE WHEN y != 0 THEN abs(e) / abs(y) END) AS sape,
+        sum(CASE WHEN y != 0 THEN 1 ELSE 0 END)::BIGINT AS n_nz
+      FROM e GROUP BY 1, 2)
+SELECT conv_id, metric, n_eval,
+       round(sae / n_eval::DOUBLE + 1e-9, 5) AS mae,
+       round(sqrt(sse / n_eval::DOUBLE) + 1e-9, 5) AS rmse,
+       round(se / n_eval::DOUBLE + 1e-9, 5) + 0.0 AS bias,
+       round(CASE WHEN n_nz > 0 THEN sape / n_nz::DOUBLE END + 1e-9, 5)
+         AS mape
+FROM g WHERE n_eval >= 3
+""",
+)
+def ts_forecast_metrics(spark, sf_dir):
+    """One-step forecast accuracy scorecard (`temporal.forecast_metrics`):
+    MAE/RMSE/bias/MAPE of Holt's live forecasts per series — "is the
+    smoother worth trusting?". The Holt recursion is bitwise-identical
+    cross-engine (binary-fraction gains, same association), so every
+    error is an identical double; only the ≤n-term metric sums need the
+    round+nudge."""
+    ev = _events_long(spark, sf_dir).where(F.col("value").isNotNull())
+    return temporal.forecast_metrics(ev)
+
+
+@q(
+    "ts_conformal_interval",
+    _HOLT_REC
+    + """,
+t AS (SELECT conv_id, metric, y,
+        lag(l + b) OVER w2 AS fcst_prev,
+        last_value(l + b) OVER (PARTITION BY conv_id, metric
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS last_fcst
+      FROM hw
+      WINDOW w2 AS (PARTITION BY conv_id, metric ORDER BY ts, event_id)),
+e AS (SELECT conv_id, metric, abs(y - fcst_prev) AS abs_e, last_fcst
+      FROM t WHERE fcst_prev IS NOT NULL),
+qq AS (SELECT *, quantile_cont(abs_e, 0.9)
+         OVER (PARTITION BY conv_id, metric) AS qhat FROM e),
+g AS (SELECT conv_id, metric, count(*)::BIGINT AS n_eval,
+        max(qhat) AS qhat, max(last_fcst) AS next_fcst,
+        sum(CASE WHEN abs_e <= qhat THEN 1 ELSE 0 END)::BIGINT AS n_in
+      FROM qq GROUP BY 1, 2)
+SELECT conv_id, metric, n_eval,
+       round(qhat + 1e-9, 5) AS q_err,
+       round(next_fcst - qhat + 1e-9, 5) + 0.0 AS pi_lo,
+       round(next_fcst + qhat + 1e-9, 5) AS pi_hi,
+       round(n_in::DOUBLE / n_eval::DOUBLE + 1e-9, 5) AS coverage
+FROM g WHERE n_eval >= 5
+""",
+)
+def ts_conformal_interval(spark, sf_dir):
+    """Split-conformal prediction interval for the next Holt step
+    (`temporal.conformal_interval`): calibration scores are the series'
+    own absolute one-step errors, interval = last forecast ± their exact
+    0.9-quantile — distribution-free uncertainty for the forecast tier.
+    Same bitwise-identical recursion; quantile is an exact interpolated
+    percentile on identical error doubles."""
+    ev = _events_long(spark, sf_dir).where(F.col("value").isNotNull())
+    return temporal.conformal_interval(ev)
+
+
 def _pagerank_oracle_sql(n_iter: int = 10) -> str:
     """Unrolled power iteration in ANSI SQL — each r{{k}} CTE applies one
     damped step with the SAME expression tree as `temporal.flow_pagerank`
@@ -7225,7 +7320,8 @@ _ROTATION_FRONT = [
     "ts_turning_points", "ts_pacf", "text_js_divergence",
     "ts_seasonal_strength", "ts_volume_gini", "ts_mean_excess",
     "ts_ljung_box", "ts_metric_corr", "ts_hill_tail", "mm_pixel_stats",
-    "ts_streaming_gapfill", "ts_flow_pagerank",
+    "ts_streaming_gapfill", "ts_flow_pagerank", "ts_forecast_metrics",
+    "ts_conformal_interval",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]

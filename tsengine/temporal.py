@@ -1462,3 +1462,113 @@ def flow_pagerank(
         F.lit(n_iter).cast("int").alias("n_iter"),
         (F.round(F.col("r") + F.lit(1e-9), 6) + F.lit(0.0)).alias("pagerank"),
     )
+
+
+def forecast_metrics(
+    df: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    on: tuple[str, ...] = ("conv_id", "metric"),
+    min_eval: int = 3,
+) -> DataFrame:
+    """One-step-ahead forecast accuracy scorecard for Holt's linear
+    smoothing: per series, MAE / RMSE / bias / MAPE of the live
+    forecasts (l+b at t-1 vs y at t) — the "is the smoother worth
+    trusting?" report every forecasting tier needs next to its model.
+
+    The Holt recursion is bitwise-identical cross-engine (binary-fraction
+    gains, same association order), so every error term is an identical
+    double; only the ≤n-term metric sums are float-order sensitive
+    (round + nudge). One applyInPandas pass for the recursion (same as
+    holt_linear), one lag window over its output, one groupBy.
+    """
+    out = holt_linear(df, alpha=alpha, beta=beta, on=on, tiebreak="event_id")
+    w = W.partitionBy(*on).orderBy("ts", "event_id")
+    t = out.withColumn("fcst_prev", F.lag("holt_fcst").over(w)).where(
+        F.col("fcst_prev").isNotNull()
+    )
+    e = F.col("value") - F.col("fcst_prev")
+    g = t.groupBy(*on).agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum(F.abs(e)).alias("sae"),
+        F.sum(e * e).alias("sse"),
+        F.sum(e).alias("se"),
+        F.sum(
+            F.when(F.col("value") != 0, F.abs(e) / F.abs(F.col("value")))
+        ).alias("sape"),
+        F.sum((F.col("value") != 0).cast("long")).alias("n_nz"),
+    )
+    nn = F.col("n_eval").cast("double")
+    return g.where(F.col("n_eval") >= min_eval).select(
+        *on,
+        "n_eval",
+        F.round(F.col("sae") / nn + F.lit(1e-9), 5).alias("mae"),
+        F.round(F.sqrt(F.col("sse") / nn) + F.lit(1e-9), 5).alias("rmse"),
+        (F.round(F.col("se") / nn + F.lit(1e-9), 5) + F.lit(0.0)).alias(
+            "bias"
+        ),
+        F.round(
+            F.when(
+                F.col("n_nz") > 0,
+                F.col("sape") / F.col("n_nz").cast("double"),
+            )
+            + F.lit(1e-9),
+            5,
+        ).alias("mape"),
+    )
+
+
+def conformal_interval(
+    df: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    q: float = 0.9,
+    on: tuple[str, ...] = ("conv_id", "metric"),
+    min_eval: int = 5,
+) -> DataFrame:
+    """Split-conformal prediction interval for the next step of Holt's
+    linear forecast: the calibration scores are the series' own absolute
+    one-step errors, the interval is last forecast ± their exact
+    q-quantile — distribution-free coverage without a parametric error
+    model (Vovk et al.; the modern uncertainty wrapper for any point
+    forecaster).
+
+    Same bitwise-identical Holt recursion; the quantile is an exact
+    interpolated percentile over identical error doubles. One recursion
+    pass, one lag window, one groupBy.
+    """
+    out = holt_linear(df, alpha=alpha, beta=beta, on=on, tiebreak="event_id")
+    w = W.partitionBy(*on).orderBy("ts", "event_id")
+    wk = W.partitionBy(*on)
+    t = (
+        out.withColumn("fcst_prev", F.lag("holt_fcst").over(w))
+        .withColumn("last_fcst", F.last("holt_fcst").over(
+            w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    )
+    t = t.where(F.col("fcst_prev").isNotNull()).withColumn(
+        "abs_e", F.abs(F.col("value") - F.col("fcst_prev"))
+    )
+    t = t.withColumn("qhat", F.expr(f"percentile(abs_e, {q!r})").over(wk))
+    g = t.groupBy(*on).agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.max("qhat").alias("qhat"),
+        F.max("last_fcst").alias("next_fcst"),
+        F.sum((F.col("abs_e") <= F.col("qhat")).cast("long")).alias("n_in"),
+    )
+    return g.where(F.col("n_eval") >= min_eval).select(
+        *on,
+        "n_eval",
+        F.round(F.col("qhat") + F.lit(1e-9), 5).alias("q_err"),
+        (
+            F.round(F.col("next_fcst") - F.col("qhat") + F.lit(1e-9), 5)
+            + F.lit(0.0)
+        ).alias("pi_lo"),
+        F.round(
+            F.col("next_fcst") + F.col("qhat") + F.lit(1e-9), 5
+        ).alias("pi_hi"),
+        F.round(
+            F.col("n_in").cast("double") / F.col("n_eval").cast("double")
+            + F.lit(1e-9),
+            5,
+        ).alias("coverage"),
+    )
