@@ -857,3 +857,40 @@ def test_conformal_interval_properties(spark):
     # empirical coverage of an interpolated q90 over 29 points
     assert 0.85 <= got.coverage <= 0.97
     assert got.pi_lo < got.pi_hi
+
+
+# ---------------------------------------------------------------------------
+# bigram cross-entropy (textops)
+# ---------------------------------------------------------------------------
+
+def test_bigram_xent_hand_computed(spark):
+    rows = [(1, "a b a b"), (2, "a b c")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.bigram_cross_entropy(d).collect()}
+    # corpus bigrams: (a,b)x2? doc1: ab, ba, ab -> (a,b):2 (b,a):1
+    # doc2: ab, bc -> (a,b):3 total, (b,c):1
+    c2 = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    c1 = {"a": 3, "b": 2}
+    V = 3
+    def lp(u, v):
+        return math.log((c2[(u, v)] + 1) / (c1[u] + V))
+    x1 = -(lp("a", "b") + lp("b", "a") + lp("a", "b")) / 3
+    x2 = -(lp("a", "b") + lp("b", "c")) / 2
+    assert got[1].n_bigrams == 3 and got[2].n_bigrams == 2
+    assert got[1].xent == pytest.approx(x1, abs=2e-5)
+    assert got[2].xent == pytest.approx(x2, abs=2e-5)
+    assert got[1].ppl == pytest.approx(math.exp(x1), abs=2e-4)
+
+
+def test_bigram_xent_flags_shuffled_text(spark):
+    # repetitive natural-ish docs + one with the same words shuffled into
+    # improbable transitions: the shuffled doc must score higher
+    rng = np.random.default_rng(61)
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, base) for i in range(20)]
+    toks = base.split()
+    rng.shuffle(toks)
+    rows.append((99, " ".join(toks)))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.xent for r in textops.bigram_cross_entropy(d).collect()}
+    assert got[99] > got[0]

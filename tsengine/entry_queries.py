@@ -7150,6 +7150,41 @@ def ts_conformal_interval(spark, sf_dir):
     return temporal.conformal_interval(ev)
 
 
+@q(
+    "text_bigram_xent",
+    f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok,
+             unnest(range(1, len({_TOKS}) + 1)) AS tok_pos
+           FROM documents),
+bg AS (SELECT doc_id, tok AS u,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY tok_pos) AS v
+       FROM t),
+b AS (SELECT doc_id, u, v FROM bg WHERE v IS NOT NULL),
+c2 AS (SELECT u, v, count(*)::BIGINT AS c_uv FROM b GROUP BY 1, 2),
+c1 AS (SELECT u, sum(c_uv)::BIGINT AS c_u FROM c2 GROUP BY 1),
+vs AS (SELECT count(DISTINCT tok)::BIGINT AS v_size FROM t),
+s AS (SELECT b.doc_id,
+        ln((c2.c_uv + 1)::DOUBLE / (c1.c_u + vs.v_size)::DOUBLE) AS lp
+      FROM b JOIN c2 USING (u, v) JOIN c1 USING (u) CROSS JOIN vs),
+g AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(lp) AS lp_sum
+      FROM s GROUP BY 1)
+SELECT doc_id, n_bigrams,
+       round(-lp_sum / n_bigrams::DOUBLE + 1e-9, 5) AS xent,
+       round(exp(-lp_sum / n_bigrams::DOUBLE) + 1e-9, 4) AS ppl
+FROM g WHERE n_bigrams >= 2
+""",
+)
+def text_bigram_xent(spark, sf_dir):
+    """Per-doc bigram cross-entropy vs the corpus's own add-1 smoothed
+    bigram model (`textops.bigram_cross_entropy`) — the CCNet-style
+    perplexity filter: gibberish/boilerplate-soup/wrong-language docs
+    surprise the model and score high. All counts exact BIGINTs; one
+    lead window builds bigrams, one (u,v)-keyed exchange counts them,
+    |V| rides a broadcast 1-row dim."""
+    d = _read(spark, sf_dir, "documents")
+    return textops.bigram_cross_entropy(d)
+
+
 def _pagerank_oracle_sql(n_iter: int = 10) -> str:
     """Unrolled power iteration in ANSI SQL — each r{{k}} CTE applies one
     damped step with the SAME expression tree as `temporal.flow_pagerank`
@@ -7321,7 +7356,7 @@ _ROTATION_FRONT = [
     "ts_seasonal_strength", "ts_volume_gini", "ts_mean_excess",
     "ts_ljung_box", "ts_metric_corr", "ts_hill_tail", "mm_pixel_stats",
     "ts_streaming_gapfill", "ts_flow_pagerank", "ts_forecast_metrics",
-    "ts_conformal_interval",
+    "ts_conformal_interval", "text_bigram_xent",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]

@@ -1650,3 +1650,69 @@ def js_divergence_by_source(
         F.round(jsd + F.lit(1e-9), 5).alias("jsd"),
         F.round(jsd / F.lit(ln2) + F.lit(1e-9), 5).alias("jsd_norm"),
     )
+
+
+def bigram_cross_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_bigrams: int = 2,
+) -> DataFrame:
+    """Per-document bigram cross-entropy against the corpus's own add-1
+    smoothed bigram model — the perplexity-filtering step of a training
+    -data pipeline (CCNet-style): documents whose word transitions
+    surprise the corpus model (gibberish, boilerplate soup, wrong
+    language) score high and get filtered.
+
+    xent(doc) = -mean over the doc's bigrams of ln p(v|u), with
+    p(v|u) = (c(u,v) + 1) / (c(u) + |V|) — all counts exact BIGINTs, so
+    every probability divides identical integers on any engine; the only
+    float accumulation is the per-doc ln-sum (round + nudge).
+
+    Scale shape: ONE lead window over the token stream builds bigrams,
+    ONE (u,v)-keyed exchange counts them (map-side partial agg), the
+    unigram side reuses the same counts (sum over v), |V| rides a
+    broadcast 1-row dim; scoring joins each doc bigram to its corpus
+    count — keyed by (u,v), co-partitioned with the count build.
+    """
+    from pyspark.sql import Window
+
+    t = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col)))
+    ).withColumnRenamed("pos", "tok_pos").withColumnRenamed("col", "tok")
+    w = Window.partitionBy(id_col).orderBy("tok_pos")
+    bg = (
+        t.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(id_col, F.col("tok").alias("u"), F.col("nxt").alias("v"))
+    )
+    c2 = bg.groupBy("u", "v").agg(F.count("*").cast("long").alias("c_uv"))
+    c1 = c2.groupBy("u").agg(F.sum("c_uv").alias("c_u"))
+    vocab = t.agg(
+        F.countDistinct("tok").cast("long").alias("v_size")
+    )
+    scored = (
+        bg.join(c2, ["u", "v"])
+        .join(c1, "u")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp",
+            F.log(
+                (F.col("c_uv") + 1).cast("double")
+                / (F.col("c_u") + F.col("v_size")).cast("double")
+            ),
+        )
+    )
+    g = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("lp").alias("lp_sum"),
+    )
+    nn = F.col("n_bigrams").cast("double")
+    return g.where(F.col("n_bigrams") >= min_bigrams).select(
+        id_col,
+        "n_bigrams",
+        F.round(-F.col("lp_sum") / nn + F.lit(1e-9), 5).alias("xent"),
+        F.round(
+            F.exp(-F.col("lp_sum") / nn) + F.lit(1e-9), 4
+        ).alias("ppl"),
+    )
