@@ -894,3 +894,45 @@ def test_bigram_xent_flags_shuffled_text(spark):
     d = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.xent for r in textops.bigram_cross_entropy(d).collect()}
     assert got[99] > got[0]
+
+
+# ---------------------------------------------------------------------------
+# mann-kendall
+# ---------------------------------------------------------------------------
+
+def _np_mk(vals):
+    c = np.round(np.asarray(vals) * 100).astype(np.int64)
+    n = len(c)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s += int(np.sign(c[j] - c[i]))
+    _, counts = np.unique(c, return_counts=True)
+    tie = sum(int(t) * (t - 1) * (2 * t + 5) for t in counts if t > 1)
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18
+    if s > 0:
+        z = (s - 1) / math.sqrt(var)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+    return s, z
+
+
+def test_mann_kendall_matches_numpy(spark):
+    rng = np.random.default_rng(71)
+    vals = np.round(rng.uniform(0, 50, 20), 2)
+    vals[5] = vals[2]  # force a tie so the correction is exercised
+    got = complexity.mann_kendall(_series(spark, vals)).collect()[0]
+    s, z = _np_mk(vals)
+    assert got.n_obs == 20
+    assert got.mk_s == s
+    assert got.mk_z == pytest.approx(z, abs=2e-5)
+
+
+def test_mann_kendall_monotone_vs_flat(spark):
+    up = complexity.mann_kendall(_series(spark, range(15))).collect()[0]
+    assert up.mk_s == 15 * 14 // 2  # every pair increasing
+    assert up.mk_z > 3
+    flat = complexity.mann_kendall(_series(spark, [5.0] * 15)).collect()
+    assert flat == []  # all ties -> zero variance -> filtered

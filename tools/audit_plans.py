@@ -552,6 +552,23 @@ def main() -> None:
     audit("pixel stats decode (mapInPandas scan stages, zero exchange)",
           eq.QUERIES["mm_pixel_stats"](spark, sf),
           ["single_exchange", "no_cartesian"])
+    audit("forecast metrics (one recursion pass + lag window + groupBy)",
+          eq.QUERIES["ts_forecast_metrics"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    audit("conformal interval (percentile window shares error exchange)",
+          eq.QUERIES["ts_conformal_interval"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    # bigram xent crossJoins the 1-row |V| dim (waived tiny NLJ)
+    audit("bigram cross-entropy (lead window + (u,v)-keyed count join)",
+          eq.QUERIES["text_bigram_xent"](spark, sf),
+          ["partial_agg"])
+    audit("mann-kendall (series-keyed self-pair, integer sign sums)",
+          eq.QUERIES["ts_mann_kendall"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    # ts_flow_pagerank localCheckpoints each iteration (plan is truncated
+    # by design) and ts_streaming_gapfill is a streaming query — neither
+    # has a single batch plan to assert on; their gates are the oracle
+    # rows + the numpy/multi-batch tests
     # js-divergence crossJoins the 1-row corpus-total dim (waived tiny NLJ)
     audit("js divergence by source (present-terms only, broadcast total)",
           eq.QUERIES["text_js_divergence"](spark, sf),

@@ -856,3 +856,62 @@ def hill_tail(
             F.when(h > 0, F.lit(1.0) / h + F.lit(1e-9)), 5
         ).alias("tail_alpha"),
     )
+
+
+def mann_kendall(
+    df: DataFrame, value_scale: int = 100, min_n: int = 8
+) -> DataFrame:
+    """Mann-Kendall trend test per series: S = sum over pairs i<j of
+    sign(x_j - x_i), tie-corrected variance, z-score — the standard
+    non-parametric "is there a monotone trend?" significance test, the
+    inferential companion to the Theil-Sen slope estimate.
+
+    Exactness: signs compare exact cents; S, n, and the tie correction
+    sum_t t(t-1)(2t+5) are all exact BIGINTs, so z is float algebra on
+    identical integer operands. The pair build is the same per-series
+    O(n²) equi-join self-pair as sample entropy — bounded by
+    retention-capped series length, keyed by the series so there is no
+    cross-series explosion.
+    """
+    w = _w()
+    t = df.withColumn(
+        "cents", F.round(F.col("value") * value_scale, 0).cast("long")
+    ).withColumn("rn", F.row_number().over(w)).select(*KEY, "rn", "cents")
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(
+        b,
+        [F.col(f"a.{k}") == F.col(f"b.{k}") for k in KEY]
+        + [F.col("a.rn") < F.col("b.rn")],
+    )
+    sgn = F.signum(
+        (F.col("b.cents") - F.col("a.cents")).cast("double")
+    ).cast("long")
+    s_tbl = pairs.groupBy(F.col(f"a.{KEY[0]}"), F.col(f"a.{KEY[1]}")).agg(
+        F.sum(sgn).alias("s"),
+        (F.max("b.rn")).alias("n_obs"),
+    )
+    ties = (
+        t.groupBy(*KEY, "cents")
+        .agg(F.count("*").alias("tt"))
+        .where(F.col("tt") > 1)
+        .groupBy(*KEY)
+        .agg(
+            F.sum(
+                F.col("tt") * (F.col("tt") - 1) * (2 * F.col("tt") + 5)
+            ).alias("tie_corr")
+        )
+    )
+    g = s_tbl.join(ties, list(KEY), "left").fillna({"tie_corr": 0})
+    nn = F.col("n_obs")
+    var = (
+        nn * (nn - 1) * (2 * nn + 5) - F.col("tie_corr")
+    ).cast("double") / F.lit(18.0)
+    z = F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / F.sqrt(var)
+    ).when(F.col("s") < 0, (F.col("s") + 1).cast("double") / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return g.where((F.col("n_obs") >= min_n) & (var > 0)).select(
+        *KEY,
+        "n_obs",
+        F.col("s").alias("mk_s"),
+        (F.round(z + F.lit(1e-9), 5) + F.lit(0.0)).alias("mk_z"),
+    )

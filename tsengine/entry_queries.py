@@ -7185,6 +7185,55 @@ def text_bigram_xent(spark, sf_dir):
     return textops.bigram_cross_entropy(d)
 
 
+@q(
+    "ts_mann_kendall",
+    f"""
+WITH ev AS ({_EV}),
+t AS (SELECT conv_id, metric,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        row_number() OVER (PARTITION BY conv_id, metric
+                           ORDER BY ts, event_id) AS rn
+      FROM ev),
+p AS (SELECT a.conv_id, a.metric,
+        CASE WHEN b.cents > a.cents THEN 1
+             WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn,
+        b.rn AS brn
+      FROM t a JOIN t b
+        ON a.conv_id = b.conv_id AND a.metric = b.metric AND a.rn < b.rn),
+s AS (SELECT conv_id, metric, sum(sgn)::BIGINT AS s,
+        max(brn)::BIGINT AS n_obs FROM p GROUP BY 1, 2),
+ties AS (SELECT conv_id, metric,
+           sum(tt * (tt - 1) * (2 * tt + 5))::BIGINT AS tie_corr
+         FROM (SELECT conv_id, metric, cents, count(*)::BIGINT AS tt
+               FROM t GROUP BY 1, 2, 3)
+         WHERE tt > 1 GROUP BY 1, 2),
+g AS (SELECT s.conv_id, s.metric, s.s, s.n_obs,
+        coalesce(ties.tie_corr, 0) AS tie_corr
+      FROM s LEFT JOIN ties USING (conv_id, metric))
+SELECT conv_id, metric, n_obs, s AS mk_s,
+  round(CASE WHEN s > 0 THEN (s - 1)::DOUBLE
+             / sqrt((n_obs * (n_obs - 1) * (2 * n_obs + 5)
+                     - tie_corr)::DOUBLE / 18.0)
+        WHEN s < 0 THEN (s + 1)::DOUBLE
+             / sqrt((n_obs * (n_obs - 1) * (2 * n_obs + 5)
+                     - tie_corr)::DOUBLE / 18.0)
+        ELSE 0.0 END + 1e-9, 5) + 0.0 AS mk_z
+FROM g WHERE n_obs >= 8
+  AND (n_obs * (n_obs - 1) * (2 * n_obs + 5) - tie_corr) > 0
+""",
+)
+def ts_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend significance test (`complexity.mann_kendall`):
+    S = Σ sign(x_j - x_i) over pairs with tie-corrected variance and
+    continuity-corrected z — the non-parametric "is there a monotone
+    trend?" companion to the Theil-Sen slope. S, n, and the tie
+    correction are exact BIGINTs on cents, so z is float algebra on
+    identical integer operands; the per-series O(n²) self-pair is the
+    sampen shape, keyed by the series."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.mann_kendall(ev)
+
+
 def _pagerank_oracle_sql(n_iter: int = 10) -> str:
     """Unrolled power iteration in ANSI SQL — each r{{k}} CTE applies one
     damped step with the SAME expression tree as `temporal.flow_pagerank`
@@ -7356,7 +7405,7 @@ _ROTATION_FRONT = [
     "ts_seasonal_strength", "ts_volume_gini", "ts_mean_excess",
     "ts_ljung_box", "ts_metric_corr", "ts_hill_tail", "mm_pixel_stats",
     "ts_streaming_gapfill", "ts_flow_pagerank", "ts_forecast_metrics",
-    "ts_conformal_interval", "text_bigram_xent",
+    "ts_conformal_interval", "text_bigram_xent", "ts_mann_kendall",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]
