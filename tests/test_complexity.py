@@ -936,3 +936,63 @@ def test_mann_kendall_monotone_vs_flat(spark):
     assert up.mk_z > 3
     flat = complexity.mann_kendall(_series(spark, [5.0] * 15)).collect()
     assert flat == []  # all ties -> zero variance -> filtered
+
+
+# ---------------------------------------------------------------------------
+# kpss / embedding dim stats
+# ---------------------------------------------------------------------------
+
+def test_kpss_matches_numpy(spark):
+    rng = np.random.default_rng(81)
+    vals = np.round(rng.uniform(0, 50, 24), 2)
+    got = complexity.kpss_level(_series(spark, vals)).collect()[0]
+    c = np.round(np.asarray(vals) * 100).astype(np.int64)
+    n = len(c)
+    cc = n * c - c.sum()
+    cs = np.cumsum(cc)
+    eta = float((cs * cs).sum()) / (n * float((cc * cc).sum()))
+    assert got.n_obs == n
+    assert got.kpss_eta == pytest.approx(eta, abs=2e-5)
+
+
+def test_kpss_level_shift_scores_high(spark):
+    rng = np.random.default_rng(82)
+    stat = np.round(50 + rng.normal(0, 1, 200), 2)
+    shift = stat.copy()
+    shift[100:] += 40  # broken level
+    e_stat = complexity.kpss_level(_series(spark, stat)).collect()[0].kpss_eta
+    e_shift = complexity.kpss_level(_series(spark, shift)).collect()[0].kpss_eta
+    assert e_shift > 5 * e_stat
+
+
+def test_dim_stats_matches_numpy(spark):
+    from tsengine import vecops
+
+    rng = np.random.default_rng(83)
+    X = rng.normal(size=(100, 8)).astype(np.float64)
+    X[:, 3] *= 5  # one dominant dimension
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(100)],
+        "vec_id long, embedding array<double>")
+    got = {r.dim_idx: r for r in vecops.dim_stats(emb).collect()}
+    v = X.var(axis=0)
+    eff = (v.sum() ** 2) / (v * v).sum()
+    for d in range(8):
+        assert got[d].n_vecs == 100
+        assert got[d].dim_mean == pytest.approx(X[:, d].mean(), abs=2e-6)
+        assert got[d].dim_var == pytest.approx(v[d], abs=2e-5)
+        assert got[d].eff_dim == pytest.approx(eff, abs=2e-3)
+    # participation ratio must be well below 8 with a dominant dim
+    assert got[0].eff_dim < 6.0
+
+
+def test_dim_stats_isotropic_eff_dim_near_d(spark):
+    from tsengine import vecops
+
+    rng = np.random.default_rng(84)
+    X = rng.normal(size=(400, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>")
+    got = vecops.dim_stats(emb).collect()[0]
+    assert got.eff_dim > 7.0  # isotropic gaussian: eff_dim ≈ d

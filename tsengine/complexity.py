@@ -915,3 +915,50 @@ def mann_kendall(
         F.col("s").alias("mk_s"),
         (F.round(z + F.lit(1e-9), 5) + F.lit(0.0)).alias("mk_z"),
     )
+
+
+def kpss_level(
+    df: DataFrame, value_scale: int = 100, min_n: int = 8
+) -> DataFrame:
+    """KPSS level-stationarity statistic per series (lag truncation l=0):
+    eta = sum_t S_t² / (n² * sigma²) with S_t the partial sums of the
+    demeaned series — the stationarity gate that decides between
+    modeling the level and differencing first (large eta = unit root /
+    wandering level; the complement of the trend tests: MK asks "is
+    there drift?", KPSS asks "does the level even come back?").
+
+    Exactness: with cc_t = n*x_t - S1 (exact BIGINTs on cents) the
+    statistic reduces to eta = sum CS_t² / (n * sum cc_t²) where CS is
+    the exact integer running sum of cc — ONE float division of exact
+    integer operands, no float accumulation anywhere. (The common
+    value_scale and n powers cancel algebraically.)
+    """
+    w = _w()
+    wk = W.partitionBy(*KEY)
+    t = (
+        df.withColumn(
+            "cents", F.round(F.col("value") * value_scale, 0).cast("long")
+        )
+        .withColumn("s1t", F.sum("cents").over(wk))
+        .withColumn("nnt", F.count("*").over(wk))
+        .withColumn("cc", F.col("nnt") * F.col("cents") - F.col("s1t"))
+        .withColumn(
+            "cs",
+            F.sum("cc").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    g = t.groupBy(*KEY).agg(
+        F.max("nnt").alias("n_obs"),
+        F.sum(F.col("cs") * F.col("cs")).alias("css"),
+        F.sum(F.col("cc") * F.col("cc")).alias("ccs"),
+    )
+    eta = F.col("css").cast("double") / (
+        F.col("n_obs") * F.col("ccs")
+    ).cast("double")
+    return g.where((F.col("n_obs") >= min_n) & (F.col("ccs") > 0)).select(
+        *KEY,
+        "n_obs",
+        F.round(eta + F.lit(1e-9), 5).alias("kpss_eta"),
+    )

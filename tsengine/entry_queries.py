@@ -7234,6 +7234,71 @@ def ts_mann_kendall(spark, sf_dir):
     return complexity.mann_kendall(ev)
 
 
+@q(
+    "ts_kpss",
+    f"""
+WITH ev AS ({_EV}),
+b AS (SELECT conv_id, metric, ts, event_id,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        sum(CAST(round(value * 100) AS BIGINT))
+          OVER (PARTITION BY conv_id, metric) AS s1t,
+        count(*) OVER (PARTITION BY conv_id, metric) AS nnt
+      FROM ev),
+t AS (SELECT conv_id, metric, nnt, (nnt * cents - s1t) AS cc,
+        sum(nnt * cents - s1t)
+          OVER (PARTITION BY conv_id, metric ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+      FROM b),
+g AS (SELECT conv_id, metric, max(nnt)::BIGINT AS n_obs,
+        sum(cs * cs)::BIGINT AS css, sum(cc * cc)::BIGINT AS ccs
+      FROM t GROUP BY 1, 2)
+SELECT conv_id, metric, n_obs,
+       round(css::DOUBLE / (n_obs * ccs)::DOUBLE + 1e-9, 5) AS kpss_eta
+FROM g WHERE n_obs >= 8 AND ccs > 0
+""",
+)
+def ts_kpss(spark, sf_dir):
+    """KPSS level-stationarity statistic, l=0 (`complexity.kpss_level`):
+    partial sums of the demeaned series — "does the level come back?",
+    the differencing gate complementing the trend tests. Algebraic
+    cancellation reduces eta to one float division of exact BIGINTs
+    (running sums of n-scaled centered cents); one window pass, one
+    groupBy."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.kpss_level(ev)
+
+
+@q(
+    "vec_dim_stats",
+    """
+WITH t AS (SELECT unnest(embedding::DOUBLE[]) AS x,
+             unnest(range(1, len(embedding) + 1)) AS pos1
+           FROM embeddings),
+g AS (SELECT (pos1 - 1)::BIGINT AS dim_idx, count(*)::BIGINT AS n_vecs,
+        sum(x) AS sx, sum(x * x) AS sxx FROM t GROUP BY 1),
+v AS (SELECT *,
+        sxx / n_vecs::DOUBLE
+        - (sx / n_vecs::DOUBLE) * (sx / n_vecs::DOUBLE) AS var_raw
+      FROM g)
+SELECT dim_idx, n_vecs,
+       round(sx / n_vecs::DOUBLE + 1e-9, 6) + 0.0 AS dim_mean,
+       round(var_raw + 1e-9, 6) AS dim_var,
+       round((sum(var_raw) OVER ()) * (sum(var_raw) OVER ())
+             / (sum(var_raw * var_raw) OVER ()) + 1e-9, 4) AS eff_dim
+FROM v
+""",
+)
+def vec_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics + effective dimension
+    (`vecops.dim_stats`): mean/variance per dim and the participation
+    ratio (Σvar)²/Σvar² of the variance spectrum — eff_dim << d flags
+    collapsed/anisotropic embeddings that silently wreck cosine ANN
+    recall, no eigendecomposition needed. One dim-keyed exchange to d
+    rows; the ratio is a window over that d-row table."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return vecops.dim_stats(emb)
+
+
 def _pagerank_oracle_sql(n_iter: int = 10) -> str:
     """Unrolled power iteration in ANSI SQL — each r{{k}} CTE applies one
     damped step with the SAME expression tree as `temporal.flow_pagerank`
@@ -7406,6 +7471,7 @@ _ROTATION_FRONT = [
     "ts_ljung_box", "ts_metric_corr", "ts_hill_tail", "mm_pixel_stats",
     "ts_streaming_gapfill", "ts_flow_pagerank", "ts_forecast_metrics",
     "ts_conformal_interval", "text_bigram_xent", "ts_mann_kendall",
+    "ts_kpss", "vec_dim_stats",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]

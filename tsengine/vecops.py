@@ -1293,3 +1293,45 @@ def mmr_rerank(
 def _id_key(v):
     """Sort key for candidate ids (int ids sort numerically)."""
     return int(v)
+
+
+def dim_stats(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension statistics of an embedding column + the corpus's
+    effective dimension: for each dim, mean and population variance; on
+    every row, eff_dim = (Σ var)² / Σ var² — the participation ratio of
+    the per-dimension variance spectrum. eff_dim << d flags collapsed /
+    anisotropic embeddings (a known failure mode that silently wrecks
+    cosine ANN recall), without needing an eigendecomposition.
+
+    Scale shape: posexplode → ONE (dim)-keyed exchange with map-side
+    partial agg to d rows; the participation ratio is a window over that
+    d-row table. Float sums over the corpus are order-sensitive (the
+    vectors are floats, not cents) — rounded + nudged like every vec op.
+    """
+    from pyspark.sql import Window
+
+    t = embeddings.select(
+        F.posexplode(_as_double(F.col(vec_col)))
+    ).withColumnRenamed("pos", "dim_idx").withColumnRenamed("col", "x")
+    g = t.groupBy("dim_idx").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nn = F.col("n_vecs").cast("double")
+    mean = F.col("sx") / nn
+    var = F.col("sxx") / nn - (F.col("sx") / nn) * (F.col("sx") / nn)
+    g = g.withColumn("var_raw", var)
+    wall = Window.partitionBy()  # d rows only — never corpus volume
+    sv = F.sum("var_raw").over(wall)
+    svv = F.sum(F.col("var_raw") * F.col("var_raw")).over(wall)
+    return g.select(
+        "dim_idx",
+        "n_vecs",
+        (F.round(mean + F.lit(1e-9), 6) + F.lit(0.0)).alias("dim_mean"),
+        F.round(F.col("var_raw") + F.lit(1e-9), 6).alias("dim_var"),
+        F.round(sv * sv / svv + F.lit(1e-9), 4).alias("eff_dim"),
+    )
