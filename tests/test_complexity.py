@@ -996,3 +996,40 @@ def test_dim_stats_isotropic_eff_dim_near_d(spark):
         "vec_id long, embedding array<double>")
     got = vecops.dim_stats(emb).collect()[0]
     assert got.eff_dim > 7.0  # isotropic gaussian: eff_dim ≈ d
+
+
+# ---------------------------------------------------------------------------
+# excursion stats
+# ---------------------------------------------------------------------------
+
+def test_excursion_hand_computed(spark):
+    # peaks at 10 (rn1) and 12 (rn5); deepest drop 12->3; underwater
+    # spell after rn5 lasts 3 rows
+    vals = [10.0, 8.0, 9.0, 7.0, 12.0, 5.0, 4.0, 3.0]
+    got = complexity.excursion_stats(_series(spark, vals)).collect()[0]
+    assert got.n_obs == 8
+    assert got.max_drawdown == pytest.approx(9.0, abs=1e-6)  # 12 - 3
+    assert got.max_underwater == 3
+    assert got.crest == pytest.approx(12.0 * 8 / sum(vals), abs=1e-5)
+
+
+def test_excursion_monotone_no_drawdown(spark):
+    got = complexity.excursion_stats(
+        _series(spark, [1.0, 2.0, 3.0, 4.0, 5.0])).collect()[0]
+    assert got.max_drawdown == 0.0
+    assert got.max_underwater == 0
+
+
+def test_excursion_matches_numpy(spark):
+    rng = np.random.default_rng(91)
+    vals = np.round(rng.uniform(1, 99, 24), 2)
+    got = complexity.excursion_stats(_series(spark, vals)).collect()[0]
+    c = np.round(np.asarray(vals) * 100).astype(np.int64)
+    runmax = np.maximum.accumulate(c)
+    dd = (runmax - c).max() / 100.0
+    peaks = np.where(c == runmax)[0]
+    under = max(
+        (i - peaks[peaks <= i].max()) for i in range(len(c))
+    )
+    assert got.max_drawdown == pytest.approx(dd, abs=1e-6)
+    assert got.max_underwater == under

@@ -962,3 +962,60 @@ def kpss_level(
         "n_obs",
         F.round(eta + F.lit(1e-9), 5).alias("kpss_eta"),
     )
+
+
+def excursion_stats(
+    df: DataFrame, value_scale: int = 100, min_n: int = 5
+) -> DataFrame:
+    """Excursion battery per series: maximum drawdown (deepest drop below
+    the running peak), longest underwater spell (rows since the last
+    peak), and crest factor (max/mean) — the "how bad does it get, for
+    how long" summary behind burn-rate alerts and SLO error budgets.
+
+    Exactness: the running max, drawdown, peak index, and underwater
+    duration are all exact integer window math on cents; crest =
+    max*n/S1 and max_dd/scale are single float divisions of exact
+    BIGINTs. ONE series-ordered window pass, one groupBy.
+    """
+    w = _w()
+    wk = W.partitionBy(*KEY)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    t = (
+        df.withColumn(
+            "cents", F.round(F.col("value") * value_scale, 0).cast("long")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("runmax", F.max("cents").over(run))
+    )
+    # a row is a running peak iff it equals its own running max; the most
+    # recent such index anchors the underwater spell
+    t = t.withColumn(
+        "peak_rn",
+        F.max(
+            F.when(F.col("cents") == F.col("runmax"), F.col("rn"))
+        ).over(run),
+    )
+    t = t.withColumn("dd", F.col("runmax") - F.col("cents")).withColumn(
+        "under", F.col("rn") - F.col("peak_rn")
+    )
+    g = t.groupBy(*KEY).agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.max("dd").alias("max_dd_cents"),
+        F.max("under").cast("long").alias("max_underwater"),
+        F.max("cents").alias("cmax"),
+        F.sum("cents").alias("csum"),
+    )
+    crest = (F.col("cmax") * F.col("n_obs")).cast("double") / F.col(
+        "csum"
+    ).cast("double")
+    return g.where((F.col("n_obs") >= min_n) & (F.col("csum") > 0)).select(
+        *KEY,
+        "n_obs",
+        F.round(
+            F.col("max_dd_cents").cast("double") / F.lit(float(value_scale))
+            + F.lit(1e-9),
+            5,
+        ).alias("max_drawdown"),
+        "max_underwater",
+        F.round(crest + F.lit(1e-9), 5).alias("crest"),
+    )

@@ -7299,6 +7299,45 @@ def vec_dim_stats(spark, sf_dir):
     return vecops.dim_stats(emb)
 
 
+@q(
+    "ts_excursion",
+    f"""
+WITH ev AS ({_EV}),
+b AS (SELECT conv_id, metric, ts, event_id,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        row_number() OVER w AS rn,
+        max(CAST(round(value * 100) AS BIGINT)) OVER
+          (PARTITION BY conv_id, metric ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+      FROM ev
+      WINDOW w AS (PARTITION BY conv_id, metric ORDER BY ts, event_id)),
+t AS (SELECT conv_id, metric, cents, rn, runmax,
+        max(CASE WHEN cents = runmax THEN rn END) OVER
+          (PARTITION BY conv_id, metric ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_rn
+      FROM b),
+g AS (SELECT conv_id, metric, count(*)::BIGINT AS n_obs,
+        max(runmax - cents)::BIGINT AS max_dd_cents,
+        max(rn - peak_rn)::BIGINT AS max_underwater,
+        max(cents)::BIGINT AS cmax, sum(cents)::BIGINT AS csum
+      FROM t GROUP BY 1, 2)
+SELECT conv_id, metric, n_obs,
+       round(max_dd_cents::DOUBLE / 100.0 + 1e-9, 5) AS max_drawdown,
+       max_underwater,
+       round((cmax * n_obs)::DOUBLE / csum::DOUBLE + 1e-9, 5) AS crest
+FROM g WHERE n_obs >= 5 AND csum > 0
+""",
+)
+def ts_excursion(spark, sf_dir):
+    """Excursion battery (`complexity.excursion_stats`): max drawdown
+    below the running peak, longest underwater spell, crest factor —
+    the burn-rate/SLO "how bad, for how long" summary. Running max,
+    peak index, and durations are exact integer window math on cents;
+    one ordered window pass, one groupBy."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.excursion_stats(ev)
+
+
 def _pagerank_oracle_sql(n_iter: int = 10) -> str:
     """Unrolled power iteration in ANSI SQL — each r{{k}} CTE applies one
     damped step with the SAME expression tree as `temporal.flow_pagerank`
@@ -7471,7 +7510,7 @@ _ROTATION_FRONT = [
     "ts_ljung_box", "ts_metric_corr", "ts_hill_tail", "mm_pixel_stats",
     "ts_streaming_gapfill", "ts_flow_pagerank", "ts_forecast_metrics",
     "ts_conformal_interval", "text_bigram_xent", "ts_mann_kendall",
-    "ts_kpss", "vec_dim_stats",
+    "ts_kpss", "vec_dim_stats", "ts_excursion",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]
