@@ -269,6 +269,17 @@ def _headline_thunks(spark, sf_dir: str) -> dict[str, object]:
         eq.QUERIES["ts_runs_test"](spark, sf_dir))
     thunks["zipf_slope"] = lambda: count_action(
         eq.QUERIES["text_zipf_slope"](spark, sf_dir))
+    # late round-5 pack (keys appended, never renamed) — the heavier new
+    # shapes: per-series O(n²) self-pair, corpus bigram count join,
+    # full-pixel mapInPandas decode, iterative graph power method
+    thunks["mann_kendall"] = lambda: count_action(
+        eq.QUERIES["ts_mann_kendall"](spark, sf_dir))
+    thunks["bigram_xent"] = lambda: count_action(
+        eq.QUERIES["text_bigram_xent"](spark, sf_dir))
+    thunks["pixel_stats"] = lambda: count_action(
+        eq.QUERIES["mm_pixel_stats"](spark, sf_dir))
+    thunks["flow_pagerank"] = lambda: count_action(
+        eq.QUERIES["ts_flow_pagerank"](spark, sf_dir))
     return thunks
 
 
