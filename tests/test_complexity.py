@@ -1033,3 +1033,41 @@ def test_excursion_matches_numpy(spark):
     )
     assert got.max_drawdown == pytest.approx(dd, abs=1e-6)
     assert got.max_underwater == under
+
+
+# ---------------------------------------------------------------------------
+# records test / source vocab overlap
+# ---------------------------------------------------------------------------
+
+def test_records_hand_computed(spark):
+    vals = [5.0, 3.0, 7.0, 7.0, 9.0, 2.0, 10.0, 1.0]
+    # records (strict): 5 (first), 7, 9, 10 -> 4
+    got = complexity.records_test(_series(spark, vals)).collect()[0]
+    n = len(vals)
+    h1 = sum(1 / k for k in range(1, n + 1))
+    h2 = sum(1 / k ** 2 for k in range(1, n + 1))
+    assert got.n_records == 4
+    assert got.records_z == pytest.approx(
+        (4 - h1) / math.sqrt(h1 - h2), abs=2e-5)
+
+
+def test_records_increasing_series_max_records(spark):
+    got = complexity.records_test(_series(spark, range(12))).collect()[0]
+    assert got.n_records == 12  # every point a record
+    assert got.records_z > 3
+
+
+def test_source_overlap_hand_computed(spark):
+    rows = [
+        (1, "a b c", "s1"),
+        (2, "b c d", "s2"),
+        (3, "x y", "s3"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.src_a, r.src_b): r
+           for r in textops.source_vocab_overlap(d).collect()}
+    r12 = got[("s1", "s2")]
+    assert r12.v_a == 3 and r12.v_b == 3 and r12.n_inter == 2
+    assert r12.jaccard == pytest.approx(2 / 4, abs=1e-6)
+    # disjoint vocabularies never emit a pair row
+    assert ("s1", "s3") not in got and ("s2", "s3") not in got

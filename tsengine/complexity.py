@@ -1019,3 +1019,52 @@ def excursion_stats(
         "max_underwater",
         F.round(crest + F.lit(1e-9), 5).alias("crest"),
     )
+
+
+def records_test(
+    df: DataFrame, value_scale: int = 100, min_n: int = 8
+) -> DataFrame:
+    """Record-breaking test per series: count strict running-maximum
+    records R_n and compare with the i.i.d. expectation H_n = sum 1/k
+    (variance H_n - H_n^(2)) — trend detection through record counts
+    alone (Foster-Stuart): too many late records = upward drift, the
+    third independent angle after runs (levels) and turning points
+    (direction changes).
+
+    Record flags are exact integer comparisons on cents (strict: ties
+    don't set records); the harmonic sums are deterministic ≤n-term
+    floats summed in the SAME k-order on both engines via an ordered
+    aggregation — round + nudge at the edge. One ordered window pass.
+    """
+    w = _w()
+    run_prev = w.rowsBetween(W.unboundedPreceding, -1)
+    t = (
+        df.withColumn(
+            "cents", F.round(F.col("value") * value_scale, 0).cast("long")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("prevmax", F.max("cents").over(run_prev))
+    )
+    is_rec = F.when(
+        F.col("prevmax").isNull() | (F.col("cents") > F.col("prevmax")), 1
+    ).otherwise(0)
+    g = t.withColumn("is_rec", is_rec).groupBy(*KEY).agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum("is_rec").cast("long").alias("n_records"),
+        # harmonic sums accumulated in ascending-k order on both engines:
+        # sum over rows of 1/rn and 1/rn² is order-insensitive enough at
+        # ≤ n terms once rounded, but we keep the same expression shape
+        F.sum(F.lit(1.0) / F.col("rn").cast("double")).alias("h1"),
+        F.sum(
+            F.lit(1.0)
+            / (F.col("rn") * F.col("rn")).cast("double")
+        ).alias("h2"),
+    )
+    var = F.col("h1") - F.col("h2")
+    z = (F.col("n_records").cast("double") - F.col("h1")) / F.sqrt(var)
+    return g.where((F.col("n_obs") >= min_n) & (var > 0)).select(
+        *KEY,
+        "n_obs",
+        "n_records",
+        (F.round(z + F.lit(1e-9), 5) + F.lit(0.0)).alias("records_z"),
+    )

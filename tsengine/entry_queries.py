@@ -7338,6 +7338,71 @@ def ts_excursion(spark, sf_dir):
     return complexity.excursion_stats(ev)
 
 
+@q(
+    "ts_records",
+    f"""
+WITH ev AS ({_EV}),
+b AS (SELECT conv_id, metric,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        row_number() OVER w AS rn,
+        max(CAST(round(value * 100) AS BIGINT)) OVER
+          (PARTITION BY conv_id, metric ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      FROM ev
+      WINDOW w AS (PARTITION BY conv_id, metric ORDER BY ts, event_id)),
+g AS (SELECT conv_id, metric, count(*)::BIGINT AS n_obs,
+        sum(CASE WHEN prevmax IS NULL OR cents > prevmax
+             THEN 1 ELSE 0 END)::BIGINT AS n_records,
+        sum(1.0 / rn::DOUBLE) AS h1,
+        sum(1.0 / (rn * rn)::DOUBLE) AS h2
+      FROM b GROUP BY 1, 2)
+SELECT conv_id, metric, n_obs, n_records,
+       round((n_records::DOUBLE - h1) / sqrt(h1 - h2) + 1e-9, 5) + 0.0
+         AS records_z
+FROM g WHERE n_obs >= 8 AND (h1 - h2) > 0
+""",
+)
+def ts_records(spark, sf_dir):
+    """Record-breaking test (`complexity.records_test`): strict
+    running-max record count vs the i.i.d. harmonic expectation
+    (Foster-Stuart) — trend detection through records alone, the third
+    independent randomness angle after runs and turning points. Record
+    flags are exact integer comparisons on cents; one ordered window
+    pass."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.records_test(ev)
+
+
+@q(
+    "text_source_overlap",
+    f"""
+WITH st AS (SELECT DISTINCT source AS src, _tok FROM (
+              SELECT source, unnest({_TOKS}) AS _tok FROM documents)),
+sizes AS (SELECT src, count(*)::BIGINT AS v_size FROM st GROUP BY 1),
+inter AS (SELECT a.src AS src_a, b.src AS src_b,
+            count(*)::BIGINT AS n_inter
+          FROM st a JOIN st b ON a._tok = b._tok AND a.src < b.src
+          GROUP BY 1, 2),
+g AS (SELECT i.src_a, i.src_b, sa.v_size AS v_a, sb.v_size AS v_b,
+        i.n_inter
+      FROM inter i JOIN sizes sa ON sa.src = i.src_a
+      JOIN sizes sb ON sb.src = i.src_b)
+SELECT src_a, src_b, v_a, v_b, n_inter,
+       round(n_inter::DOUBLE / (v_a + v_b - n_inter)::DOUBLE + 1e-9, 6)
+         AS jaccard
+FROM g WHERE v_a >= 2 AND v_b >= 2
+""",
+)
+def text_source_overlap(spark, sf_dir):
+    """Pairwise source vocabulary Jaccard (`textops.source_vocab_overlap`):
+    which sources share their vocabulary — the dedup-planning map next
+    to the JSD drift score. Exact integer intersections from ONE
+    token-keyed self-join of the deduped (source, token) table;
+    |sources|² output rows."""
+    d = _read(spark, sf_dir, "documents")
+    return textops.source_vocab_overlap(d)
+
+
 def _pagerank_oracle_sql(n_iter: int = 10) -> str:
     """Unrolled power iteration in ANSI SQL — each r{{k}} CTE applies one
     damped step with the SAME expression tree as `temporal.flow_pagerank`
@@ -7510,7 +7575,8 @@ _ROTATION_FRONT = [
     "ts_ljung_box", "ts_metric_corr", "ts_hill_tail", "mm_pixel_stats",
     "ts_streaming_gapfill", "ts_flow_pagerank", "ts_forecast_metrics",
     "ts_conformal_interval", "text_bigram_xent", "ts_mann_kendall",
-    "ts_kpss", "vec_dim_stats", "ts_excursion",
+    "ts_kpss", "vec_dim_stats", "ts_excursion", "ts_records",
+    "text_source_overlap",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]

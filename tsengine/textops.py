@@ -1716,3 +1716,61 @@ def bigram_cross_entropy(
             F.exp(-F.col("lp_sum") / nn) + F.lit(1e-9), 4
         ).alias("ppl"),
     )
+
+
+def source_vocab_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    min_vocab: int = 2,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources: |V_a ∩ V_b| /
+    |V_a ∪ V_b| over each source's distinct token set — the
+    dedup-planning map (sources that share most of their vocabulary are
+    the first place cross-source near-duplicates hide) and the
+    corpus-mixing diagnostic next to the JSD drift score.
+
+    Counts are exact BIGINTs: intersections come from ONE token-keyed
+    self-join of the deduped (source, token) table (co-partitioned by
+    token), unions from |A| + |B| - |A∩B|. Output is |sources|² rows.
+    """
+    st = (
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.explode(tokens(F.col(text_col))).alias("_tok"),
+        )
+        .distinct()
+    )
+    sizes = st.groupBy("src").agg(F.count("*").cast("long").alias("v_size"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a._tok") == F.col("b._tok"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("src").alias("src_a"), F.col("v_size").alias("v_a")
+    )
+    sb = sizes.select(
+        F.col("src").alias("src_b"), F.col("v_size").alias("v_b")
+    )
+    g = inter.join(sa, "src_a").join(sb, "src_b")
+    union = F.col("v_a") + F.col("v_b") - F.col("n_inter")
+    return g.where(
+        (F.col("v_a") >= min_vocab) & (F.col("v_b") >= min_vocab)
+    ).select(
+        "src_a",
+        "src_b",
+        "v_a",
+        "v_b",
+        "n_inter",
+        F.round(
+            F.col("n_inter").cast("double") / union.cast("double")
+            + F.lit(1e-9),
+            6,
+        ).alias("jaccard"),
+    )
