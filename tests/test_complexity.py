@@ -1071,3 +1071,47 @@ def test_source_overlap_hand_computed(spark):
     assert r12.jaccard == pytest.approx(2 / 4, abs=1e-6)
     # disjoint vocabularies never emit a pair row
     assert ("s1", "s3") not in got and ("s2", "s3") not in got
+
+
+# ---------------------------------------------------------------------------
+# KS halves drift
+# ---------------------------------------------------------------------------
+
+def _np_ks(vals):
+    c = np.round(np.asarray(vals) * 100).astype(np.int64)
+    n = len(c)
+    n1 = n // 2
+    a, b = c[:n1], c[n1:]
+    grid = np.unique(c)
+    f1 = np.searchsorted(np.sort(a), grid, side="right") / len(a)
+    f2 = np.searchsorted(np.sort(b), grid, side="right") / len(b)
+    return np.abs(f1 - f2).max()
+
+
+def test_ks_halves_matches_numpy(spark):
+    rng = np.random.default_rng(101)
+    vals = np.round(rng.uniform(0, 50, 24), 2)
+    got = complexity.ks_halves(_series(spark, vals)).collect()[0]
+    d = _np_ks(vals)
+    n1, n2 = 12, 12
+    assert got.n_obs == 24
+    assert got.ks_d == pytest.approx(d, abs=2e-6)
+    assert got.ks_lambda == pytest.approx(
+        d * math.sqrt(n1 * n2 / (n1 + n2)), abs=2e-5)
+
+
+def test_ks_halves_detects_level_shift(spark):
+    rng = np.random.default_rng(102)
+    stat = np.round(50 + rng.normal(0, 2, 40), 2)
+    shifted = stat.copy()
+    shifted[20:] += 30
+    d_stat = complexity.ks_halves(_series(spark, stat)).collect()[0].ks_d
+    d_shift = complexity.ks_halves(_series(spark, shifted)).collect()[0].ks_d
+    assert d_shift == pytest.approx(1.0, abs=1e-6)  # disjoint halves
+    assert d_stat < 0.5
+
+
+def test_ks_halves_identical_halves_zero(spark):
+    vals = [1.0, 2.0, 3.0, 4.0] * 2  # second half repeats the first
+    got = complexity.ks_halves(_series(spark, vals)).collect()[0]
+    assert got.ks_d == 0.0

@@ -1068,3 +1068,71 @@ def records_test(
         "n_records",
         (F.round(z + F.lit(1e-9), 5) + F.lit(0.0)).alias("records_z"),
     )
+
+
+def ks_halves(
+    df: DataFrame, value_scale: int = 100, min_n: int = 8
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between each series'
+    first and second half: D = max |ECDF1 - ECDF2| plus the scaled
+    statistic lambda = D*sqrt(n1*n2/(n1+n2)) — distribution-level drift
+    detection (did the WHOLE latency distribution move, not just its
+    mean?), the unbinned companion to the PSI drift score.
+
+    Exactness: working on distinct cent values with integer cumulative
+    counts, D = max|cum1*n2 - cum2*n1| / (n1*n2) — the max is over exact
+    BIGINTs and the division is one float op on identical operands.
+    Evaluating at distinct values (not raw rows) also makes ties exact:
+    the ECDF step lands after ALL tied points on both sides. Shape: one
+    ordered window over the per-(series, value) collapsed table, one
+    groupBy.
+    """
+    w = _w()
+    half = df.withColumn(
+        "cents", F.round(F.col("value") * value_scale, 0).cast("long")
+    ).withColumn("rn", F.row_number().over(w)).withColumn(
+        "nn", F.count("*").over(W.partitionBy(*KEY))
+    ).withColumn(
+        "in_first", (F.col("rn") * 2 <= F.col("nn")).cast("long")
+    )
+    per_v = half.groupBy(*KEY, "cents").agg(
+        F.sum("in_first").alias("c1"),
+        F.sum(1 - F.col("in_first")).alias("c2"),
+    )
+    wv = W.partitionBy(*KEY).orderBy("cents").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wk = W.partitionBy(*KEY)
+    per_v = (
+        per_v.withColumn("cum1", F.sum("c1").over(wv))
+        .withColumn("cum2", F.sum("c2").over(wv))
+        .withColumn("n1", F.sum("c1").over(wk))
+        .withColumn("n2", F.sum("c2").over(wk))
+    )
+    g = per_v.withColumn(
+        "dint",
+        F.abs(
+            F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+        ),
+    ).groupBy(*KEY).agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max("dint").alias("dint"),
+    )
+    d = F.col("dint").cast("double") / (
+        F.col("n1") * F.col("n2")
+    ).cast("double")
+    lam = d * F.sqrt(
+        (F.col("n1") * F.col("n2")).cast("double")
+        / (F.col("n1") + F.col("n2")).cast("double")
+    )
+    return g.where(
+        (F.col("n1") + F.col("n2") >= min_n)
+        & (F.col("n1") > 0)
+        & (F.col("n2") > 0)
+    ).select(
+        *KEY,
+        (F.col("n1") + F.col("n2")).alias("n_obs"),
+        F.round(d + F.lit(1e-9), 6).alias("ks_d"),
+        F.round(lam + F.lit(1e-9), 5).alias("ks_lambda"),
+    )

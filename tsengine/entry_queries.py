@@ -7403,6 +7403,50 @@ def text_source_overlap(spark, sf_dir):
     return textops.source_vocab_overlap(d)
 
 
+@q(
+    "ts_ks_halves",
+    f"""
+WITH ev AS ({_EV}),
+h AS (SELECT conv_id, metric,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        row_number() OVER w AS rn,
+        count(*) OVER (PARTITION BY conv_id, metric) AS nn
+      FROM ev
+      WINDOW w AS (PARTITION BY conv_id, metric ORDER BY ts, event_id)),
+pv AS (SELECT conv_id, metric, cents,
+         sum(CASE WHEN rn * 2 <= nn THEN 1 ELSE 0 END)::BIGINT AS c1,
+         sum(CASE WHEN rn * 2 <= nn THEN 0 ELSE 1 END)::BIGINT AS c2
+       FROM h GROUP BY 1, 2, 3),
+cum AS (SELECT conv_id, metric,
+          sum(c1) OVER wv AS cum1, sum(c2) OVER wv AS cum2,
+          sum(c1) OVER wk AS n1, sum(c2) OVER wk AS n2
+        FROM pv
+        WINDOW wv AS (PARTITION BY conv_id, metric ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wk AS (PARTITION BY conv_id, metric)),
+g AS (SELECT conv_id, metric, max(n1)::BIGINT AS n1,
+        max(n2)::BIGINT AS n2,
+        max(abs(cum1 * n2 - cum2 * n1))::BIGINT AS dint
+      FROM cum GROUP BY 1, 2)
+SELECT conv_id, metric, (n1 + n2)::BIGINT AS n_obs,
+       round(dint::DOUBLE / (n1 * n2)::DOUBLE + 1e-9, 6) AS ks_d,
+       round(dint::DOUBLE / (n1 * n2)::DOUBLE
+             * sqrt((n1 * n2)::DOUBLE / (n1 + n2)::DOUBLE) + 1e-9, 5)
+         AS ks_lambda
+FROM g WHERE n1 + n2 >= 8 AND n1 > 0 AND n2 > 0
+""",
+)
+def ts_ks_halves(spark, sf_dir):
+    """Two-sample KS drift between each series' halves
+    (`complexity.ks_halves`): D = max|ECDF1-ECDF2| over distinct cent
+    values — unbinned distribution-level drift, the companion to PSI.
+    D = max|cum1·n2 - cum2·n1|/(n1·n2) with the max over exact BIGINTs
+    (distinct-value evaluation makes ties exact); one ordered window
+    over the value-collapsed table."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.ks_halves(ev)
+
+
 def _pagerank_oracle_sql(n_iter: int = 10) -> str:
     """Unrolled power iteration in ANSI SQL — each r{{k}} CTE applies one
     damped step with the SAME expression tree as `temporal.flow_pagerank`
@@ -7576,7 +7620,7 @@ _ROTATION_FRONT = [
     "ts_streaming_gapfill", "ts_flow_pagerank", "ts_forecast_metrics",
     "ts_conformal_interval", "text_bigram_xent", "ts_mann_kendall",
     "ts_kpss", "vec_dim_stats", "ts_excursion", "ts_records",
-    "text_source_overlap",
+    "text_source_overlap", "ts_ks_halves",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]
