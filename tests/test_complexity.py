@@ -1115,3 +1115,54 @@ def test_ks_halves_identical_halves_zero(spark):
     vals = [1.0, 2.0, 3.0, 4.0] * 2  # second half repeats the first
     got = complexity.ks_halves(_series(spark, vals)).collect()[0]
     assert got.ks_d == 0.0
+
+
+# ---------------------------------------------------------------------------
+# ANN recall self-evaluation (vecops)
+# ---------------------------------------------------------------------------
+
+def test_ann_recall_eval_bounds_and_twin(spark):
+    from tsengine import vecops
+
+    rng = np.random.default_rng(111)
+    vecs = rng.normal(size=(60, 16)).astype(np.float64)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    qv = [float(x) for x in vecs[0]]
+    got = vecops.ann_recall_eval(emb, qv, k=10, n_bits=4).collect()[0]
+    assert got.k == 10
+    assert 0 <= got.n_hit <= min(10, got.n_lsh)
+    assert got.recall == pytest.approx(got.n_hit / 10, abs=1e-6)
+    # python twin: brute top-10 vs lsh top-10 with the same bucket fn
+    def cos(a, b):
+        return _py_cos(a, b)
+    brute = sorted(
+        ((i, cos(vecs[i], qv)) for i in range(1, 60)),
+        key=lambda t: (-t[1], t[0]))[:10]
+    qb = vecops.query_bucket(qv, n_bits=4)
+    def bucket(v):
+        return sum(
+            (1 << j) if v[j] > v[(j + 13) % 16] else 0 for j in range(4))
+    lsh = sorted(
+        ((i, cos(vecs[i], qv)) for i in range(1, 60)
+         if bucket(vecs[i]) == qb),
+        key=lambda t: (-t[1], t[0]))[:10]
+    hits = {i for i, _ in brute} & {i for i, _ in lsh}
+    assert got.n_lsh == len(lsh)
+    assert got.n_hit == len(hits)
+
+
+def test_ann_recall_multiprobe_would_help(spark):
+    # recall with the pruned path is definitionally <= 1; sanity that the
+    # operator reports a sane fraction on gaussian data
+    from tsengine import vecops
+
+    rng = np.random.default_rng(112)
+    vecs = rng.normal(size=(200, 16)).astype(np.float64)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>")
+    got = vecops.ann_recall_eval(
+        emb, [float(x) for x in vecs[0]], k=10, n_bits=4).collect()[0]
+    assert 0.0 <= got.recall <= 1.0

@@ -7447,6 +7447,37 @@ def ts_ks_halves(spark, sf_dir):
     return complexity.ks_halves(ev)
 
 
+@q(
+    "vec_recall_eval",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+brute AS (SELECT e.vec_id FROM e, q WHERE e.vec_id <> 0
+          ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+          LIMIT 10),
+qb AS (SELECT ({_bucket_sql('v')}) AS qb FROM e WHERE vec_id = 0),
+lshc AS (SELECT e.vec_id, list_cosine_similarity(e.v, q.qv) AS sim
+         FROM e, q, qb
+         WHERE e.vec_id <> 0 AND ({_bucket_sql('e.v')}) = qb.qb),
+lsh AS (SELECT vec_id FROM lshc ORDER BY sim DESC, vec_id LIMIT 10),
+j AS (SELECT count(*)::BIGINT AS n_hit FROM brute JOIN lsh USING (vec_id)),
+nl AS (SELECT count(*)::BIGINT AS n_lsh FROM lsh)
+SELECT 10::INT AS k, nl.n_lsh, j.n_hit,
+       round(j.n_hit::DOUBLE / 10.0 + 1e-9, 4) AS recall
+FROM j CROSS JOIN nl
+""",
+)
+def vec_recall_eval(spark, sf_dir):
+    """ANN self-evaluation (`vecops.ann_recall_eval`): recall@10 of the
+    LSH-pruned top-k vs the brute-force cosine top-k on the same query —
+    the number the multi-probe knob is tuned against, computed as two
+    bounded take-ordered scans + a k-row join. Deterministic rankings ⇒
+    exact hit count; one output row."""
+    qv = _query_vec(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    return vecops.ann_recall_eval(emb, qv, k=10, n_bits=8)
+
+
 def _pagerank_oracle_sql(n_iter: int = 10) -> str:
     """Unrolled power iteration in ANSI SQL — each r{{k}} CTE applies one
     damped step with the SAME expression tree as `temporal.flow_pagerank`
@@ -7620,7 +7651,7 @@ _ROTATION_FRONT = [
     "ts_streaming_gapfill", "ts_flow_pagerank", "ts_forecast_metrics",
     "ts_conformal_interval", "text_bigram_xent", "ts_mann_kendall",
     "ts_kpss", "vec_dim_stats", "ts_excursion", "ts_records",
-    "text_source_overlap", "ts_ks_halves",
+    "text_source_overlap", "ts_ks_halves", "vec_recall_eval",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]

@@ -1335,3 +1335,47 @@ def dim_stats(
         F.round(F.col("var_raw") + F.lit(1e-9), 6).alias("dim_var"),
         F.round(sv * sv / svv + F.lit(1e-9), 4).alias("eff_dim"),
     )
+
+
+def ann_recall_eval(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN self-evaluation: recall@k of the LSH-pruned top-k against the
+    brute-force cosine top-k on the same query — the measurement every
+    index deployment needs before trusting the pruned path (and the
+    number the multi-probe knob is tuned against).
+
+    Both rankings are deterministic (cosine desc, id tie-break), so the
+    hit count is exact; output is ONE row (k, n_lsh, n_hit, recall).
+    Shape: two bounded take-ordered scans + a k-row join — the eval
+    costs two queries, never a corpus-sized structure.
+    """
+    base = embeddings.where(F.col(id_col) != 0)
+    brute = cosine_topk(
+        base, query_vec, k=k, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("bid"))
+    lsh = lsh_topk(
+        base, query_vec, k=k, n_bits=n_bits, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("lid"))
+    j = brute.join(lsh, brute["bid"] == lsh["lid"], "left").agg(
+        F.sum(F.col("lid").isNotNull().cast("long")).alias("n_hit")
+    )
+    nl = lsh.agg(F.count("*").cast("long").alias("n_lsh"))
+    return (
+        j.crossJoin(F.broadcast(nl))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            "n_lsh",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.lit(float(k))
+                + F.lit(1e-9),
+                4,
+            ).alias("recall"),
+        )
+    )
