@@ -1,6 +1,10 @@
-"""Series complexity / randomness diagnostics: permutation entropy, Allan
-variance, Benford first-digit audit, Wald-Wolfowitz runs test, Haar wavelet
-energy decomposition.
+"""Series complexity / randomness / stationarity diagnostics: permutation
+and sample entropy, Allan variance, Benford first-digit audit, the
+runs / turning-point / record-breaking randomness trio, Haar wavelet
+energy, Lo-MacKinlay variance ratio, PACF + Ljung-Box, Mann-Kendall and
+KPSS, two-sample KS half-drift, seasonal strength, volume Gini,
+peaks-over-threshold mean excess, Hill tail index, cross-metric
+correlation, and the excursion (drawdown) battery.
 
 No direct reference analog (rewemo validates weather series by physical
 invariants, not statistical ones); these are the signal-quality battery a
