@@ -1166,3 +1166,72 @@ def test_ann_recall_multiprobe_would_help(spark):
     got = vecops.ann_recall_eval(
         emb, [float(x) for x in vecs[0]], k=10, n_bits=4).collect()[0]
     assert 0.0 <= got.recall <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# cox-stuart / robust stats / cusum of squares
+# ---------------------------------------------------------------------------
+
+def test_cox_stuart_hand_computed(spark):
+    vals = [1.0, 2.0, 3.0, 4.0, 10.0, 11.0, 12.0, 13.0]
+    # half=4; pairs (1,10),(2,11),(3,12),(4,13) -> all up
+    got = complexity.cox_stuart(_series(spark, vals)).collect()[0]
+    assert got.n_up == 4 and got.n_down == 0
+    z = (4 - 2 - 0.5) / (math.sqrt(4) / 2)
+    assert got.cs_z == pytest.approx(z, abs=1e-4)
+
+
+def test_cox_stuart_odd_length_and_ties(spark):
+    vals = [5.0, 1.0, 9.0, 5.0, 2.0, 9.0, 7.0, 8.0, 6.0]
+    # n=9, half=4: pairs (x1,x5),(x2,x6),(x3,x7),(x4,x8):
+    # (5,2)down (1,9)up (9,7)down (5,8)up -> 2 up, 2 down, z=0
+    got = complexity.cox_stuart(_series(spark, vals)).collect()[0]
+    assert got.n_up == 2 and got.n_down == 2
+    assert got.cs_z == pytest.approx(0.0, abs=1e-6)
+
+
+def test_robust_stats_matches_numpy(spark):
+    rng = np.random.default_rng(121)
+    vals = np.round(rng.uniform(0, 100, 21), 2)
+    got = complexity.robust_stats(_series(spark, vals)).collect()[0]
+    q1, q2, q3 = np.quantile(np.asarray(vals), [0.25, 0.5, 0.75])
+    assert got.median == pytest.approx(q2, abs=1e-4)
+    assert got.iqr == pytest.approx(q3 - q1, abs=1e-4)
+    assert got.midhinge == pytest.approx((q1 + q3) / 2, abs=1e-4)
+    assert got.bowley_skew == pytest.approx(
+        (q3 + q1 - 2 * q2) / (q3 - q1), abs=1e-4)
+
+
+def test_robust_stats_immune_to_one_spike(spark):
+    base = [10.0] * 10 + [11.0] * 10
+    spiked = base + [10000.0]
+    m1 = complexity.robust_stats(_series(spark, base)).collect()[0]
+    m2 = complexity.robust_stats(_series(spark, spiked)).collect()[0]
+    assert abs(m1.median - m2.median) < 1.0  # the spike barely moves it
+
+
+def test_cusum_squares_variance_shift(spark):
+    rng = np.random.default_rng(122)
+    quiet = rng.normal(0, 1, 50)
+    loud = rng.normal(0, 8, 50)
+    vals = np.round(np.concatenate([quiet, loud]) + 100, 2)
+    got = complexity.cusum_squares(_series(spark, vals)).collect()[0]
+    # the argmax should sit near the variance break at k=50
+    assert 35 <= got.argmax_k <= 65
+    flat = np.round(rng.normal(0, 1, 100) + 100, 2)
+    got_flat = complexity.cusum_squares(_series(spark, flat)).collect()[0]
+    assert got.cusum_sq_d > 2 * got_flat.cusum_sq_d
+
+
+def test_cusum_squares_matches_numpy(spark):
+    rng = np.random.default_rng(123)
+    vals = np.round(rng.uniform(1, 50, 24), 2)
+    got = complexity.cusum_squares(_series(spark, vals)).collect()[0]
+    c = np.round(np.asarray(vals) * 100).astype(np.int64)
+    n = len(c)
+    cs2 = np.cumsum(c * c)
+    dint = np.abs(n * cs2 - np.arange(1, n + 1) * cs2[-1])
+    k = int(np.argmax(dint)) + 1  # earliest max (np.argmax takes first)
+    assert got.argmax_k == k
+    assert got.cusum_sq_d == pytest.approx(
+        dint.max() / (n * cs2[-1]), abs=2e-6)

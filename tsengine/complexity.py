@@ -1140,3 +1140,152 @@ def ks_halves(
         F.round(d + F.lit(1e-9), 6).alias("ks_d"),
         F.round(lam + F.lit(1e-9), 5).alias("ks_lambda"),
     )
+
+
+def cox_stuart(
+    df: DataFrame, value_scale: int = 100, min_n: int = 8
+) -> DataFrame:
+    """Cox-Stuart trend test per series: pair x_i with x_{i+n/2}, count
+    positive vs negative half-span differences, z against Binomial(m,
+    1/2) with continuity correction — the quick sign-based trend test
+    (MK weighs all pairs; Cox-Stuart just asks "did the second half
+    move up?", which makes it robust to local oscillation).
+
+    Differences compare exact cents (ties dropped, per the test's
+    definition); counts are exact BIGINTs. One row_number window + ONE
+    series-keyed self-join on the exact offset rn + n/2.
+    """
+    w = _w()
+    wk = W.partitionBy(*KEY)
+    t = (
+        df.withColumn(
+            "cents", F.round(F.col("value") * value_scale, 0).cast("long")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("nn", F.count("*").over(wk))
+        .withColumn("half", (F.col("nn") / 2).cast("long"))
+        .select(*KEY, "rn", "nn", "half", "cents")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(
+        b,
+        [F.col(f"a.{k}") == F.col(f"b.{k}") for k in KEY]
+        + [F.col("b.rn") == F.col("a.rn") + F.col("a.half")],
+    ).where(F.col("a.rn") <= F.col("a.half"))
+    diff = F.col("b.cents") - F.col("a.cents")
+    g = pairs.groupBy(F.col(f"a.{KEY[0]}"), F.col(f"a.{KEY[1]}")).agg(
+        F.max("a.nn").alias("n_obs"),
+        F.sum((diff > 0).cast("long")).alias("n_up"),
+        F.sum((diff < 0).cast("long")).alias("n_down"),
+    )
+    m = (F.col("n_up") + F.col("n_down")).cast("double")
+    s = F.col("n_up").cast("double")
+    # continuity-corrected normal approximation of Binomial(m, 1/2)
+    z = (s - m / 2.0 - F.when(s > m / 2.0, 0.5).when(s < m / 2.0, -0.5)
+         .otherwise(0.0)) / (F.sqrt(m) / 2.0)
+    return g.where(
+        (F.col("n_obs") >= min_n) & (F.col("n_up") + F.col("n_down") > 0)
+    ).select(
+        *KEY,
+        "n_obs",
+        "n_up",
+        "n_down",
+        (F.round(z + F.lit(1e-9), 5) + F.lit(0.0)).alias("cs_z"),
+    )
+
+
+def robust_stats(df: DataFrame, min_n: int = 5) -> DataFrame:
+    """Robust location/spread/shape battery per series from exact
+    interpolated quartiles: median, IQR, midhinge, and Bowley skewness
+    (q3 + q1 - 2·median)/(q3 - q1) — the outlier-immune counterpart of
+    the moments battery (mean/std/skew collapse under one mega-latency
+    spike; quartiles don't).
+
+    All four quantiles are exact interpolated percentiles computed as
+    window aggregates over ONE series exchange, then a groupBy to one
+    row per series; the Bowley ratio runs on identical doubles.
+    """
+    wk = W.partitionBy(*KEY)
+    t = (
+        df.withColumn("q1", F.expr("percentile(value, 0.25)").over(wk))
+        .withColumn("q2", F.expr("percentile(value, 0.5)").over(wk))
+        .withColumn("q3", F.expr("percentile(value, 0.75)").over(wk))
+    )
+    g = t.groupBy(*KEY).agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.max("q1").alias("q1"),
+        F.max("q2").alias("q2"),
+        F.max("q3").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    bowley = (F.col("q3") + F.col("q1") - 2.0 * F.col("q2")) / iqr
+    return g.where(F.col("n_obs") >= min_n).select(
+        *KEY,
+        "n_obs",
+        (F.round(F.col("q2") + F.lit(1e-9), 5) + F.lit(0.0)).alias("median"),
+        F.round(iqr + F.lit(1e-9), 5).alias("iqr"),
+        (
+            F.round((F.col("q1") + F.col("q3")) / 2.0 + F.lit(1e-9), 5)
+            + F.lit(0.0)
+        ).alias("midhinge"),
+        (
+            F.round(F.when(iqr > 0, bowley + F.lit(1e-9)), 5) + F.lit(0.0)
+        ).alias("bowley_skew"),
+    )
+
+
+def cusum_squares(
+    df: DataFrame, value_scale: int = 100, min_n: int = 8
+) -> DataFrame:
+    """CUSUM-of-squares variance-shift detector per series (Brown-Durbin-
+    Evans): D_k = (cumulative sum of squares up to k)/(total) - k/n, with
+    the max |D| and its position — the VARIANCE changepoint screen
+    complementing the mean-shift tests (a latency stream that quietly
+    doubles its jitter trips this, not CUSUM).
+
+    Exactness: squared cents are exact BIGINTs, so the maximized
+    quantity |n*CS2_k - k*CS2_n| is an exact integer and D_max is ONE
+    float division of identical operands; the argmax position is an
+    integer tie-broken to the earliest k.
+    """
+    w = _w()
+    wk = W.partitionBy(*KEY)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    t = (
+        df.withColumn(
+            "cents", F.round(F.col("value") * value_scale, 0).cast("long")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("nn", F.count("*").over(wk))
+        .withColumn(
+            "cs2", F.sum(F.col("cents") * F.col("cents")).over(run)
+        )
+        .withColumn(
+            "tot2", F.sum(F.col("cents") * F.col("cents")).over(wk)
+        )
+    )
+    t = t.withColumn(
+        "dint",
+        F.abs(F.col("nn") * F.col("cs2") - F.col("rn") * F.col("tot2")),
+    )
+    wrank = W.partitionBy(*KEY).orderBy(F.col("dint").desc(), F.col("rn"))
+    g = (
+        t.withColumn("rk", F.row_number().over(wrank))
+        .where(F.col("rk") == 1)
+        .select(
+            *KEY,
+            F.col("nn").alias("n_obs"),
+            F.col("rn").alias("argmax_k"),
+            F.col("dint"),
+            F.col("tot2"),
+        )
+    )
+    d = F.col("dint").cast("double") / (
+        F.col("n_obs") * F.col("tot2")
+    ).cast("double")
+    return g.where((F.col("n_obs") >= min_n) & (F.col("tot2") > 0)).select(
+        *KEY,
+        "n_obs",
+        "argmax_k",
+        F.round(d + F.lit(1e-9), 6).alias("cusum_sq_d"),
+    )

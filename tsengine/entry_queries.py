@@ -7478,6 +7478,117 @@ def vec_recall_eval(spark, sf_dir):
     return vecops.ann_recall_eval(emb, qv, k=10, n_bits=8)
 
 
+@q(
+    "ts_cox_stuart",
+    f"""
+WITH ev AS ({_EV}),
+t AS (SELECT conv_id, metric,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        row_number() OVER w AS rn,
+        count(*) OVER (PARTITION BY conv_id, metric) AS nn,
+        (count(*) OVER (PARTITION BY conv_id, metric)) // 2 AS half
+      FROM ev
+      WINDOW w AS (PARTITION BY conv_id, metric ORDER BY ts, event_id)),
+p AS (SELECT a.conv_id, a.metric, a.nn, (b.cents - a.cents) AS diff
+      FROM t a JOIN t b
+        ON a.conv_id = b.conv_id AND a.metric = b.metric
+       AND b.rn = a.rn + a.half
+      WHERE a.rn <= a.half),
+g AS (SELECT conv_id, metric, max(nn)::BIGINT AS n_obs,
+        sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END)::BIGINT AS n_up,
+        sum(CASE WHEN diff < 0 THEN 1 ELSE 0 END)::BIGINT AS n_down
+      FROM p GROUP BY 1, 2)
+SELECT conv_id, metric, n_obs, n_up, n_down,
+       round((n_up::DOUBLE - (n_up + n_down)::DOUBLE / 2.0
+              - CASE WHEN n_up::DOUBLE > (n_up + n_down)::DOUBLE / 2.0
+                     THEN 0.5
+                     WHEN n_up::DOUBLE < (n_up + n_down)::DOUBLE / 2.0
+                     THEN -0.5 ELSE 0.0 END)
+             / (sqrt((n_up + n_down)::DOUBLE) / 2.0) + 1e-9, 5) + 0.0
+         AS cs_z
+FROM g WHERE n_obs >= 8 AND n_up + n_down > 0
+""",
+)
+def ts_cox_stuart(spark, sf_dir):
+    """Cox-Stuart trend test (`complexity.cox_stuart`): sign of the
+    half-span differences x_{i+n/2} - x_i, continuity-corrected binomial
+    z — "did the second half move up?", robust to local oscillation
+    where MK weighs every pair. Exact integer comparisons and counts;
+    one window pass + one exact-offset self-join."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.cox_stuart(ev)
+
+
+@q(
+    "ts_robust_stats",
+    f"""
+WITH ev AS ({_EV}),
+t AS (SELECT conv_id, metric,
+        quantile_cont(value, 0.25) OVER wk AS q1,
+        quantile_cont(value, 0.5) OVER wk AS q2,
+        quantile_cont(value, 0.75) OVER wk AS q3
+      FROM ev WINDOW wk AS (PARTITION BY conv_id, metric)),
+g AS (SELECT conv_id, metric, count(*)::BIGINT AS n_obs,
+        max(q1) AS q1, max(q2) AS q2, max(q3) AS q3
+      FROM t GROUP BY 1, 2)
+SELECT conv_id, metric, n_obs,
+       round(q2 + 1e-9, 5) + 0.0 AS median,
+       round(q3 - q1 + 1e-9, 5) AS iqr,
+       round((q1 + q3) / 2.0 + 1e-9, 5) + 0.0 AS midhinge,
+       round(CASE WHEN q3 - q1 > 0
+             THEN (q3 + q1 - 2.0 * q2) / (q3 - q1) + 1e-9 END, 5) + 0.0
+         AS bowley_skew
+FROM g WHERE n_obs >= 5
+""",
+)
+def ts_robust_stats(spark, sf_dir):
+    """Robust quantile battery (`complexity.robust_stats`): median, IQR,
+    midhinge, Bowley skewness from exact interpolated quartiles — the
+    outlier-immune counterpart of the moments battery. Three window
+    percentiles share ONE series exchange, then a one-row-per-series
+    groupBy."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.robust_stats(ev)
+
+
+@q(
+    "ts_cusum_squares",
+    f"""
+WITH ev AS ({_EV}),
+b AS (SELECT conv_id, metric, ts, event_id,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        row_number() OVER w AS rn,
+        count(*) OVER (PARTITION BY conv_id, metric) AS nn
+      FROM ev
+      WINDOW w AS (PARTITION BY conv_id, metric ORDER BY ts, event_id)),
+t AS (SELECT conv_id, metric, rn, nn,
+        sum(cents * cents) OVER (PARTITION BY conv_id, metric
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cs2,
+        sum(cents * cents) OVER (PARTITION BY conv_id, metric) AS tot2
+      FROM b),
+r AS (SELECT *, abs(nn * cs2 - rn * tot2) AS dint,
+        row_number() OVER (PARTITION BY conv_id, metric
+                           ORDER BY abs(nn * cs2 - rn * tot2) DESC, rn)
+          AS rk
+      FROM t)
+SELECT conv_id, metric, nn::BIGINT AS n_obs, rn::BIGINT AS argmax_k,
+       round(dint::DOUBLE / (nn * tot2)::DOUBLE + 1e-9, 6) AS cusum_sq_d
+FROM r WHERE rk = 1 AND nn >= 8 AND tot2 > 0
+""",
+)
+def ts_cusum_squares(spark, sf_dir):
+    """CUSUM-of-squares variance-shift detector
+    (`complexity.cusum_squares`, Brown-Durbin-Evans): max |cumulative
+    energy share - k/n| and its position — catches a series that quietly
+    doubles its jitter, which mean-shift CUSUM misses. The maximized
+    quantity |n·CS2_k - k·CS2_n| is an exact BIGINT; argmax tie-breaks
+    to the earliest k."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.cusum_squares(ev)
+
+
 def _pagerank_oracle_sql(n_iter: int = 10) -> str:
     """Unrolled power iteration in ANSI SQL — each r{{k}} CTE applies one
     damped step with the SAME expression tree as `temporal.flow_pagerank`
@@ -7652,6 +7763,7 @@ _ROTATION_FRONT = [
     "ts_conformal_interval", "text_bigram_xent", "ts_mann_kendall",
     "ts_kpss", "vec_dim_stats", "ts_excursion", "ts_records",
     "text_source_overlap", "ts_ks_halves", "vec_recall_eval",
+    "ts_cox_stuart", "ts_robust_stats", "ts_cusum_squares",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]
