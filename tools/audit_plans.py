@@ -565,6 +565,40 @@ def main() -> None:
     audit("mann-kendall (series-keyed self-pair, integer sign sums)",
           eq.QUERIES["ts_mann_kendall"](spark, sf),
           ["partial_agg", "no_cartesian"])
+    audit("kpss (running integer sums share one series exchange)",
+          eq.QUERIES["ts_kpss"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    audit("dim stats (posexplode + dim-keyed exchange to d rows)",
+          eq.QUERIES["vec_dim_stats"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    audit("excursion (running-max/peak/duration in one ordered pass)",
+          eq.QUERIES["ts_excursion"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    audit("records test (prev-max window, integer record flags)",
+          eq.QUERIES["ts_records"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    audit("source overlap (token-keyed self-join of deduped vocab)",
+          eq.QUERIES["text_source_overlap"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    audit("ks halves (value-collapsed table, integer ECDF diffs)",
+          eq.QUERIES["ts_ks_halves"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    # recall eval crossJoins the 1-row n_lsh aggregate (waived tiny-dim
+    # NLJ, same as bloom/RRF/jsd) — no_cartesian is not asserted
+    audit("ann recall eval (two take-ordered scans + k-row join)",
+          eq.QUERIES["vec_recall_eval"](spark, sf),
+          [])
+    audit("cox-stuart (exact-offset self-join, integer sign counts)",
+          eq.QUERIES["ts_cox_stuart"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    audit("robust stats (three percentiles share one series exchange)",
+          eq.QUERIES["ts_robust_stats"](spark, sf),
+          ["partial_agg", "no_cartesian"])
+    # cusum-of-squares is a pure window pipeline (rank-filter instead of
+    # groupBy), so there is no partial-agg node to assert
+    audit("cusum of squares (running energy window, integer argmax)",
+          eq.QUERIES["ts_cusum_squares"](spark, sf),
+          ["no_cartesian"])
     # ts_flow_pagerank localCheckpoints each iteration (plan is truncated
     # by design) and ts_streaming_gapfill is a streaming query — neither
     # has a single batch plan to assert on; their gates are the oracle
