@@ -1235,3 +1235,37 @@ def test_cusum_squares_matches_numpy(spark):
     assert got.argmax_k == k
     assert got.cusum_sq_d == pytest.approx(
         dint.max() / (n * cs2[-1]), abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# spearman trend
+# ---------------------------------------------------------------------------
+
+def test_spearman_matches_scipy_style(spark):
+    rng = np.random.default_rng(131)
+    vals = np.round(rng.uniform(0, 50, 20), 2)
+    vals[7] = vals[3]  # force a tie
+    got = complexity.spearman_trend(_series(spark, vals)).collect()[0]
+    # numpy twin via average ranks
+    c = np.round(np.asarray(vals) * 100).astype(np.int64)
+    order = np.argsort(c, kind="stable")
+    ranks = np.empty(len(c), dtype=float)
+    i = 0
+    sc = c[order]
+    while i < len(sc):
+        j = i
+        while j < len(sc) and sc[j] == sc[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2  # average 1-based rank
+        i = j
+    x = np.arange(1, len(c) + 1)
+    rho = np.corrcoef(x, ranks)[0, 1]
+    assert got.spearman_rho == pytest.approx(rho, abs=2e-5)
+
+
+def test_spearman_monotone_is_one(spark):
+    got = complexity.spearman_trend(_series(spark, range(12))).collect()[0]
+    assert got.spearman_rho == pytest.approx(1.0, abs=1e-6)
+    got_d = complexity.spearman_trend(
+        _series(spark, range(12, 0, -1))).collect()[0]
+    assert got_d.spearman_rho == pytest.approx(-1.0, abs=1e-6)

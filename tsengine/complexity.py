@@ -1289,3 +1289,53 @@ def cusum_squares(
         "argmax_k",
         F.round(d + F.lit(1e-9), 6).alias("cusum_sq_d"),
     )
+
+
+def spearman_trend(
+    df: DataFrame, value_scale: int = 100, min_n: int = 8
+) -> DataFrame:
+    """Spearman rank correlation of value against time order per series —
+    the rank-based trend strength in [-1, 1] that complements the MK
+    significance test and the Theil-Sen slope (rho says HOW monotone,
+    not just whether).
+
+    Exactness: tie-averaged value ranks are half-integers, so DOUBLED
+    ranks (2*min_rank + tie_count - 1) are exact BIGINTs, the time rank
+    is exact, and all five Pearson sums over the doubled ranks are exact
+    integers — rho is float algebra on identical operands. One rank
+    window + one tie-count window share the series exchange.
+    """
+    w = _w()
+    wv = W.partitionBy(*KEY).orderBy("cents")
+    t = (
+        df.withColumn(
+            "cents", F.round(F.col("value") * value_scale, 0).cast("long")
+        )
+        .withColumn("rx2", 2 * F.row_number().over(w))
+        .withColumn("minrank", F.rank().over(wv))
+        .withColumn(
+            "tiecnt", F.count("*").over(W.partitionBy(*KEY, "cents"))
+        )
+        .withColumn(
+            "ry2", 2 * F.col("minrank") + F.col("tiecnt") - 1
+        )
+    )
+    g = t.groupBy(*KEY).agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    n = F.col("n_obs")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return g.where((F.col("n_obs") >= min_n) & (dx > 0) & (dy > 0)).select(
+        *KEY,
+        "n_obs",
+        (
+            F.round(num / F.sqrt(dx * dy) + F.lit(1e-9), 5) + F.lit(0.0)
+        ).alias("spearman_rho"),
+    )

@@ -7589,6 +7589,44 @@ def ts_cusum_squares(spark, sf_dir):
     return complexity.cusum_squares(ev)
 
 
+@q(
+    "ts_spearman_trend",
+    f"""
+WITH ev AS ({_EV}),
+t AS (SELECT conv_id, metric,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        2 * row_number() OVER (PARTITION BY conv_id, metric
+                               ORDER BY ts, event_id) AS rx2,
+        rank() OVER (PARTITION BY conv_id, metric ORDER BY
+                     CAST(round(value * 100) AS BIGINT)) AS minrank,
+        count(*) OVER (PARTITION BY conv_id, metric,
+                       CAST(round(value * 100) AS BIGINT)) AS tiecnt
+      FROM ev),
+r AS (SELECT conv_id, metric, rx2,
+        (2 * minrank + tiecnt - 1) AS ry2 FROM t),
+g AS (SELECT conv_id, metric, count(*)::BIGINT AS n_obs,
+        sum(rx2)::BIGINT AS sx, sum(ry2)::BIGINT AS sy,
+        sum(rx2 * rx2)::BIGINT AS sxx, sum(ry2 * ry2)::BIGINT AS syy,
+        sum(rx2 * ry2)::BIGINT AS sxy
+      FROM r GROUP BY 1, 2)
+SELECT conv_id, metric, n_obs,
+       round((n_obs * sxy - sx * sy)::DOUBLE
+             / sqrt((n_obs * sxx - sx * sx)::DOUBLE
+                    * (n_obs * syy - sy * sy)::DOUBLE) + 1e-9, 5) + 0.0
+         AS spearman_rho
+FROM g WHERE n_obs >= 8
+  AND (n_obs * sxx - sx * sx) > 0 AND (n_obs * syy - sy * sy) > 0
+""",
+)
+def ts_spearman_trend(spark, sf_dir):
+    """Spearman rank-vs-time correlation (`complexity.spearman_trend`):
+    rank-based trend STRENGTH in [-1,1] — how monotone, complementing
+    MK's significance and Theil-Sen's slope. Tie-averaged value ranks
+    doubled to exact BIGINTs; all five Pearson sums exact integers."""
+    ev = _events_long(spark, sf_dir)
+    return complexity.spearman_trend(ev)
+
+
 def _pagerank_oracle_sql(n_iter: int = 10) -> str:
     """Unrolled power iteration in ANSI SQL — each r{{k}} CTE applies one
     damped step with the SAME expression tree as `temporal.flow_pagerank`
@@ -7764,6 +7802,7 @@ _ROTATION_FRONT = [
     "ts_kpss", "vec_dim_stats", "ts_excursion", "ts_records",
     "text_source_overlap", "ts_ks_halves", "vec_recall_eval",
     "ts_cox_stuart", "ts_robust_stats", "ts_cusum_squares",
+    "ts_spearman_trend",
     "ts_pelt", "ts_sigma_clip", "vec_pq_topk", "vec_ivfpq_topk",
     "text_chunks", "ts_streaming_dedup", "ts_normalize_coords",
 ]
