@@ -61,6 +61,20 @@ def get_spark(
         # committer v2: task outputs move to the final location at task
         # commit — avoids the driver-side sequential rename storm of v1
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # scan split sizing: Spark targets totalSize/defaultParallelism per
+        # split but FLOORS the split size at openCostInBytes (default 4 MB),
+        # so a few-MB zstd parquet input collapses to 1-2 scan partitions
+        # and every narrow stage (md5 hashing, per-row feature exprs) runs
+        # on 1-2 of N cores — measured 9.2 s -> 1.2 s for a 64-bit simhash
+        # over a 5.7 MB input at local[32]. 64 KB keeps split sizing
+        # following totalSize/parallelism for small inputs; at cluster
+        # scale files are >> maxPartitionBytes and openCost is irrelevant
+        # to split size (it only pads the packing cost model — raise via
+        # env when scanning millions of tiny files on object storage).
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("TSENGINE_OPEN_COST_BYTES", "65536"),
+        )
     )
     if simd_workaround:
         b = b.config(

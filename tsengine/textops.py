@@ -393,32 +393,65 @@ def simhash(
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
     toks = F.array_distinct(tokens(F.col(text_col)))
-    h1 = F.transform(toks, _h60)
-    h2 = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 16, 15), 16, 10).cast("long")
-    )
-    out = docs.select(
-        id_col, h1.alias("_h1"), h2.alias("_h2"), F.size(h1).alias("_n")
-    )
 
-    # Perf note: one scalar aggregate per bit. A single-pass variant with a
-    # struct{array<long> votes} accumulator was tried and is 10-20x SLOWER
-    # — every merge step copies the 60-element vote array per token
-    # (interpreted HOF, O(tokens*bits) array allocations); scalar-long
-    # accumulators per bit stay allocation-free.
-    def vote(j: int):
-        # factory keeps the merge lambda 2-arg (acc, x) — see perm() above
-        return lambda a, x: a + (
-            F.shiftright(x, j).bitwiseAND(F.lit(1).cast("long")) * 2 - 1
+    # Perf note: per-bit F.aggregate HOF lambdas over the token array are
+    # INTERPRETED (no codegen) — measured ~0.12 s/bit over 50 K short docs,
+    # i.e. the 64-bit hash cost ~9 s where the md5 work itself is ~1 s.
+    # Explode to one row per (doc, token hash) and take 64 codegen'd
+    # bit-sums in a hash aggregate instead: the partial aggregation
+    # collapses map-side (each doc's tokens are colocated in its scan
+    # partition), so the exchange carries one 65-column row per doc.
+    # Requires ``id_col`` to be row-unique (true for every corpus table
+    # here; minhash/LSH make the same assumption).
+    # votes_j = Σ(±1) = 2·ones_j − n, so bit_j = 1 ⟺ 2·ones_j ≥ n.
+    # NULL text must keep the legacy encoding (simhash=0, n_tokens=−1 via
+    # F.size(NULL)); a token-less non-NULL text aggregates to votes=0 →
+    # all-ones hash, n_tokens=0 — explode_outer keeps both doc rows alive.
+    base = docs.select(
+        F.col(id_col).alias(id_col),
+        F.col(text_col).isNull().alias("_isnull"),
+        F.explode_outer(toks).alias("_t"),
+    )
+    h1 = _h60(F.col("_t"))
+    cols = [F.col(id_col), F.col("_isnull"), h1.alias("_h1")]
+    if bits > 60:  # second md5 segment only when bits 60-63 are used
+        cols.append(
+            F.conv(F.substring(F.md5(F.col("_t")), 16, 15), 16, 10)
+            .cast("long")
+            .alias("_h2")
         )
-
+    per_tok = base.select(*cols)
+    ones = []
+    for j in range(bits):
+        src, b = ("_h1", j) if j < 60 else ("_h2", j - 60)
+        ones.append(
+            F.sum(
+                F.shiftright(F.col(src), b).bitwiseAND(F.lit(1).cast("long"))
+            ).alias(f"_o{j}")
+        )
+    agg = per_tok.groupBy(id_col).agg(
+        F.max("_isnull").alias("_isnull"),
+        F.count("_h1").alias("_n"),
+        *ones,
+    )
     acc = F.lit(0).cast("long")
     for j in range(bits):
-        src, bit_in_src = ("_h1", j) if j < 60 else ("_h2", j - 60)
-        votes = F.aggregate(F.col(src), F.lit(0).cast("long"), vote(bit_in_src))
-        bit = F.when(votes >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = (
+            F.when(
+                F.coalesce(F.col(f"_o{j}"), F.lit(0)) * 2 >= F.col("_n"),
+                F.lit(1).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+        )
         acc = acc + F.shiftleft(bit, j)
-    return out.select(id_col, acc.alias("simhash"), F.col("_n").alias("n_tokens"))
+    return agg.select(
+        id_col,
+        F.when(F.col("_isnull"), F.lit(0).cast("long")).otherwise(acc).alias("simhash"),
+        F.when(F.col("_isnull"), F.lit(-1))
+        .otherwise(F.col("_n"))
+        .cast("int")
+        .alias("n_tokens"),
+    )
 
 
 def hamming_neighbors(
@@ -442,7 +475,20 @@ def hamming_neighbors(
     Σ(bucket²) instead of n², and ``max_bucket`` (rows per band bucket)
     bounds the worst bucket at corpus scale (dropped buckets trade recall on
     mega-clusters, which exact dedup already catches). Identical output to
-    the brute-force pair join (multi-band matches dedup via distinct)."""
+    the brute-force pair join (multi-band matches dedup via distinct).
+
+    Uncapped path: the band self-join runs over DISTINCT simhash VALUES,
+    not doc rows, and doc pairs are expanded back afterwards ("decide with
+    small rows, move big rows once"). Real corpora repeat hashes heavily
+    (template/boilerplate docs: measured 50 K docs -> 5.5 K distinct
+    16-bit values at sf1.0), so candidate volume drops by the duplication
+    factor SQUARED while the output is row-identical. The capped path
+    keeps row-level banding: ``max_bucket`` counts DOC rows per bucket,
+    which a value-level join cannot reproduce."""
+    if max_bucket is None:
+        return _hamming_neighbors_by_value(
+            sim, max_dist, bits, id_col, return_dropped
+        )
     n_bands = max_dist + 1
     edges = [round(i * bits / n_bands) for i in range(n_bands + 1)]
     band_structs = []
@@ -461,14 +507,19 @@ def hamming_neighbors(
         F.explode(F.array(*band_structs)).alias("bd"),
     ).select("_id", "_h", "bd.band_idx", "bd.band_bits")
 
-    dropped = None
-    bands_b = bands
-    if max_bucket is not None:
-        # observe only one self-join side — see lsh_candidate_pairs
-        bands, dropped = bucket_cap(
-            bands, ["band_idx", "band_bits"], max_bucket, observation=observation
-        )
-        bands_b, _ = bucket_cap(bands_b, ["band_idx", "band_bits"], max_bucket)
+    # observe only one self-join side — see lsh_candidate_pairs
+    bands, dropped = bucket_cap(
+        bands, ["band_idx", "band_bits"], max_bucket, observation=observation
+    )
+    bands_b, _ = bucket_cap(
+        sim.select(
+            F.col(id_col).alias("_id"),
+            F.col("simhash").alias("_h"),
+            F.explode(F.array(*band_structs)).alias("bd"),
+        ).select("_id", "_h", "bd.band_idx", "bd.band_bits"),
+        ["band_idx", "band_bits"],
+        max_bucket,
+    )
 
     a = bands.select(
         F.col("_id").alias("doc_a"), F.col("_h").alias("h_a"), "band_idx", "band_bits"
@@ -480,40 +531,147 @@ def hamming_neighbors(
     joined = a.join(b, ["band_idx", "band_bits"]).where(
         F.col("doc_a") < F.col("doc_b")
     )
-    if max_bucket is None:
-        # A pair matching in k bands would surface k times; instead of a
-        # distinct() exchange over the full candidate volume, emit each
-        # pair only from its FIRST matching band: accept the row from
-        # band i iff every earlier band differs — a scan-speed bitwise
-        # predicate on (h_a, h_b) that both sides already carry. (With a
-        # bucket cap this is unsafe — the first matching band's bucket
-        # may have been dropped while a later band's survived — so the
-        # capped path keeps the distinct().)
-        cond = F.lit(True)
-        for i in range(n_bands - 1):
-            w = edges[i + 1] - edges[i]
-            m = F.lit((1 << w) - 1).cast("long")
-            band_eq_i = (
-                F.shiftright(F.col("h_a"), edges[i]).bitwiseAND(m)
-                == F.shiftright(F.col("h_b"), edges[i]).bitwiseAND(m)
-            )
-            cond = cond & (~(F.col("band_idx") > i) | ~band_eq_i)
-        pairs = (
-            joined.where(cond)
-            .select("doc_a", "doc_b", dist.alias("hamming"))
-            .where(F.col("hamming") <= max_dist)
-        )
-    else:
-        pairs = (
-            joined.select("doc_a", "doc_b", dist.alias("hamming"))
-            .where(F.col("hamming") <= max_dist)
-            .distinct()
-        )
+    # multi-band matches dedup via distinct: a first-matching-band
+    # predicate is unsafe under the cap (the first matching band's bucket
+    # may be dropped while a later band's survives)
+    pairs = (
+        joined.select("doc_a", "doc_b", dist.alias("hamming"))
+        .where(F.col("hamming") <= max_dist)
+        .distinct()
+    )
     if return_dropped:
-        if dropped is None:  # no cap → nothing can be dropped
-            dropped = sim.sparkSession.createDataFrame(
-                [(0, 0)], "n_buckets_dropped long, n_rows_dropped long"
+        return pairs, dropped
+    return pairs
+
+
+# broadcast the expansion side only when its EXACT materialized row count
+# is known to fit comfortably (2M rows x 16B ≈ 32 MB framed) — at corpus
+# scale the doc table exceeds this and the joins fall back to the
+# planner's choice (shuffled join with AQE skew splitting)
+_EXPAND_BCAST_MAX_ROWS = 2_000_000
+
+
+def _hamming_neighbors_by_value(
+    sim: DataFrame, max_dist: int, bits: int, id_col: str, return_dropped: bool
+) -> DataFrame:
+    """Uncapped hamming_neighbors via distinct-VALUE banding.
+
+    1. Materialize the tiny (id, simhash) projection once
+       (``localCheckpoint`` — the hash is consumed by four plan branches
+       and would otherwise recompute its md5 transform per branch).
+    2. Pigeonhole band self-join over DISTINCT simhash values only, with
+       the first-matching-band predicate deduping multi-band value
+       matches at scan speed.
+    3. Expand value pairs back to doc pairs: two equi-joins against the
+       materialized projection (broadcast when provably small), plus the
+       same-value doc self-join (hamming 0). Each unordered doc pair
+       appears exactly once: cross pairs come from exactly one ordered
+       value pair, same-value pairs from the id_a < id_b self-join.
+
+    The explicit round-robin ``repartition`` before the expansion joins
+    is load-bearing: the value-pair table is a few MB, AQE coalesces its
+    exchange to ~1 partition, and the (possibly 100x larger) expansion
+    would otherwise run single-threaded. Round-robin also spreads hot
+    hash values (a 5K-doc template cluster) across all tasks instead of
+    hashing them to one."""
+    n_bands = max_dist + 1
+    edges = [round(i * bits / n_bands) for i in range(n_bands + 1)]
+    ids = (
+        sim.select(F.col(id_col).alias("_id"), F.col("simhash").alias("_h"))
+        .where(F.col("simhash").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    n_ids = ids.count()  # exact, free: the checkpoint is materialized
+    npart = int(sim.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    bc = F.broadcast if n_ids <= _EXPAND_BCAST_MAX_ROWS else (lambda d: d)
+
+    uniq = ids.select("_h").distinct()
+    band_structs = []
+    for b in range(n_bands):
+        width = edges[b + 1] - edges[b]
+        mask = F.lit((1 << width) - 1).cast("long")
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("_h"), edges[b]).bitwiseAND(mask).alias("band_bits"),
             )
+        )
+    bands = uniq.select(
+        "_h", F.explode(F.array(*band_structs)).alias("bd")
+    ).select("_h", "bd.band_idx", "bd.band_bits")
+    # broadcast one side of the band self-join and round-robin the probe
+    # side: simhash band values are heavily clustered (correlated bits),
+    # so the keyed shuffle join funnels the hottest bucket's candidate
+    # emission into one task; a broadcast build + round-robin probe
+    # spreads the same emissions evenly over every core
+    a = bands.select(
+        F.col("_h").alias("h_a"), "band_idx", "band_bits"
+    ).repartition(npart)
+    b = bands.select(F.col("_h").alias("h_b"), "band_idx", "band_bits")
+    joined = a.join(bc(b), ["band_idx", "band_bits"]).where(
+        F.col("h_a") < F.col("h_b")
+    )
+    # emit each value pair only from its FIRST matching band (scan-speed
+    # bitwise predicate — no distinct() exchange over the candidates)
+    cond = F.lit(True)
+    for i in range(n_bands - 1):
+        w = edges[i + 1] - edges[i]
+        m = F.lit((1 << w) - 1).cast("long")
+        band_eq_i = (
+            F.shiftright(F.col("h_a"), edges[i]).bitwiseAND(m)
+            == F.shiftright(F.col("h_b"), edges[i]).bitwiseAND(m)
+        )
+        cond = cond & (~(F.col("band_idx") > i) | ~band_eq_i)
+    dist = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+    # Fold same-value pairs (hamming 0) into the value-pair table as
+    # (h, h) diagonal rows so the whole doc expansion is ONE fused join
+    # chain: a Union of two expanded branches was measured 15-20x slower
+    # than the branches themselves — Union sits between each branch's
+    # WholeStageCodegen span and the partial count, materializing every
+    # output row as an UnsafeRow, while the single fused chain streams.
+    # The repartition uses 8x the usual shuffle-partition count: per-row
+    # expansion fanout spans orders of magnitude (mult(h_a)·mult(h_b) per
+    # value pair), so finer round-robin granularity bounds the straggler
+    # tail, and the shuffle moves only the few-MB value-pair table. The
+    # eager checkpoint truncates the plan so the expansion stage starts
+    # from the materialized table with exact size stats.
+    vpairs = (
+        joined.where(cond)
+        .select("h_a", "h_b", dist.alias("hamming"))
+        .where(F.col("hamming") <= max_dist)
+        .unionByName(
+            uniq.select(
+                F.col("_h").alias("h_a"),
+                F.col("_h").alias("h_b"),
+                F.lit(0).cast("long").alias("hamming"),
+            )
+        )
+        .repartition(npart * 8)
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        vpairs.join(
+            bc(ids.select(F.col("_id").alias("id_x"), F.col("_h").alias("h_a"))),
+            "h_a",
+        )
+        .join(
+            bc(ids.select(F.col("_id").alias("id_y"), F.col("_h").alias("h_b"))),
+            "h_b",
+        )
+        # diagonal rows expand to both orders plus self-matches: keep
+        # id_x < id_y exactly once; cross rows (h_a < h_b strictly) keep
+        # every match, reordered by doc id
+        .where((F.col("h_a") != F.col("h_b")) | (F.col("id_x") < F.col("id_y")))
+        .select(
+            F.least("id_x", "id_y").alias("doc_a"),
+            F.greatest("id_x", "id_y").alias("doc_b"),
+            "hamming",
+        )
+    )
+    if return_dropped:  # no cap → nothing can be dropped
+        dropped = sim.sparkSession.createDataFrame(
+            [(0, 0)], "n_buckets_dropped long, n_rows_dropped long"
+        )
         return pairs, dropped
     return pairs
 
