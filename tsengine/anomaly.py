@@ -1032,33 +1032,39 @@ def matrix_profile(
         list(df.schema.fields) + [StructField("mp", DoubleType())]
     )
 
-    def fn(pdf):
-        pdf = pdf.sort_values(order, kind="mergesort")
-        x = pdf[value_col].to_numpy(dtype="float64")
-        n = len(x)
-        nw = n - ww + 1
-        keep, mps = [], []
-        for i in range(nw):
-            best = None
-            for j in range(nw):
-                if abs(i - j) < ww:
-                    continue
-                d = 0.0
-                for t in range(ww):
-                    e = x[i + t] - x[j + t]
-                    d = d + e * e
-                if best is None or d < best:
-                    best = d
-            if best is not None:
-                keep.append(i)
-                mps.append(best)
-        out = pdf.iloc[keep].copy()
+    def batch_fn(pdf, starts, ends):
+        import numpy as np
+
+        x_all = pdf[value_col].to_numpy(dtype="float64")
+        keep_idx: list[int] = []
+        mps: list[float] = []
+        for s, e in zip(starts, ends):
+            n = e - s
+            nw = n - ww + 1
+            if nw < 1:
+                continue
+            # vectorized over j: same association as the scalar loop —
+            # d_j = (((0 + e0²) + e1²) + e2²) + e3², elementwise, and min
+            # is comparison-only, so values are bitwise-identical
+            W = np.lib.stride_tricks.sliding_window_view(x_all[s:e], ww)
+            for i in range(nw):
+                diff = W[i] - W
+                d = diff[:, 0] * diff[:, 0]
+                for t in range(1, ww):
+                    d = d + diff[:, t] * diff[:, t]
+                lo, hi = max(0, i - ww + 1), min(nw, i + ww)
+                d[lo:hi] = np.inf  # exclusion zone |i - j| < w
+                best = d.min()  # inf iff no admissible neighbour
+                if np.isfinite(best):
+                    keep_idx.append(s + i)
+                    mps.append(float(best))
+        out = pdf.iloc[keep_idx].copy()
         out["mp"] = mps
         return out
 
-    from tsengine.session import grouped_apply
+    from tsengine.session import sorted_batch_apply
 
-    return grouped_apply(df, list(keys), fn, out_schema).select(
+    return sorted_batch_apply(df, list(keys), order, batch_fn, out_schema).select(
         *keys, ts_col, *[c for c in order_cols if c in df.columns],
         value_col, "mp",
     )

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from tsengine import codec
 from tsengine.schema import CHUNKS
-from tsengine.session import grouped_apply
+from tsengine.session import sorted_batch_apply
 
 CHUNK_SPANS = {"1h": "hour", "1d": "day"}
 
@@ -108,25 +108,27 @@ def encode_chunks(
     unit = CHUNK_SPANS[chunk_span]
     span_s = CHUNK_SPAN_SECONDS[chunk_span]
 
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one vectorized sort + run-boundary detection instead of a pandas
-        # groupby iterator: at 1d spans over hourly grids chunks are ~24
-        # rows, and per-group pandas slicing dominated encode cost ~2×;
-        # numpy slice views leave only the irreducible per-chunk codec calls
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
+    def batch_enc(pdf: pd.DataFrame, g_starts, g_ends) -> pd.DataFrame:
+        # run-boundary detection over the whole sorted batch instead of a
+        # pandas groupby iterator: chunks are ~24 rows at 1d spans over
+        # hourly grids, and per-group pandas overhead dominated encode;
+        # numpy slice views leave only the irreducible per-chunk codec
+        # calls (rows arrive sorted by key + ts from sorted_batch_apply)
         cs_all = pdf["chunk_start"].to_numpy()
         ts_all = pdf[ts_col].astype("int64").to_numpy()
         val_all = pdf["value"].to_numpy(dtype=np.float64)
-        starts, ends = _run_bounds(cs_all)
-        conv = pdf["conv_id"].iloc[0]
-        metric = pdf["metric"].iloc[0]
-        return _blob_frame(
-            [
-                _blob_row(conv, metric, cs_all[s], ts_all[s:e], val_all[s:e],
+        conv_all = pdf["conv_id"].to_numpy()
+        met_all = pdf["metric"].to_numpy()
+        rows = []
+        for gs, ge in zip(g_starts, g_ends):
+            starts, ends = _run_bounds(cs_all[gs:ge])
+            rows.extend(
+                _blob_row(conv_all[gs], met_all[gs], cs_all[gs + s],
+                          ts_all[gs + s:gs + e], val_all[gs + s:gs + e],
                           ts_codec, value_codec)
                 for s, e in zip(starts, ends)
-            ]
-        )
+            )
+        return _blob_frame(rows)
 
     keyed = series.withColumn(
         "chunk_start", F.date_trunc(unit, F.col(ts_col))
@@ -134,7 +136,9 @@ def encode_chunks(
         "_salt",
         (F.col("chunk_start").cast("long") / (span_s * salt_chunks)).cast("long"),
     )
-    return grouped_apply(keyed, ["conv_id", "metric", "_salt"], enc, CHUNKS)
+    return sorted_batch_apply(
+        keyed, ["conv_id", "metric", "_salt"], [ts_col], batch_enc, CHUNKS
+    )
 
 
 DECODED_SCHEMA = "conv_id string, metric string, bucket_ts timestamp, value double"
@@ -232,35 +236,37 @@ def compact_chunks(
     """
     unit = COMPACT_UNITS[to_span]
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        # same amortization trick as encode_chunks: the Arrow group spans
-        # MANY compact windows (salted key), and the window split happens
-        # here via sorted run boundaries — per-group pandas/Arrow overhead
-        # (~ms) amortizes over up to salt_spans windows instead of one
-        # (measured 60 s -> ~2 s at sf0.1 with one-window groups)
-        pdf = pdf.sort_values(["compact_start", "chunk_start"], kind="mergesort")
+    def batch_merge(pdf: pd.DataFrame, g_starts, g_ends) -> pd.DataFrame:
+        # same amortization trick as encode_chunks: the window split
+        # happens via sorted run boundaries over the whole batch (rows
+        # arrive sorted by key + (compact_start, chunk_start)), so
+        # per-group pandas/Arrow overhead amortizes across every window
+        # in the batch instead of one (measured 60 s -> ~2 s at sf0.1
+        # with one-window groups, then batch-level again on top)
         cs_all = pdf["compact_start"].to_numpy()
-        starts, ends = _run_bounds(cs_all)
         ts_codecs = pdf["ts_codec"].to_numpy()
         val_codecs = pdf["val_codec"].to_numpy()
         ts_blobs = pdf["ts_blob"].to_numpy()
         val_blobs = pdf["val_blob"].to_numpy()
-        conv = pdf["conv_id"].iloc[0]
-        metric = pdf["metric"].iloc[0]
+        conv_all = pdf["conv_id"].to_numpy()
+        met_all = pdf["metric"].to_numpy()
         rows = []
-        for s, e in zip(starts, ends):
-            ts_all = np.concatenate(
-                [codec.TS_CODECS[ts_codecs[i]][1](bytes(ts_blobs[i]))
-                 for i in range(s, e)]
-            ).astype("int64")
-            val_all = np.concatenate(
-                [codec.CODECS[val_codecs[i]][1](bytes(val_blobs[i]))
-                 for i in range(s, e)]
-            ).astype(np.float64)
-            rows.append(
-                _blob_row(conv, metric, cs_all[s], ts_all, val_all,
-                          ts_codecs[s], val_codecs[s])
-            )
+        for gs, ge in zip(g_starts, g_ends):
+            starts, ends = _run_bounds(cs_all[gs:ge])
+            for s, e in zip(starts, ends):
+                s, e = gs + s, gs + e
+                ts_all = np.concatenate(
+                    [codec.TS_CODECS[ts_codecs[i]][1](bytes(ts_blobs[i]))
+                     for i in range(s, e)]
+                ).astype("int64")
+                val_all = np.concatenate(
+                    [codec.CODECS[val_codecs[i]][1](bytes(val_blobs[i]))
+                     for i in range(s, e)]
+                ).astype(np.float64)
+                rows.append(
+                    _blob_row(conv_all[s], met_all[s], cs_all[s], ts_all,
+                              val_all, ts_codecs[s], val_codecs[s])
+                )
         return _blob_frame(rows)
 
     span_hint_s = {"1d": 86400, "7d": 7 * 86400, "1mo": 31 * 86400}[to_span]
@@ -278,7 +284,10 @@ def compact_chunks(
     # blob rows are ~compression× smaller than the points they carry, so
     # AQE's byte-based coalescing would fold them into one python task —
     # grouped_apply restores group-count parallelism (see session.py)
-    return grouped_apply(keyed, ["conv_id", "metric", "_salt"], merge, CHUNKS)
+    return sorted_batch_apply(
+        keyed, ["conv_id", "metric", "_salt"],
+        ["compact_start", "chunk_start"], batch_merge, CHUNKS,
+    )
 
 
 # blob widths accepted by decode_range: the encode spans plus the spans

@@ -270,13 +270,24 @@ def png_encode_gradient(width: int, height: int) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
+    import numpy as np
+
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    raw = bytearray()
-    for y in range(height):
-        raw.append(0)  # filter type 0
-        for x in range(width):
-            raw += bytes((x % 256, y % 256, (x + y) % 256))
-    idat = zlib.compress(bytes(raw), 6)
+    # vectorized scanline build (byte-identical to the per-pixel loop it
+    # replaces, which dominated the synth stage: ~h*w Python iterations
+    # per image): channel planes from broadcast coordinate vectors, a
+    # zero filter-type byte column prepended per row
+    xs = (np.arange(width) % 256).astype(np.uint8)
+    ys = (np.arange(height) % 256).astype(np.uint8)
+    px = np.empty((height, width, 3), dtype=np.uint8)
+    px[:, :, 0] = xs[None, :]
+    px[:, :, 1] = ys[:, None]
+    px[:, :, 2] = (xs[None, :].astype(np.int64) + ys[:, None]) % 256
+    raw = np.concatenate(
+        [np.zeros((height, 1), dtype=np.uint8), px.reshape(height, 3 * width)],
+        axis=1,
+    )
+    idat = zlib.compress(raw.tobytes(), 6)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

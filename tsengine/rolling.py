@@ -307,7 +307,7 @@ def lttb_downsample(
         DoubleType, LongType, StructField, StructType, TimestampType,
     )
 
-    from tsengine.session import grouped_apply
+    from tsengine.session import sorted_batch_apply
 
     ties = [c for c in order_cols if c in df.columns]
     order = [ts_col] + ties
@@ -322,41 +322,46 @@ def lttb_downsample(
         ]
     )
     B = int(n_out) - 2
+    keep_cols = list(keys) + [ts_col, "event_id", value_col]
 
-    def fn(pdf):
-        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
-        n = len(pdf)
-        keep_cols = list(keys) + [ts_col, "event_id", value_col]
-        if n <= n_out:
-            out = pdf[keep_cols].copy()
-            out.insert(len(keys), "sel_ord", np.arange(n, dtype="int64"))
-            return out
-        x = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
-        xs = (x - x[0]).astype("float64")
-        y = pdf[value_col].to_numpy(dtype="float64")
-        m = n - 2
-        # bucket of middle point with 0-based middle rank j (exact ints)
-        bkt = (np.arange(m, dtype="int64") * B) // m
-        sel = [0]
-        prev = 0
-        for b in range(B):
-            cand = np.nonzero(bkt == b)[0] + 1       # absolute row index
-            if b < B - 1:
-                nx_rows = np.nonzero(bkt == b + 1)[0] + 1
-                ax = float(np.mean(xs[nx_rows]))
-                ay = round(float(np.mean(y[nx_rows])), 6)
-            else:
-                ax = float(xs[n - 1])
-                ay = round(float(y[n - 1]), 6)
-            xp, yp = xs[prev], y[prev]
-            area = np.abs(
-                (xp - ax) * (y[cand] - yp) - (xp - xs[cand]) * (ay - yp)
-            )
-            prev = int(cand[int(np.argmax(area))])
-            sel.append(prev)
-        sel.append(n - 1)
-        out = pdf.loc[sel, keep_cols].copy()
-        out.insert(len(keys), "sel_ord", np.arange(len(sel), dtype="int64"))
+    def batch_fn(pdf, starts, ends):
+        x_all = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
+        y_all = pdf[value_col].to_numpy(dtype="float64")
+        sel_idx: list[int] = []
+        sel_ord: list[int] = []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n <= n_out:
+                sel_idx.extend(range(s, e))
+                sel_ord.extend(range(n))
+                continue
+            xs = (x_all[s:e] - x_all[s]).astype("float64")
+            y = y_all[s:e]
+            m = n - 2
+            # bucket of middle point with 0-based middle rank j (exact ints)
+            bkt = (np.arange(m, dtype="int64") * B) // m
+            sel = [0]
+            prev = 0
+            for b in range(B):
+                cand = np.nonzero(bkt == b)[0] + 1   # group-relative index
+                if b < B - 1:
+                    nx_rows = np.nonzero(bkt == b + 1)[0] + 1
+                    ax = float(np.mean(xs[nx_rows]))
+                    ay = round(float(np.mean(y[nx_rows])), 6)
+                else:
+                    ax = float(xs[n - 1])
+                    ay = round(float(y[n - 1]), 6)
+                xp, yp = xs[prev], y[prev]
+                area = np.abs(
+                    (xp - ax) * (y[cand] - yp) - (xp - xs[cand]) * (ay - yp)
+                )
+                prev = int(cand[int(np.argmax(area))])
+                sel.append(prev)
+            sel.append(n - 1)
+            sel_idx.extend(s + i for i in sel)
+            sel_ord.extend(range(len(sel)))
+        out = pdf.iloc[sel_idx][keep_cols].copy()
+        out.insert(len(keys), "sel_ord", np.array(sel_ord, dtype="int64"))
         return out
 
-    return grouped_apply(df, list(keys), fn, out_schema)
+    return sorted_batch_apply(df, list(keys), order, batch_fn, out_schema)

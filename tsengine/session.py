@@ -123,3 +123,64 @@ def grouped_apply(df, keys: list[str], fn, schema):
         .groupBy(*keys)
         .applyInPandas(fn, schema=schema)
     )
+
+
+def sorted_batch_apply(df, keys: list[str], order: list[str], batch_fn, schema):
+    """High-group-count fast path for per-series operators.
+
+    ``groupBy().applyInPandas`` pays a per-GROUP toll (one Arrow batch,
+    one pandas DataFrame construction, one Python call, one result
+    concat per group) — measured ~5 ms/group, which dominates wall time
+    when series are short and numerous (75 K groups of ~13 rows: the
+    whole operator is pandas overhead, not compute). This helper keeps
+    the same one-exchange shape but streams each partition through
+    mapInPandas as FULL Arrow batches: repartition on the keys (exempt
+    from AQE coalescing — see ``grouped_apply``), sortWithinPartitions
+    (keys + order) so groups are contiguous and pre-sorted, then numpy
+    change-point detection hands ``batch_fn`` whole batches plus group
+    boundaries. Per-group cost collapses to an index slice.
+
+    ``batch_fn(pdf, starts, ends) -> pdf_out`` processes EVERY group in
+    the batch (group g = rows starts[g]:ends[g], already sorted by
+    ``order``) and returns one DataFrame matching ``schema``. Groups
+    never span batches: the last (possibly incomplete) group of each
+    incoming Arrow batch is carried into the next one, so ``batch_fn``
+    always sees complete series — same per-task memory bound as
+    applyInPandas (one batch + one series).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    d = df.repartition(n_part, *keys).sortWithinPartitions(*keys, *order)
+
+    def group_bounds(pdf):
+        n = len(pdf)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for k in keys:
+            a = pdf[k].to_numpy()
+            change[1:] |= a[1:] != a[:-1]
+        starts = np.flatnonzero(change)
+        return starts, np.append(starts[1:], n)
+
+    def run(batches):
+        tail = None
+        for pdf in batches:
+            if tail is not None and len(tail):
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            starts, ends = group_bounds(pdf)
+            tail = pdf.iloc[starts[-1]:].reset_index(drop=True)
+            if len(starts) == 1:  # whole batch is one (continuing) group
+                continue
+            # hand batch_fn ONLY the complete groups — the carried tail
+            # must never appear in its input frame
+            done = pdf.iloc[:starts[-1]].reset_index(drop=True)
+            yield batch_fn(done, starts[:-1], ends[:-1])
+        if tail is not None and len(tail):
+            starts, ends = group_bounds(tail)
+            yield batch_fn(tail, starts, ends)
+
+    return d.mapInPandas(run, schema)

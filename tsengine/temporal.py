@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from tsengine.session import grouped_apply
+from tsengine.session import grouped_apply, sorted_batch_apply
 
 
 def asof_join(
@@ -567,16 +567,23 @@ def holt_linear(
     a, b_gain = float(alpha), float(beta)
     one_a, one_b = 1.0 - a, 1.0 - b_gain
 
-    def fn(pdf):
-        pdf = pdf.sort_values(order, kind="mergesort")
+    def batch_fn(pdf, starts, ends):
         y = pdf[value_col].to_numpy(dtype="float64")
-        lv, tr, _ = _holt_seq(y, None, a, one_a, b_gain, one_b)
-        pdf["holt_level"] = lv
-        pdf["holt_trend"] = tr
-        pdf["holt_fcst"] = [l + b for l, b in zip(lv, tr)]
-        return pdf
+        n = len(pdf)
+        lv_a = np.empty(n)
+        tr_a = np.empty(n)
+        for s, e in zip(starts, ends):
+            lv, tr, _ = _holt_seq(y[s:e], None, a, one_a, b_gain, one_b)
+            lv_a[s:e] = lv
+            tr_a[s:e] = tr
+        out = pdf.copy(deep=False)
+        out["holt_level"] = lv_a
+        out["holt_trend"] = tr_a
+        # elementwise float64 add == the scalar l + b of the loop path
+        out["holt_fcst"] = lv_a + tr_a
+        return out
 
-    return grouped_apply(df, list(on), fn, out_schema)
+    return sorted_batch_apply(df, list(on), order, batch_fn, out_schema)
 
 
 def _holt_seq(y, state, a, one_a, b_gain, one_b):
@@ -657,24 +664,33 @@ def holt_winters(
     one_a, one_b, one_g = 1.0 - a, 1.0 - bg, 1.0 - g
     mm = int(m)
 
-    def fn(pdf):
-        pdf = pdf.sort_values(order, kind="mergesort")
+    def batch_fn(pdf, starts, ends):
         y = pdf[value_col].to_numpy(dtype="float64")
-        if len(y) <= mm:
-            return pdf.iloc[0:0].assign(
-                hw_level=0.0, hw_trend=0.0, hw_season=0.0, hw_fcst=0.0
+        n = len(pdf)
+        keep = np.zeros(n, dtype=bool)
+        lv_a = np.empty(n)
+        tr_a = np.empty(n)
+        se_a = np.empty(n)
+        fc_a = np.empty(n)
+        for s, e in zip(starts, ends):
+            if e - s <= mm:
+                continue  # too short to init: nothing emits
+            start, lv, tr, se, fc, _ = _hw_seq(
+                y[s:e], None, a, one_a, bg, one_b, g, one_g, mm
             )
-        start, lv, tr, se, fc, _ = _hw_seq(
-            y, None, a, one_a, bg, one_b, g, one_g, mm
-        )
-        out = pdf.iloc[start:].copy()
-        out["hw_level"] = lv
-        out["hw_trend"] = tr
-        out["hw_season"] = se
-        out["hw_fcst"] = fc
+            keep[s + start:e] = True
+            lv_a[s + start:e] = lv
+            tr_a[s + start:e] = tr
+            se_a[s + start:e] = se
+            fc_a[s + start:e] = fc
+        out = pdf[keep].copy()
+        out["hw_level"] = lv_a[keep]
+        out["hw_trend"] = tr_a[keep]
+        out["hw_season"] = se_a[keep]
+        out["hw_fcst"] = fc_a[keep]
         return out
 
-    return grouped_apply(df, list(on), fn, out_schema)
+    return sorted_batch_apply(df, list(on), order, batch_fn, out_schema)
 
 
 def _hw_seq(y, state, a, one_a, bg, one_b, g, one_g, mm):
@@ -962,24 +978,35 @@ def kalman_filter(
     qq, rr = float(q), float(r)
     q11, q12, q22 = 0.25 * qq, 0.5 * qq, qq
 
-    def fn(pdf):
-        pdf = pdf.sort_values(order, kind="mergesort")
+    def batch_fn(pdf, starts, ends):
+        import numpy as np
+
         y = pdf[value_col].to_numpy(dtype="float64")
-        if len(y) < 2:
-            return pdf.iloc[0:0].assign(
-                kf_level=0.0, kf_velocity=0.0, kf_innov=0.0, kf_gain=0.0
+        n = len(pdf)
+        keep = np.zeros(n, dtype=bool)
+        lv = np.empty(n)
+        vv = np.empty(n)
+        iv = np.empty(n)
+        gv = np.empty(n)
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue  # <2 points: nothing emits (same as before)
+            _, ls, vs, innovs, gains, _ = _kalman_seq(
+                y[s:e], None, q11, q12, q22, rr
             )
-        start, ls, vs, innovs, gains, _ = _kalman_seq(
-            y, None, q11, q12, q22, rr
-        )
-        out = pdf.iloc[start:].copy()
-        out["kf_level"] = ls
-        out["kf_velocity"] = vs
-        out["kf_innov"] = innovs
-        out["kf_gain"] = gains
+            keep[s + 1:e] = True
+            lv[s + 1:e] = ls
+            vv[s + 1:e] = vs
+            iv[s + 1:e] = innovs
+            gv[s + 1:e] = gains
+        out = pdf[keep].copy()
+        out["kf_level"] = lv[keep]
+        out["kf_velocity"] = vv[keep]
+        out["kf_innov"] = iv[keep]
+        out["kf_gain"] = gv[keep]
         return out
 
-    return grouped_apply(df, list(on), fn, out_schema)
+    return sorted_batch_apply(df, list(on), order, batch_fn, out_schema)
 
 
 def _kalman_seq(y, state, q11, q12, q22, rr):

@@ -228,18 +228,23 @@ def minhash_signature(
         toks = shingles(F.col(text_col), shingle_n)
     else:
         toks = F.array_distinct(tokens(F.col(text_col)))
-    out = docs.select(id_col, toks.alias("_toks"))
 
-    # factory keeps the lambda single-arg: a 2-param lambda would be treated
-    # by Spark as the (element, index) higher-order-function form
-    def perm(i: int):
-        return lambda t: _h60(F.concat(t, F.lit(f":{i}")))
-
-    for i in range(k):
-        out = out.withColumn(
-            f"sig_{i}", F.array_min(F.transform(F.col("_toks"), perm(i)))
-        )
-    return out.drop("_toks")
+    # Perf note: per-permutation transform+array_min HOFs are INTERPRETED
+    # (measured 15 s for k=4 over 50 K docs where the md5 work itself is a
+    # fraction of that); explode to one row per (doc, feature) and take k
+    # codegen'd MIN aggregates instead — same md5 count, tight generated
+    # loop. Partial aggregation collapses map-side (a doc's features are
+    # colocated in its scan partition), so the exchange carries one row
+    # per doc. Requires ``id_col`` to be row-unique (corpus invariant).
+    # A feature-less doc (empty array or NULL text) explodes to one NULL
+    # feature row -> every min over it is NULL, matching array_min on an
+    # empty/NULL transform result.
+    base = docs.select(id_col, F.explode_outer(toks).alias("_t"))
+    mins = [
+        F.min(_h60(F.concat(F.col("_t"), F.lit(f":{i}")))).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return base.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidate_pairs(
@@ -272,7 +277,13 @@ def lsh_candidate_pairs(
     Pass ``observation`` to receive the same drop counts from the SAME
     action that consumes the pairs (zero extra jobs; see ``bucket_cap``)."""
     n_bands = k // band_size
-    sigs = sigs.where(F.col("sig_0").isNotNull())
+    # materialize the signature table once: the banded self-join's two
+    # sides carry different projections, so Catalyst plans two separate
+    # subtrees and the (md5-heavy) signature computation would run TWICE
+    # — measured as the whole second half of the operator's wall time
+    sigs = (
+        sigs.where(F.col("sig_0").isNotNull()).localCheckpoint(eager=True)
+    )
     bands = sigs.select(
         id_col,
         *[F.col(f"sig_{i}") for i in range(k)],
