@@ -184,8 +184,19 @@ def synth_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 rows, columns=["media_id", "kind", "payload", "byte_len"]
             )
 
-    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
-        run, schema=MEDIA_SCHEMA
+    return _spread_ids(ids, id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def _spread_ids(ids: DataFrame, id_col: str) -> DataFrame:
+    """Round-robin the id column over the usual shuffle-partition count
+    before a synth mapInPandas: the per-row PNG encode work dwarfs the
+    cost of shuffling one long per row at any scale, and without it a
+    single-row-group parquet source funnels every id into ONE scan
+    partition — the whole encode stage then runs on one core (row groups
+    are unsplittable, so split-size tuning cannot fix this)."""
+    n_part = int(ids.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).repartition(
+        n_part
     )
 
 
@@ -316,9 +327,7 @@ def synth_png_gradient_media(ids: DataFrame, id_col: str = "media_id") -> DataFr
                 rows, columns=["media_id", "kind", "payload", "byte_len"]
             )
 
-    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
-        run, schema=MEDIA_SCHEMA
-    )
+    return _spread_ids(ids, id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def decode_pixel_stats(media: DataFrame) -> DataFrame:

@@ -239,7 +239,13 @@ def minhash_signature(
     # A feature-less doc (empty array or NULL text) explodes to one NULL
     # feature row -> every min over it is NULL, matching array_min on an
     # empty/NULL transform result.
-    base = docs.select(id_col, F.explode_outer(toks).alias("_t"))
+    # pre-repartition on the id for the same reason as ``simhash``: the
+    # aggregate's exchange moves before the md5-heavy explode, so the
+    # hashing parallelizes even off a single-row-group scan
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = docs.repartition(n_part, id_col).select(
+        id_col, F.explode_outer(toks).alias("_t")
+    )
     mins = [
         F.min(_h60(F.concat(F.col("_t"), F.lit(f":{i}")))).alias(f"sig_{i}")
         for i in range(k)
@@ -418,7 +424,15 @@ def simhash(
     # NULL text must keep the legacy encoding (simhash=0, n_tokens=−1 via
     # F.size(NULL)); a token-less non-NULL text aggregates to votes=0 →
     # all-ones hash, n_tokens=0 — explode_outer keeps both doc rows alive.
-    base = docs.select(
+    # hash-repartition by the id BEFORE the explode: the final aggregate
+    # needs this exact exchange anyway (same key, same partition count →
+    # Catalyst inserts no second one), and placing it first moves the
+    # md5-heavy explode work AFTER the exchange — spread over every core
+    # even when the input parquet is a single row group (row groups are
+    # unsplittable, so split-size tuning alone cannot parallelize a
+    # small-file scan stage)
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = docs.repartition(n_part, id_col).select(
         F.col(id_col).alias(id_col),
         F.col(text_col).isNull().alias("_isnull"),
         F.explode_outer(toks).alias("_t"),
