@@ -21,6 +21,7 @@ Parity rules (hard-won, keep them):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import numpy as np
@@ -63,8 +64,43 @@ def q(name: str, sql: str | None = None):
     return deco
 
 
-def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+_SPREAD_MAX_BYTES = int(os.environ.get("TSENGINE_SPREAD_MAX_BYTES", str(64 << 20)))
+
+
+def _read(
+    spark: SparkSession, sf_dir: str, table: str, spread: bool = False
+) -> DataFrame:
+    """Read one input table. With ``spread=True``, SPREAD a small input
+    across the default shuffle-partition count: a few-MB parquet file is
+    a single row group, and row groups are unsplittable — so however
+    split sizes are tuned, every row lands in one scan partition and all
+    pre-exchange work runs on one core. Worth one round-robin exchange
+    ONLY where that pre-exchange work is heavy (the unrolled PQ/SQ8
+    distance chains over embeddings: hundreds of flops per row); cheap
+    scans keep the plain read — their first real exchange spreads them,
+    and an extra exchange measurably hurts sub-second queries. Above the
+    byte threshold (production scale: files >> one row group) the spread
+    is skipped — adaptive by input size, not tuned to a core count."""
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
+    if not spread:
+        return df
+    try:
+        if os.path.isfile(path):
+            total = os.path.getsize(path)
+        else:
+            total = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet") or f.startswith("part-")
+            )
+    except OSError:
+        total = _SPREAD_MAX_BYTES + 1
+    if total <= _SPREAD_MAX_BYTES:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        df = df.repartition(n_part)
+    return df
 
 
 def _events_long(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1439,7 +1475,7 @@ def text_simhash_pairs(spark, sf_dir):
 
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (
-        _read(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).head()
+        _read(spark, sf_dir, "embeddings", spread=True).where(F.col("vec_id") == 0).head()
     )
     return [float(x) for x in row["embedding"]]
 
@@ -1459,7 +1495,7 @@ LIMIT 10
 )
 def vec_knn_brute(spark, sf_dir):
     qv = _query_vec(spark, sf_dir)
-    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    emb = _read(spark, sf_dir, "embeddings", spread=True).where(F.col("vec_id") != 0)
     top = vecops.cosine_topk(emb, qv, k=10)
     return top.select("vec_id", F.round("cosine_sim", 5).alias("cosine_sim"))
 
@@ -1486,7 +1522,7 @@ FROM cand ORDER BY sim DESC, vec_id LIMIT 5
 )
 def vec_lsh_topk(spark, sf_dir):
     qv = _query_vec(spark, sf_dir)
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
     top = vecops.lsh_topk(emb, qv, k=5, n_bits=8)
     return top.select(
         "vec_id", F.col("bucket").cast("long").alias("bucket"),
@@ -1527,7 +1563,7 @@ def vec_ivf_topk(spark, sf_dir):
     the probed lists only. The all-pairs assignment join lives solely in
     the DuckDB oracle."""
     qv = _query_vec(spark, sf_dir)
-    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    emb = _read(spark, sf_dir, "embeddings", spread=True).where(F.col("vec_id") != 0)
     top = vecops.ivf_topk(emb, qv, k=5, n_centroids=16, nprobe=4)
     return top.select(
         "vec_id", F.col("centroid_id").cast("long").alias("centroid_id"),
@@ -1564,7 +1600,7 @@ def vec_kmeans_iter(spark, sf_dir):
     all-pairs SQL oracle. The iterating driver loop composes this shape
     verbatim; the full k-means|| pipeline is covered rows-only by
     ``vec_ivf_kmeans_topk`` plus the numpy-twin parity test."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
     cents = vecops.ivf_centroids(emb, 4)
     assigned = vecops.ivf_assign(emb, cents, dist_round=6)
     mean_aggs = [
@@ -1713,7 +1749,7 @@ def vec_ivf_kmeans_topk(spark, sf_dir):
     are fixed-point), on top of the per-iteration pairing in
     ``vec_kmeans_iter`` and the numpy twin in tests/test_vecops.py."""
     qv = _query_vec(spark, sf_dir)
-    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    emb = _read(spark, sf_dir, "embeddings", spread=True).where(F.col("vec_id") != 0)
     cents = vecops.kmeans_centroids(
         emb, n_centroids=8, n_iter=3, init_rounds=2, seed=1
     )
@@ -1743,7 +1779,7 @@ def vec_lsh_multiprobe(spark, sf_dir):
     bucket within Hamming distance 1 — the recall fix for query vectors
     near a comparison boundary, still a pushable bucket predicate."""
     qv = _query_vec(spark, sf_dir)
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
     top = vecops.lsh_topk(emb, qv, k=8, n_bits=8, probe_dist=1)
     return top.select(
         "vec_id", F.col("bucket").cast("long").alias("bucket"),
@@ -1770,7 +1806,7 @@ FROM r WHERE rank <= 3
 def vec_ann_join(spark, sf_dir):
     """Batch ANN join: every vector's top-3 neighbors within its LSH
     bucket — the table-vs-table form of vec_lsh_topk."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
     p = vecops.pairwise_topk_join(emb, emb, k=3, n_bits=8)
     return p.select(
         "left_id", "right_id",
@@ -1797,7 +1833,7 @@ def vec_near_dup(spark, sf_dir):
     the MinHash/SimHash text dedup family. Threshold 0.25 suits the
     synthetic random embeddings (max pairwise cosine ≈ 0.48); production
     near-dup uses ~0.9+."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
     b = emb.select(
         "vec_id",
         vecops._as_double(F.col("embedding")).alias("v"),
@@ -1827,7 +1863,7 @@ FROM embeddings GROUP BY 1
 """,
 )
 def vec_label_stats(spark, sf_dir):
-    s = vecops.label_centroid_stats(_read(spark, sf_dir, "embeddings"))
+    s = vecops.label_centroid_stats(_read(spark, sf_dir, "embeddings", spread=True))
     return s.select("label", "cnt", F.round("avg_norm", 5).alias("avg_norm"))
 
 
@@ -5171,7 +5207,7 @@ def vec_pq_topk(spark, sf_dir):
     billion-vector search feasible: queries read ONLY the code columns.
     The all-pairs code assignment join lives solely in the oracle."""
     qv = _query_vec(spark, sf_dir)
-    base = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    base = _read(spark, sf_dir, "embeddings", spread=True).where(F.col("vec_id") != 0)
     return vecops.pq_topk(base, qv, k=10, n_codes=16, m_sub=8)
 
 
@@ -5193,7 +5229,7 @@ def vec_opq_topk(spark, sf_dir):
     recall@10 ≥ plain PQ on an anisotropic set — the paper's claim
     asserted as data). Same precedent as kmeans||'s driver-side math."""
     qv = _query_vec(spark, sf_dir)
-    base = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    base = _read(spark, sf_dir, "embeddings", spread=True).where(F.col("vec_id") != 0)
     return vecops.opq_topk(base, qv, k=10, n_codes=16, m_sub=2, n_train=256)
 
 
@@ -5259,7 +5295,7 @@ def vec_sq8_topk(spark, sf_dir):
     float32) are the only thing the query reads. Top-10 by the
     6-dp-rounded distance with vec_id tie-break."""
     qv = _query_vec(spark, sf_dir)
-    base = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    base = _read(spark, sf_dir, "embeddings", spread=True).where(F.col("vec_id") != 0)
     return vecops.sq8_topk(base, qv, k=10)
 
 
@@ -5327,7 +5363,7 @@ def vec_hybrid_rrf(spark, sf_dir):
     constants. Ranks are exact integers ⇒ the fused score is bitwise
     cross-engine; exact ties (symmetric rank swaps) break by doc_id."""
     qv = _query_vec(spark, sf_dir)
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return vecops.hybrid_rrf_topk(
         emb, docs, qv, list(_RRF_TERMS), k=10, k_each=50, rrf_k=60
@@ -5415,7 +5451,7 @@ def vec_ivfpq_topk(spark, sf_dir):
     code id identically everywhere. All-pairs joins live solely in the
     oracle."""
     qv = _query_vec(spark, sf_dir)
-    base = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    base = _read(spark, sf_dir, "embeddings", spread=True).where(F.col("vec_id") != 0)
     return vecops.ivfpq_topk(
         base, qv, k=10, n_centroids=8, nprobe=2, n_codes=16, m_sub=8
     )
@@ -7295,7 +7331,7 @@ def vec_dim_stats(spark, sf_dir):
     collapsed/anisotropic embeddings that silently wreck cosine ANN
     recall, no eigendecomposition needed. One dim-keyed exchange to d
     rows; the ratio is a window over that d-row table."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
     return vecops.dim_stats(emb)
 
 
@@ -7474,7 +7510,7 @@ def vec_recall_eval(spark, sf_dir):
     bounded take-ordered scans + a k-row join. Deterministic rankings ⇒
     exact hit count; one output row."""
     qv = _query_vec(spark, sf_dir)
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
     return vecops.ann_recall_eval(emb, qv, k=10, n_bits=8)
 
 
@@ -7739,7 +7775,7 @@ def vec_mmr(spark, sf_dir):
     disclosed here. Oracle replays the greedy as an unrolled 5-step CTE
     chain on the same 6-dp sims."""
     qv = _query_vec(spark, sf_dir)
-    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    emb = _read(spark, sf_dir, "embeddings", spread=True).where(F.col("vec_id") != 0)
     return vecops.mmr_rerank(emb, qv, k=5, k_cand=20)
 
 
