@@ -48,26 +48,38 @@ def _with_signals(df: DataFrame, w: W) -> DataFrame:
     whole-conversation for exact semantics, (conv, chunk) for the skew-safe
     variant — identical results when chunk boundaries carry prefix rows)."""
     w5 = w.rowsBetween(-4, 0)
+    # Row-local features are computed in a Project BELOW the window: the
+    # window operator forces an exchange + sort, and Catalyst prunes
+    # unused columns through it but never pushes COMPUTED expressions
+    # down — with length(text) expressed above the window, the full text
+    # payload (the bulk of every row) crosses the pipeline's raw-volume
+    # shuffle just to be measured afterwards. Computing the scalars first
+    # lets pruning drop text/role/tool before the exchange whenever the
+    # consumer doesn't select them (the rollup pipeline doesn't).
+    cols = df.columns
+    base = df.select(
+        "*",
+        F.length("text").cast("double").alias("n_chars"),
+        F.when(F.col("tool").isNotNull(), 1.0).otherwise(0.0).alias("tool_call"),
+        F.when(F.col("role") == "user", 1.0).otherwise(0.0).alias("is_user"),
+        F.when(F.col("role") == "assistant", 1.0)
+        .otherwise(0.0)
+        .alias("is_assistant"),
+    )
     lat = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
-    tool_call = F.when(F.col("tool").isNotNull(), 1.0).otherwise(0.0)
-    return (
-        df.withColumn("latency_s", lat)
-        .withColumn("n_chars", F.length("text").cast("double"))
-        .withColumn(
-            "char_rate",
-            # null (not n_chars/1) on turn 0: rate is undefined without a
-            # predecessor — F.greatest would silently swallow the null
-            F.when(
-                F.col("latency_s").isNotNull(),
-                F.col("n_chars") / F.greatest(F.col("latency_s"), F.lit(1.0)),
-            ),
-        )
-        .withColumn("tool_call", tool_call)
-        .withColumn("is_user", F.when(F.col("role") == "user", 1.0).otherwise(0.0))
-        .withColumn(
-            "is_assistant", F.when(F.col("role") == "assistant", 1.0).otherwise(0.0)
-        )
-        .withColumn("tool_intensity", F.sum(tool_call).over(w5))
+    out = base.withColumn("latency_s", lat).withColumn(
+        "char_rate",
+        # null (not n_chars/1) on turn 0: rate is undefined without a
+        # predecessor — F.greatest would silently swallow the null
+        F.when(
+            F.col("latency_s").isNotNull(),
+            F.col("n_chars") / F.greatest(F.col("latency_s"), F.lit(1.0)),
+        ),
+    ).withColumn("tool_intensity", F.sum("tool_call").over(w5))
+    # same column order as the historical withColumn chain
+    return out.select(
+        *cols, "latency_s", "n_chars", "char_rate", "tool_call",
+        "is_user", "is_assistant", "tool_intensity",
     )
 
 
