@@ -135,6 +135,11 @@ def encode_chunks(
     ).withColumn(
         "_salt",
         (F.col("chunk_start").cast("long") / (span_s * salt_chunks)).cast("long"),
+    ).select(
+        # only what the encoder touches crosses the Arrow boundary —
+        # mapInPandas is opaque to column pruning, extra input columns
+        # (e.g. the gapfill 'filled' flag) would ship with every row
+        "conv_id", "metric", "_salt", "chunk_start", ts_col, "value"
     )
     return sorted_batch_apply(
         keyed, ["conv_id", "metric", "_salt"], [ts_col], batch_enc, CHUNKS

@@ -99,7 +99,12 @@ def _read(
         total = _SPREAD_MAX_BYTES + 1
     if total <= _SPREAD_MAX_BYTES:
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        df = df.repartition(n_part)
+        # eager materialization on top of the spread: the ANN entries run
+        # 2-3 actions over the same input (codebook/centroid collects,
+        # then the scored scan), and each action re-paid the scan + the
+        # spread exchange — for a below-threshold input the checkpoint is
+        # a few MB of block-manager memory (measured ivfpq 6.5s -> 4.0s)
+        df = df.repartition(n_part).localCheckpoint(eager=True)
     return df
 
 
