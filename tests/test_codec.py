@@ -78,3 +78,60 @@ def test_ts_irregular(name):
     deltas = np.maximum(1, rng.lognormal(3, 1.5, 5000)).astype(np.int64)
     ts = 1735689600 + np.cumsum(deltas)
     assert np.array_equal(dec(enc(ts)), ts)
+
+
+# --------------------------------------------------------------------------
+# batch (many-slice) encoders must be BIT-identical to the per-blob path
+# --------------------------------------------------------------------------
+
+def _rand_vals(rng, n, kind):
+    if kind == 0:
+        return rng.standard_normal(n)
+    if kind == 1:
+        return np.round(rng.exponential(50, n), 2)
+    if kind == 2:
+        return np.full(n, float(rng.standard_normal()))
+    v = rng.standard_normal(n)
+    v[rng.random(n) < 0.3] = np.nan
+    v[rng.random(n) < 0.1] = np.inf
+    v[rng.random(n) < 0.1] = -0.0
+    v[rng.random(n) < 0.1] = 0.0
+    return v
+
+
+def _rand_ts(rng, n, kind):
+    base = 1_700_000_000_000_000_000
+    if kind == 0:
+        return base + np.arange(n, dtype=np.int64) * 3_600_000_000_000
+    if kind == 1:
+        return base + np.sort(rng.integers(0, 10**15, n)).astype(np.int64)
+    if kind == 2:
+        return np.sort(rng.integers(-(2**62), 2**62, n)).astype(np.int64)
+    return base + np.cumsum(rng.integers(0, 5, n)).astype(np.int64)
+
+
+def test_encode_many_bit_identical():
+    rng = np.random.default_rng(73)
+    for trial in range(120):
+        nblobs = int(rng.integers(1, 12))
+        # includes n=1, n=2, and >BLOCK multi-block blobs
+        lens = (rng.integers(1, 4, nblobs) if trial % 5 == 0
+                else rng.integers(1, 300, nblobs))
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        vals = np.concatenate(
+            [_rand_vals(rng, n, int(rng.integers(0, 4))) for n in lens])
+        ts = np.concatenate(
+            [_rand_ts(rng, n, int(rng.integers(0, 4))) for n in lens])
+        many_v = codec.xorblk_encode_many(vals, starts, ends)
+        many_t = codec.dodblk_encode_many(ts, starts, ends)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            assert many_v[i] == codec.xorblk_encode(vals[s:e]), (trial, i)
+            assert many_t[i] == codec.dodblk_encode(ts[s:e]), (trial, i)
+
+
+def test_encode_many_rejects_non_tiling():
+    with pytest.raises(ValueError):
+        codec.xorblk_encode_many(np.zeros(4), [0, 3], [2, 4])
+    with pytest.raises(ValueError):
+        codec.dodblk_encode_many(np.zeros(4, dtype=np.int64), [1], [4])

@@ -938,6 +938,53 @@ def test_mann_kendall_monotone_vs_flat(spark):
     assert flat == []  # all ties -> zero variance -> filtered
 
 
+def test_mann_kendall_many_series_batch_pass(spark):
+    # many series through the sorted-partition batch path: every series'
+    # (S, z) must match the per-series numpy reference, short series
+    # (n < min_n) must drop, and series identity must not bleed across
+    # group boundaries within a batch
+    rng = np.random.default_rng(72)
+    frames, expect = [], {}
+    for i in range(40):
+        n = int(rng.integers(3, 30))
+        vals = np.round(rng.uniform(0, 50, n), 2)
+        conv, metric = f"c{i % 7}", f"m{i}"
+        frames.append(_series(spark, vals, conv=conv, metric=metric))
+        if n >= 8:
+            s, z = _np_mk(vals)
+            var_ok = (n * (n - 1) * (2 * n + 5)) > sum(
+                int(t) * (t - 1) * (2 * t + 5)
+                for t in np.unique(
+                    np.round(vals * 100).astype(np.int64), return_counts=True
+                )[1] if t > 1
+            )
+            if var_ok:
+                expect[(conv, metric)] = (n, s, z)
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
+    got = {(r.conv_id, r.metric): (r.n_obs, r.mk_s, r.mk_z)
+           for r in complexity.mann_kendall(df).collect()}
+    assert set(got) == set(expect)
+    for k, (n, s, z) in expect.items():
+        gn, gs, gz = got[k]
+        assert gn == n and gs == s, k
+        assert gz == pytest.approx(z, abs=2e-5), k
+
+
+def test_mann_kendall_rejects_nulls(spark):
+    rows = [("c", T0, "m", None, 0)] + [
+        ("c", T0 + dt.timedelta(minutes=i), "m", float(i), i)
+        for i in range(1, 10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, ts timestamp, metric string, value double, event_id int",
+    )
+    with pytest.raises(Exception, match="non-null"):
+        complexity.mann_kendall(df).collect()
+
+
 # ---------------------------------------------------------------------------
 # kpss / embedding dim stats
 # ---------------------------------------------------------------------------

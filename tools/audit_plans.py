@@ -559,12 +559,12 @@ def main() -> None:
           eq.QUERIES["ts_conformal_interval"](spark, sf),
           ["partial_agg", "no_cartesian"])
     # bigram xent crossJoins the 1-row |V| dim (waived tiny NLJ)
-    audit("bigram cross-entropy (lead window + (u,v)-keyed count join)",
+    audit("bigram cross-entropy (row-local pairs + (u,v)-keyed count join)",
           eq.QUERIES["text_bigram_xent"](spark, sf),
           ["partial_agg"])
-    audit("mann-kendall (series-keyed self-pair, integer sign sums)",
+    audit("mann-kendall (one sorted-partition pandas pass, numpy pairs)",
           eq.QUERIES["ts_mann_kendall"](spark, sf),
-          ["partial_agg", "no_cartesian"])
+          ["single_exchange", "no_cartesian"])
     audit("kpss (running integer sums share one series exchange)",
           eq.QUERIES["ts_kpss"](spark, sf),
           ["partial_agg", "no_cartesian"])
@@ -599,10 +599,11 @@ def main() -> None:
     audit("cusum of squares (running energy window, integer argmax)",
           eq.QUERIES["ts_cusum_squares"](spark, sf),
           ["no_cartesian"])
-    # ts_flow_pagerank localCheckpoints each iteration (plan is truncated
-    # by design) and ts_streaming_gapfill is a streaming query — neither
-    # has a single batch plan to assert on; their gates are the oracle
-    # rows + the numpy/multi-batch tests
+    # ts_streaming_gapfill is a streaming query — no single batch plan to
+    # assert on; its gates are the oracle rows + the multi-batch tests
+    audit("flow pagerank (edge build + single-row HOF power iteration)",
+          eq.QUERIES["ts_flow_pagerank"](spark, sf),
+          ["partial_agg", "no_cartesian"])
     # js-divergence crossJoins the 1-row corpus-total dim (waived tiny NLJ)
     audit("js divergence by source (present-terms only, broadcast total)",
           eq.QUERIES["text_js_divergence"](spark, sf),

@@ -82,6 +82,34 @@ TS_CODECS_ENC = {k: v[0] for k, v in codec.TS_CODECS.items()}
 CODECS_ENC = {k: v[0] for k, v in codec.CODECS.items()}
 
 
+def _blob_frame_arrays(
+    conv, metric, chunk_start, starts, ends, ts_all, val_all,
+    ts_codec: str, val_codec: str,
+) -> pd.DataFrame:
+    """Column-wise CHUNKS frame for contiguous blob slices — the batch
+    twin of per-blob ``_blob_row`` + ``_blob_frame``: blob payloads via
+    the vectorized many-slice encoders, finite min/max via masked
+    ``reduceat`` (NaN where a blob has no finite value, which is exactly
+    how the tuple path's ``None`` lands in the double column)."""
+    finite = np.isfinite(val_all)
+    vm = np.where(finite, val_all, np.nan)
+    n_finite = np.add.reduceat(finite.astype(np.int64), starts)
+    v_min = np.where(n_finite > 0, np.fmin.reduceat(vm, starts), np.nan)
+    v_max = np.where(n_finite > 0, np.fmax.reduceat(vm, starts), np.nan)
+    return pd.DataFrame({
+        "conv_id": conv,
+        "metric": metric,
+        "chunk_start": pd.to_datetime(chunk_start),
+        "n": (ends - starts).astype(np.int64),
+        "ts_codec": ts_codec,
+        "val_codec": val_codec,
+        "ts_blob": codec.TS_CODECS_ENC_MANY[ts_codec](ts_all, starts, ends),
+        "val_blob": codec.CODECS_ENC_MANY[val_codec](val_all, starts, ends),
+        "v_min": v_min,
+        "v_max": v_max,
+    }, columns=_CHUNK_COLS)
+
+
 def encode_chunks(
     series: DataFrame,
     ts_col: str = "bucket_ts",
@@ -107,28 +135,46 @@ def encode_chunks(
     tenc = codec.TS_CODECS[ts_codec][0]
     unit = CHUNK_SPANS[chunk_span]
     span_s = CHUNK_SPAN_SECONDS[chunk_span]
+    batch_codecs = (
+        value_codec in codec.CODECS_ENC_MANY
+        and ts_codec in codec.TS_CODECS_ENC_MANY
+    )
 
     def batch_enc(pdf: pd.DataFrame, g_starts, g_ends) -> pd.DataFrame:
-        # run-boundary detection over the whole sorted batch instead of a
+        # chunk-boundary detection over the whole sorted batch instead of a
         # pandas groupby iterator: chunks are ~24 rows at 1d spans over
-        # hourly grids, and per-group pandas overhead dominated encode;
-        # numpy slice views leave only the irreducible per-chunk codec
-        # calls (rows arrive sorted by key + ts from sorted_batch_apply)
+        # hourly grids, and per-group pandas overhead dominated encode
+        # (rows arrive sorted by key + ts from sorted_batch_apply); with
+        # the default codecs even the per-CHUNK codec pipelines collapse
+        # into one vectorized pass per batch (codec.*_encode_many)
         cs_all = pdf["chunk_start"].to_numpy()
         ts_all = pdf[ts_col].astype("int64").to_numpy()
         val_all = pdf["value"].to_numpy(dtype=np.float64)
         conv_all = pdf["conv_id"].to_numpy()
         met_all = pdf["metric"].to_numpy()
-        rows = []
-        for gs, ge in zip(g_starts, g_ends):
-            starts, ends = _run_bounds(cs_all[gs:ge])
-            rows.extend(
-                _blob_row(conv_all[gs], met_all[gs], cs_all[gs + s],
-                          ts_all[gs + s:gs + e], val_all[gs + s:gs + e],
-                          ts_codec, value_codec)
-                for s, e in zip(starts, ends)
-            )
-        return _blob_frame(rows)
+        if not batch_codecs:
+            rows = []
+            for gs, ge in zip(g_starts, g_ends):
+                starts, ends = _run_bounds(cs_all[gs:ge])
+                rows.extend(
+                    _blob_row(conv_all[gs], met_all[gs], cs_all[gs + s],
+                              ts_all[gs + s:gs + e], val_all[gs + s:gs + e],
+                              ts_codec, value_codec)
+                    for s, e in zip(starts, ends)
+                )
+            return _blob_frame(rows)
+        # global chunk runs: a new chunk starts at every group start and at
+        # every chunk_start change within a group
+        n = len(pdf)
+        change = np.zeros(n, dtype=bool)
+        change[g_starts] = True
+        change[1:] |= cs_all[1:] != cs_all[:-1]
+        cstarts = np.flatnonzero(change)
+        cends = np.append(cstarts[1:], n)
+        return _blob_frame_arrays(
+            conv_all[cstarts], met_all[cstarts], cs_all[cstarts],
+            cstarts, cends, ts_all, val_all, ts_codec, value_codec,
+        )
 
     keyed = series.withColumn(
         "chunk_start", F.date_trunc(unit, F.col(ts_col))
@@ -247,7 +293,9 @@ def compact_chunks(
         # arrive sorted by key + (compact_start, chunk_start)), so
         # per-group pandas/Arrow overhead amortizes across every window
         # in the batch instead of one (measured 60 s -> ~2 s at sf0.1
-        # with one-window groups, then batch-level again on top)
+        # with one-window groups, then batch-level again on top); the
+        # re-encode of every window whose output codec pair is a default
+        # one runs as ONE vectorized many-slice pass (codec.*_encode_many)
         cs_all = pdf["compact_start"].to_numpy()
         ts_codecs = pdf["ts_codec"].to_numpy()
         val_codecs = pdf["val_codec"].to_numpy()
@@ -256,6 +304,9 @@ def compact_chunks(
         conv_all = pdf["conv_id"].to_numpy()
         met_all = pdf["metric"].to_numpy()
         rows = []
+        w_meta: list[tuple] = []  # (conv, metric, compact_start)
+        w_ts: list[np.ndarray] = []
+        w_val: list[np.ndarray] = []
         for gs, ge in zip(g_starts, g_ends):
             starts, ends = _run_bounds(cs_all[gs:ge])
             for s, e in zip(starts, ends):
@@ -268,11 +319,40 @@ def compact_chunks(
                     [codec.CODECS[val_codecs[i]][1](bytes(val_blobs[i]))
                      for i in range(s, e)]
                 ).astype(np.float64)
-                rows.append(
-                    _blob_row(conv_all[s], met_all[s], cs_all[s], ts_all,
-                              val_all, ts_codecs[s], val_codecs[s])
-                )
-        return _blob_frame(rows)
+                if (val_codecs[s] in codec.CODECS_ENC_MANY
+                        and ts_codecs[s] in codec.TS_CODECS_ENC_MANY):
+                    w_meta.append((conv_all[s], met_all[s], cs_all[s],
+                                   ts_codecs[s], val_codecs[s]))
+                    w_ts.append(ts_all)
+                    w_val.append(val_all)
+                else:
+                    rows.append(
+                        _blob_row(conv_all[s], met_all[s], cs_all[s], ts_all,
+                                  val_all, ts_codecs[s], val_codecs[s])
+                    )
+        frames = []
+        if rows:
+            frames.append(_blob_frame(rows))
+        if w_meta:
+            lens = np.array([len(a) for a in w_ts], dtype=np.int64)
+            # one frame per (ts_codec, val_codec) pair — uniform in
+            # practice (the pair comes from encode_chunks defaults)
+            for tsc, vc in sorted({(m[3], m[4]) for m in w_meta}):
+                idx = [i for i, m in enumerate(w_meta) if (m[3], m[4]) == (tsc, vc)]
+                sl = lens[idx]
+                se = np.cumsum(sl)
+                frames.append(_blob_frame_arrays(
+                    np.array([w_meta[i][0] for i in idx], dtype=object),
+                    np.array([w_meta[i][1] for i in idx], dtype=object),
+                    np.array([w_meta[i][2] for i in idx]),
+                    se - sl, se,
+                    np.concatenate([w_ts[i] for i in idx]),
+                    np.concatenate([w_val[i] for i in idx]),
+                    tsc, vc,
+                ))
+        if not frames:
+            return _blob_frame([])
+        return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
     span_hint_s = {"1d": 86400, "7d": 7 * 86400, "1mo": 31 * 86400}[to_span]
     keyed = chunks_df.withColumn(

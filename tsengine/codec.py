@@ -132,6 +132,252 @@ def xorblk_decode(buf: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# batch (many-slice) encoders — one vectorized pass over a whole Arrow
+# batch of blobs instead of one numpy pipeline per blob. Bit-identical to
+# the per-blob encoders (asserted in tests/test_codec.py): the per-blob
+# path costs ~15 small-array numpy calls + 2 struct packs per blob, which
+# dominates encode wall time when blobs are small (e.g. 24-row day chunks
+# of an hourly grid — the common chunk-table shape). Here every reduction
+# runs once per BATCH via ufunc.reduceat over block boundaries, and the
+# variable-width bit packing happens as ONE global scatter + packbits;
+# the only remaining per-blob work is byte-slice assembly.
+# --------------------------------------------------------------------------
+
+
+def _bitlen_u64(m: np.ndarray) -> np.ndarray:
+    """Vectorized int.bit_length() for uint64 — exact: the 32-bit halves
+    convert to float64 losslessly (< 2^53), so frexp's exponent IS the
+    bit length of each half."""
+    hi = (m >> _U64(32)).astype(np.float64)
+    lo = (m & _U64(0xFFFFFFFF)).astype(np.float64)
+    bl_hi = np.frexp(hi)[1]  # 0 for 0
+    bl_lo = np.frexp(lo)[1]
+    return np.where(hi > 0, bl_hi + 32, bl_lo).astype(np.int64)
+
+
+def _blocks_of_slices(starts: np.ndarray, ends: np.ndarray, block: int):
+    """Split contiguous slices [starts[i], ends[i]) into ≤``block``-sized
+    sub-blocks. Returns (blob_of_block, bstart, bend) arrays."""
+    lens = ends - starts
+    nblk = (lens + block - 1) // block
+    blob_of_block = np.repeat(np.arange(len(starts)), nblk)
+    first = np.repeat(np.cumsum(nblk) - nblk, nblk)
+    k = np.arange(len(blob_of_block)) - first
+    bstart = starts[blob_of_block] + k * block
+    bend = np.minimum(bstart + block, ends[blob_of_block])
+    return blob_of_block, bstart, bend
+
+
+def _check_tiling(arr_len: int, starts: np.ndarray, ends: np.ndarray) -> None:
+    if len(starts) == 0:
+        if arr_len:
+            raise ValueError("slices must tile the array")
+        return
+    if starts[0] != 0 or ends[-1] != arr_len or (
+        len(starts) > 1 and not np.array_equal(starts[1:], ends[:-1])
+    ):
+        raise ValueError("slices must be contiguous, ascending, and tile the array")
+
+
+def _pack_varwidth_blocks(
+    vals: np.ndarray,
+    n_per_block: np.ndarray,
+    width_per_block: np.ndarray,
+) -> tuple[bytes, np.ndarray]:
+    """Pack ``vals`` (uint64, concatenated per block, low ``width`` bits
+    meaningful, MSB-first like ``_pack_fixed``) into one global byte
+    string where block b occupies ``ceil(n_b * w_b / 8)`` bytes starting
+    at the returned offsets. Blocks with n_b == 0 occupy 0 bytes.
+    Equivalent to b"".join(_pack_fixed(block_vals, w) per block)."""
+    nbytes = (n_per_block * width_per_block + 7) // 8
+    offs = np.concatenate([[0], np.cumsum(nbytes)])
+    total_bits = int(offs[-1]) * 8
+    if total_bits == 0:
+        return b"", offs
+    w_v = np.repeat(width_per_block, n_per_block)
+    # source bits: top w bits of (val << (64 - w)), MSB-first
+    be = (vals << (_U64(64) - w_v.astype(_U64))).astype(">u8")
+    bits = np.unpackbits(be.view(np.uint8).reshape(len(vals), 8), axis=1)
+    sel = np.arange(64)[None, :] < w_v[:, None]
+    # destination bit positions: block byte base * 8 + j * w + (0..w-1)
+    base_v = np.repeat(offs[:-1] * 8, n_per_block)
+    j_first = np.repeat(np.cumsum(n_per_block) - n_per_block, n_per_block)
+    j_v = np.arange(len(vals)) - j_first
+    start_v = base_v + j_v * w_v
+    dest = start_v[:, None] + np.arange(64)[None, :]
+    out_bits = np.zeros(total_bits, dtype=np.uint8)
+    out_bits[dest[sel]] = bits[sel]
+    return np.packbits(out_bits).tobytes(), offs
+
+
+def _pack_mask_blocks(
+    mask: np.ndarray,
+    bstart: np.ndarray,
+    bcnt: np.ndarray,
+    emit: np.ndarray,
+) -> tuple[bytes, np.ndarray]:
+    """Pack per-block slices of a global boolean array into one byte
+    string; block b (where ``emit``) occupies ceil(cnt_b/8) bytes at the
+    returned offsets (non-emitted blocks occupy 0). Equivalent to
+    np.packbits(mask[bstart:bstart+cnt]).tobytes() per emitted block."""
+    cnt_e = np.where(emit, bcnt, 0)
+    nbytes = (cnt_e + 7) // 8
+    offs = np.concatenate([[0], np.cumsum(nbytes)])
+    total_bits = int(offs[-1]) * 8
+    if total_bits == 0:
+        return b"", offs
+    src_first = np.repeat(bstart, cnt_e)
+    i_first = np.repeat(np.cumsum(cnt_e) - cnt_e, cnt_e)
+    idx = np.arange(int(cnt_e.sum()))
+    src = src_first + (idx - i_first)
+    dest = np.repeat(offs[:-1] * 8, cnt_e) + (idx - i_first)
+    out_bits = np.zeros(total_bits, dtype=np.uint8)
+    out_bits[dest] = mask[src]
+    return np.packbits(out_bits).tobytes(), offs
+
+
+def xorblk_encode_many(
+    values: np.ndarray, starts, ends, block: int = BLOCK
+) -> list[bytes]:
+    """Batch twin of ``xorblk_encode``: returns
+    ``[xorblk_encode(values[s:e], block) for (s, e)]`` bit-identically,
+    with every reduction vectorized across all slices. The slices must be
+    non-empty, contiguous, ascending, and tile ``values``."""
+    v = np.ascontiguousarray(values, dtype=np.float64).view(_U64)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    _check_tiling(len(v), starts, ends)
+    if len(starts) == 0:
+        return []
+    x = np.empty_like(v)
+    x[0] = v[0]
+    np.bitwise_xor(v[1:], v[:-1], out=x[1:])
+    x[starts] = v[starts]
+    nz = x != 0
+    blob_of_block, bstart, bend = _blocks_of_slices(starts, ends, block)
+    bcnt = bend - bstart
+    m = np.bitwise_or.reduceat(x, bstart)
+    emit = m != 0
+    lsb = m & (~m + _U64(1))
+    trail = np.where(emit, _bitlen_u64(lsb) - 1, 0)
+    width = np.where(emit, _bitlen_u64(m) - trail, 0)
+    nnz = np.add.reduceat(nz.astype(np.int64), bstart) * emit
+    # headers: per-blob 10-byte <4sIH>, per-block 2-byte <BB>
+    lens = (ends - starts).astype("<u4")
+    heads = np.zeros(len(starts), dtype=[("m", "S4"), ("n", "<u4"), ("b", "<u2")])
+    heads["m"] = _XORBLK_MAGIC
+    heads["n"] = lens
+    heads["b"] = block
+    head_b = heads.tobytes()
+    bh = np.zeros(len(bstart), dtype=[("t", "u1"), ("w", "u1")])
+    bh["t"] = np.where(emit, trail, 0)
+    bh["w"] = np.where(emit, width, 0)
+    bh_b = bh.tobytes()
+    mask_b, moffs = _pack_mask_blocks(nz, bstart, bcnt, emit)
+    vals_nz = x[nz] >> np.repeat(trail, bcnt)[nz].astype(_U64)
+    pay_b, poffs = _pack_varwidth_blocks(vals_nz, nnz, width)
+    # assembly
+    hv, bhv, mv, pv = (
+        memoryview(head_b), memoryview(bh_b), memoryview(mask_b), memoryview(pay_b)
+    )
+    out: list[bytes] = []
+    bi = 0
+    n_blocks = len(bstart)
+    for i in range(len(starts)):
+        parts = [hv[i * 10:(i + 1) * 10]]
+        while bi < n_blocks and blob_of_block[bi] == i:
+            parts.append(bhv[bi * 2:(bi + 1) * 2])
+            if emit[bi]:
+                parts.append(mv[moffs[bi]:moffs[bi + 1]])
+                parts.append(pv[poffs[bi]:poffs[bi + 1]])
+            bi += 1
+        out.append(b"".join(parts))
+    return out
+
+
+def dodblk_encode_many(
+    ts: np.ndarray, starts, ends, block: int = BLOCK
+) -> list[bytes]:
+    """Batch twin of ``dodblk_encode`` — same contract as
+    ``xorblk_encode_many``."""
+    t = np.ascontiguousarray(ts, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    _check_tiling(len(t), starts, ends)
+    if len(starts) == 0:
+        return []
+    lens = ends - starts
+    # per-blob z sequence: zigzag(dod) over positions start+2 .. end-1
+    m_lens = np.maximum(lens - 2, 0)
+    zvalid = np.ones(len(t), dtype=bool)
+    zvalid[starts] = False
+    zvalid[np.minimum(starts + 1, len(t) - 1)] = False
+    # wrapping arithmetic to match dodblk_encode's int64 np.diff twice
+    dod = np.empty_like(t)
+    if len(t) >= 3:
+        with np.errstate(over="ignore"):
+            dod[2:] = (t[2:] - t[1:-1]) - (t[1:-1] - t[:-2])
+    zcat = _zigzag(dod[zvalid]) if int(m_lens.sum()) else np.empty(0, dtype=_U64)
+    zstarts = np.cumsum(m_lens) - m_lens
+    zends = zstarts + m_lens
+    has_z = m_lens > 0
+    blob_of_block, bstart, bend = _blocks_of_slices(
+        zstarts[has_z], zends[has_z], block
+    )
+    blob_ids = np.flatnonzero(has_z)[blob_of_block] if len(bstart) else blob_of_block
+    bcnt = bend - bstart
+    if len(bstart):
+        mx = np.maximum.reduceat(zcat, bstart)
+        nzmask = zcat != 0
+        emit = mx != 0
+        width = np.where(emit, _bitlen_u64(mx), 0)
+        nnz = np.add.reduceat(nzmask.astype(np.int64), bstart) * emit
+        mask_b, moffs = _pack_mask_blocks(nzmask, bstart, bcnt, emit)
+        pay_b, poffs = _pack_varwidth_blocks(zcat[nzmask], nnz, width)
+        wh_b = width.astype("u1").tobytes()
+    else:
+        emit = np.zeros(0, dtype=bool)
+        mask_b = pay_b = wh_b = b""
+        moffs = poffs = np.zeros(1, dtype=np.int64)
+    heads = np.zeros(len(starts), dtype=[("m", "S4"), ("n", "<u4"), ("b", "<u2")])
+    heads["m"] = _DODBLK_MAGIC
+    heads["n"] = lens.astype("<u4")
+    heads["b"] = block
+    head_b = heads.tobytes()
+    # per-blob raw prefix: <q t0> for n==1, <qq t0 d0> for n>=2
+    t0 = t[starts]
+    d0 = np.zeros(len(starts), dtype=np.int64)
+    multi = lens >= 2
+    with np.errstate(over="ignore"):
+        d0[multi] = t[starts[multi] + 1] - t[starts[multi]]
+    hv, mv, pv, wv = (
+        memoryview(head_b), memoryview(mask_b), memoryview(pay_b), memoryview(wh_b)
+    )
+    out: list[bytes] = []
+    bi = 0
+    n_blocks = len(bstart)
+    for i in range(len(starts)):
+        parts = [hv[i * 10:(i + 1) * 10]]
+        n_i = lens[i]
+        if n_i == 1:
+            parts.append(struct.pack("<q", t0[i]))
+        elif n_i >= 2:
+            parts.append(struct.pack("<qq", t0[i], d0[i]))
+        while bi < n_blocks and blob_ids[bi] == i:
+            parts.append(wv[bi:bi + 1])
+            if emit[bi]:
+                parts.append(mv[moffs[bi]:moffs[bi + 1]])
+                parts.append(pv[poffs[bi]:poffs[bi + 1]])
+            bi += 1
+        out.append(b"".join(parts))
+    return out
+
+
+CODECS_ENC_MANY = {"xorblk": xorblk_encode_many}
+TS_CODECS_ENC_MANY = {"dodblk": dodblk_encode_many}
+
+
+# --------------------------------------------------------------------------
 # dodblk — vectorized delta-of-delta int64 timestamp codec (production path)
 # --------------------------------------------------------------------------
 

@@ -872,52 +872,65 @@ def mann_kendall(
 
     Exactness: signs compare exact cents; S, n, and the tie correction
     sum_t t(t-1)(2t+5) are all exact BIGINTs, so z is float algebra on
-    identical integer operands. The pair build is the same per-series
-    O(n²) equi-join self-pair as sample entropy — bounded by
-    retention-capped series length, keyed by the series so there is no
-    cross-series explosion.
+    identical integer operands — which is why the per-series O(n²) pair
+    work runs as numpy inside ONE sorted-partition ``mapInPandas``
+    (``sorted_batch_apply``) instead of the equi-join self-pair it used
+    to be: same exact integers, identical IEEE float steps
+    ((s∓1)/sqrt(var) on doubles), but one series-keyed exchange instead
+    of two plus an O(n²)-row join intermediate; the final 5-dp round
+    stays a Spark-side expression like every other oracle-gated float.
+    Requires non-null values (the long feature stream contract).
     """
-    w = _w()
+    import numpy as np
+    import pandas as pd
+
+    from tsengine.session import sorted_batch_apply
+
     t = df.withColumn(
         "cents", F.round(F.col("value") * value_scale, 0).cast("long")
-    ).withColumn("rn", F.row_number().over(w)).select(*KEY, "rn", "cents")
-    a, b = t.alias("a"), t.alias("b")
-    pairs = a.join(
-        b,
-        [F.col(f"a.{k}") == F.col(f"b.{k}") for k in KEY]
-        + [F.col("a.rn") < F.col("b.rn")],
-    )
-    sgn = F.signum(
-        (F.col("b.cents") - F.col("a.cents")).cast("double")
-    ).cast("long")
-    s_tbl = pairs.groupBy(F.col(f"a.{KEY[0]}"), F.col(f"a.{KEY[1]}")).agg(
-        F.sum(sgn).alias("s"),
-        (F.max("b.rn")).alias("n_obs"),
-    )
-    ties = (
-        t.groupBy(*KEY, "cents")
-        .agg(F.count("*").alias("tt"))
-        .where(F.col("tt") > 1)
-        .groupBy(*KEY)
-        .agg(
-            F.sum(
-                F.col("tt") * (F.col("tt") - 1) * (2 * F.col("tt") + 5)
-            ).alias("tie_corr")
+    ).select(*KEY, *ORDER, "cents")
+
+    def batch(pdf: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        cents = pdf["cents"]
+        if cents.isna().any():
+            raise ValueError("mann_kendall requires non-null values")
+        c = cents.to_numpy(dtype=np.int64)
+        conv = pdf[KEY[0]].to_numpy()
+        met = pdf[KEY[1]].to_numpy()
+        rows = []
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            if n < min_n:
+                continue
+            x = c[s:e]
+            d = np.sign(x[None, :] - x[:, None])
+            s_stat = int(np.triu(d, 1).sum())
+            _, cnt = np.unique(x, return_counts=True)
+            tt = cnt[cnt > 1].astype(np.int64)
+            tie = int((tt * (tt - 1) * (2 * tt + 5)).sum())
+            var = float(n * (n - 1) * (2 * n + 5) - tie) / 18.0
+            if not var > 0.0:
+                continue
+            if s_stat > 0:
+                z = float(s_stat - 1) / float(np.sqrt(var))
+            elif s_stat < 0:
+                z = float(s_stat + 1) / float(np.sqrt(var))
+            else:
+                z = 0.0
+            rows.append((conv[s], met[s], n, s_stat, z))
+        return pd.DataFrame(
+            rows, columns=[KEY[0], KEY[1], "n_obs", "mk_s", "_z"]
         )
+
+    raw = sorted_batch_apply(
+        t, list(KEY), list(ORDER), batch,
+        f"{KEY[0]} string, {KEY[1]} string, n_obs int, mk_s long, _z double",
     )
-    g = s_tbl.join(ties, list(KEY), "left").fillna({"tie_corr": 0})
-    nn = F.col("n_obs")
-    var = (
-        nn * (nn - 1) * (2 * nn + 5) - F.col("tie_corr")
-    ).cast("double") / F.lit(18.0)
-    z = F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / F.sqrt(var)
-    ).when(F.col("s") < 0, (F.col("s") + 1).cast("double") / F.sqrt(var)
-    ).otherwise(F.lit(0.0))
-    return g.where((F.col("n_obs") >= min_n) & (var > 0)).select(
+    return raw.select(
         *KEY,
         "n_obs",
-        F.col("s").alias("mk_s"),
-        (F.round(z + F.lit(1e-9), 5) + F.lit(0.0)).alias("mk_z"),
+        "mk_s",
+        (F.round(F.col("_z") + F.lit(1e-9), 5) + F.lit(0.0)).alias("mk_z"),
     )
 
 

@@ -1416,10 +1416,24 @@ def flow_pagerank(
     expression shape as the SQL oracle.
 
     Scale shape: ONE raw-volume lag window builds the edge list, which
-    partial-aggregates to |states|² rows; every iteration then runs on
-    that matrix-sized frame (10 tiny shuffles over ≤ |states|² rows —
-    at 10^12 turns the edge build dominates and the iterations are
-    noise). The rank vector is |states| rows, never collected.
+    partial-aggregates to |states|² rows; the whole |states|²-sized
+    matrix then folds into ONE row (collect_list — bounded by the state
+    vocabulary, the same budget as a collected codebook) and all
+    ``n_iter`` power steps run as a single ``aggregate(sequence(...))``
+    higher-order expression — a runtime loop inside one projection, so
+    the query is one job with no per-iteration shuffle/checkpoint (the
+    previous shape paid 10 eager localCheckpoints + ~20 matrix-sized
+    exchanges, which was pure scheduling overhead: at 10^12 turns the
+    edge build dominates and the iterations are noise). The rank vector
+    is |states| rows, never collected.
+
+    Float semantics vs the unrolled-CTE SQL oracle: identical operand
+    literals and per-step expression (teleport/n + damping*(insum +
+    mass/n)); the ≤|states|-term insum/mass sums run in the sorted edge
+    array order here vs the engines' own aggregation orders there —
+    exactly the order-sensitivity class the final round(r + 1e-9, 6)
+    already absorbs (the previous groupBy sum order was
+    partition-nondeterministic too).
     """
     w = W.partitionBy(key).orderBy(*[F.col(c) for c in order])
     pairs = (
@@ -1436,58 +1450,76 @@ def flow_pagerank(
         F.col("n_trans").cast("double")
         / F.sum("n_trans").over(wf).cast("double"),
     ).select("from_state", "to_state", "p")
-    edges = edges.cache()
 
-    nodes = (
-        edges.select(F.col("from_state").alias("state"))
-        .unionByName(edges.select(F.col("to_state").alias("state")))
-        .distinct()
-        .cache()
+    folded = edges.agg(
+        F.array_sort(
+            F.collect_list(F.struct("from_state", "to_state", "p"))
+        ).alias("edges"),
+        F.collect_set("from_state").alias("srcs"),
+        F.collect_set("to_state").alias("dsts"),
+    ).select(
+        "edges",
+        F.array_sort(F.array_union("srcs", "dsts")).alias("nodes"),
+        "srcs",
+    ).select(
+        "edges",
+        "nodes",
+        # dangling states: appear only as targets
+        F.filter(
+            "nodes", lambda x: ~F.array_contains(F.col("srcs"), x)
+        ).alias("dang"),
+        # |nodes| as double: integer-exact, same value the old
+        # nodes.count() literal carried
+        F.size("nodes").cast("double").alias("nn"),
     )
-    n_nodes = nodes.count()
-    srcs = edges.select("from_state").distinct()
-    dangling = nodes.join(
-        srcs, nodes["state"] == srcs["from_state"], "left_anti"
-    ).cache()
 
-    r = nodes.select(
-        "state", (F.lit(1.0) / F.lit(float(n_nodes))).alias("r")
+    tp, d = F.lit(float(teleport)), F.lit(float(damping))
+    nn = F.col("nn")
+
+    def step(r, _k):
+        # one damped power step on the rank array (aligned with nodes):
+        # recomputing mass per node costs |nodes|·|dang| adds on a
+        # vocabulary-sized array — noise, and keeps the lambda a single
+        # expression (Spark SQL has no let-binding)
+        mass = F.aggregate(
+            F.col("dang"),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(r, F.array_position(F.col("nodes"), s).cast("int")),
+        )
+        return F.transform(
+            F.col("nodes"),
+            lambda x: tp / nn
+            + d
+            * (
+                F.aggregate(
+                    F.filter(F.col("edges"), lambda e: e["to_state"] == x),
+                    F.lit(0.0),
+                    lambda acc, e: acc
+                    + e["p"]
+                    * F.element_at(
+                        r,
+                        F.array_position(
+                            F.col("nodes"), e["from_state"]
+                        ).cast("int"),
+                    ),
+                )
+                + mass / nn
+            ),
+        )
+
+    r0 = F.transform(F.col("nodes"), lambda _: F.lit(1.0) / nn)
+    r_final = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(n_iter))), r0, step
     )
-    nn = F.lit(float(n_nodes))
-    for _ in range(n_iter):
-        insum = (
-            edges.join(r, edges["from_state"] == r["state"])
-            .groupBy("to_state")
-            .agg(F.sum(F.col("p") * F.col("r")).alias("insum"))
+    return (
+        folded.select("nodes", r_final.alias("r"))
+        .select(F.explode(F.arrays_zip("nodes", "r")).alias("z"))
+        .select(
+            F.col("z.nodes").alias("state"),
+            F.lit(n_iter).cast("int").alias("n_iter"),
+            (F.round(F.col("z.r") + F.lit(1e-9), 6) + F.lit(0.0)).alias("pagerank"),
         )
-        mass_row = (
-            dangling.join(r, "state").agg(
-                F.coalesce(F.sum("r"), F.lit(0.0)).alias("mass")
-            )
-        )
-        r = (
-            nodes.join(insum, nodes["state"] == insum["to_state"], "left")
-            .crossJoin(F.broadcast(mass_row))
-            .select(
-                "state",
-                (
-                    F.lit(teleport) / nn
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("insum"), F.lit(0.0))
-                        + F.col("mass") / nn
-                    )
-                ).alias("r"),
-            )
-            # truncate lineage every iteration: without this the nested-plan
-            # depth grows geometrically and Catalyst analysis dominates
-            # wall time long before the (tiny) data does
-            .localCheckpoint(eager=True)
-        )
-    return r.select(
-        "state",
-        F.lit(n_iter).cast("int").alias("n_iter"),
-        (F.round(F.col("r") + F.lit(1e-9), 6) + F.lit(0.0)).alias("pagerank"),
     )
 
 

@@ -1852,26 +1852,33 @@ def bigram_cross_entropy(
     every probability divides identical integers on any engine; the only
     float accumulation is the per-doc ln-sum (round + nudge).
 
-    Scale shape: ONE lead window over the token stream builds bigrams,
-    ONE (u,v)-keyed exchange counts them (map-side partial agg), the
-    unigram side reuses the same counts (sum over v), |V| rides a
-    broadcast 1-row dim; scoring joins each doc bigram to its corpus
-    count — keyed by (u,v), co-partitioned with the count build.
+    Scale shape: bigrams are ROW-LOCAL — adjacent elements of each doc's
+    token array paired inside one projection (the lead-window shuffle of
+    the exploded token stream this used to pay carried strictly more
+    bytes than the corpus itself); ONE doc-keyed exchange of the raw
+    docs both parallelizes the build and leaves the per-doc scoring
+    groupBy co-partitioned (no second doc exchange), ONE (u,v)-keyed
+    exchange counts bigrams (map-side partial agg), the unigram side
+    reuses the same counts (sum over v), |V| rides a broadcast 1-row
+    dim; scoring joins each doc bigram to its corpus count (tiny build
+    side — AQE broadcasts it).
     """
-    from pyspark.sql import Window
-
-    t = docs.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col)))
-    ).withColumnRenamed("pos", "tok_pos").withColumnRenamed("col", "tok")
-    w = Window.partitionBy(id_col).orderBy("tok_pos")
-    bg = (
-        t.withColumn("nxt", F.lead("tok").over(w))
-        .where(F.col("nxt").isNotNull())
-        .select(id_col, F.col("tok").alias("u"), F.col("nxt").alias("v"))
-    )
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ta = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).repartition(n_part, id_col)
+    bg = ta.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)),"
+                " (t, i) -> struct(t AS u, _toks[i + 1] AS v))"
+            )
+        ).alias("_b"),
+    ).select(id_col, "_b.u", "_b.v")
     c2 = bg.groupBy("u", "v").agg(F.count("*").cast("long").alias("c_uv"))
     c1 = c2.groupBy("u").agg(F.sum("c_uv").alias("c_u"))
-    vocab = t.agg(
+    vocab = ta.select(F.explode("_toks").alias("tok")).agg(
         F.countDistinct("tok").cast("long").alias("v_size")
     )
     scored = (
