@@ -58,6 +58,19 @@ def get_spark(
             "spark.hadoop.parquet.compression.codec.zstd.level",
             os.environ.get("TSENGINE_ZSTD_LEVEL", "1"),
         )
+        # parquet dictionary encoding off for writes: the engine's bulk
+        # writes are dominated by high-cardinality columns (conv_id keys,
+        # per-bucket stats doubles, codec blobs) where the writer builds a
+        # dictionary page per column chunk only to overflow it and fall
+        # back — measured 2.56 s -> 1.68 s for the 55 M-row long-tier
+        # publish with ~5% size change either way (zstd absorbs the
+        # low-card columns' dict loss). Readers are unaffected (encoding
+        # choice only; row-group stats pushdown unchanged). Re-enable via
+        # env for dict-friendly archival tables.
+        .config(
+            "spark.hadoop.parquet.enable.dictionary",
+            os.environ.get("TSENGINE_PARQUET_DICT", "false"),
+        )
         # heap is lazily allocated — size for the worst stage, not the
         # average: at ~35M turns the wide-rollup hash agg + chunked windows
         # cross 24g's execution-memory threshold and spill, and 8 concurrent

@@ -796,8 +796,15 @@ def ivfpq_topk(
 
     # residual codebook: first n_codes vectors, each minus ITS OWN coarse
     # centroid (Spark computes the assignment; the subtraction is exact
-    # IEEE, identical on every engine)
-    cb_rows = assigned.orderBy(id_col).limit(n_codes).collect()
+    # IEEE, identical on every engine). The assignment is row-local, so
+    # it runs AFTER the id-ordered limit: the old order (assign → limit)
+    # evaluated the full nearest-centroid expression battery — |C|
+    # unrolled 64-term chains + |C| BigDecimal rounds per row — over the
+    # whole table just to keep 16 rows (measured ~1.5 s of the key at
+    # bench scale); same rows, bitwise-same assignment either way.
+    cb_rows = ivf_assign(
+        embeddings.orderBy(id_col).limit(n_codes), cents, id_col, vec_col
+    ).orderBy(id_col).collect()
     dim = len(cb_rows[0][vec_col])
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
