@@ -135,3 +135,26 @@ def test_encode_many_rejects_non_tiling():
         codec.xorblk_encode_many(np.zeros(4), [0, 3], [2, 4])
     with pytest.raises(ValueError):
         codec.dodblk_encode_many(np.zeros(4, dtype=np.int64), [1], [4])
+
+
+def test_decode_many_bit_identical():
+    rng = np.random.default_rng(91)
+    for trial in range(100):
+        nblobs = int(rng.integers(1, 15))
+        lens = (rng.integers(1, 4, nblobs) if trial % 5 == 0
+                else rng.integers(1, 300, nblobs))
+        vb, tb, v_ref, t_ref = [], [], [], []
+        for n in lens:
+            v = _rand_vals(rng, n, int(rng.integers(0, 4)))
+            t = _rand_ts(rng, n, int(rng.integers(0, 4)))
+            vb.append(codec.xorblk_encode(v))
+            tb.append(codec.dodblk_encode(t))
+            v_ref.append(v)
+            t_ref.append(t)
+        vd, vcnt = codec.xorblk_decode_many(vb)
+        td, tcnt = codec.dodblk_decode_many(tb)
+        assert np.array_equal(vcnt, lens) and np.array_equal(tcnt, lens)
+        assert np.array_equal(
+            vd.view(np.uint64), np.concatenate(v_ref).view(np.uint64)
+        ), trial  # uint64 view: NaN-payload and ±0 bit-exactness
+        assert np.array_equal(td, np.concatenate(t_ref)), trial

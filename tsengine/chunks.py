@@ -205,32 +205,46 @@ def decode_chunks(chunks_df: DataFrame) -> DataFrame:
             n_blobs = len(pdf)
             if n_blobs == 0:
                 continue
-            # per-blob codec calls are irreducible (each blob is its own
-            # bitstream), but everything frame-shaped happens ONCE per Arrow
-            # batch: one repeat for the keys, one concatenate per column,
-            # one to_datetime over the whole int64-ns array, one DataFrame.
+            # everything frame-shaped happens ONCE per Arrow batch: one
+            # repeat for the keys, one concatenate per column, one
+            # to_datetime over the whole int64-ns array, one DataFrame.
             # (The old per-blob pd.DataFrame + pd.concat dominated decode
-            # cost ~2x at bench scale.)
+            # cost ~2x at bench scale.) With the default codecs even the
+            # per-blob bitstream walks collapse: the *_decode_many twins
+            # decode the whole batch's payload bits in one vectorized
+            # gather (codec.py), leaving only a cheap header walk per blob.
             ts_codecs = pdf["ts_codec"].to_numpy()
             val_codecs = pdf["val_codec"].to_numpy()
             ts_blobs = pdf["ts_blob"].to_numpy()
             val_blobs = pdf["val_blob"].to_numpy()
-            ts_parts: list[np.ndarray] = []
-            val_parts: list[np.ndarray] = []
-            counts = np.empty(n_blobs, dtype=np.int64)
-            for i in range(n_blobs):
-                tdec = codec.TS_CODECS[ts_codecs[i]][1]
-                vdec = codec.CODECS[val_codecs[i]][1]
-                ts_parts.append(tdec(bytes(ts_blobs[i])))
-                vals = vdec(bytes(val_blobs[i]))
-                val_parts.append(vals)
-                counts[i] = len(vals)
+            tnames = set(ts_codecs.tolist())
+            vnames = set(val_codecs.tolist())
+            if (len(tnames) == 1 and len(vnames) == 1
+                    and tnames <= set(codec.TS_CODECS_DEC_MANY)
+                    and vnames <= set(codec.CODECS_DEC_MANY)):
+                ts_all, _tc = codec.TS_CODECS_DEC_MANY[next(iter(tnames))](
+                    [bytes(b) for b in ts_blobs])
+                val_all, counts = codec.CODECS_DEC_MANY[next(iter(vnames))](
+                    [bytes(b) for b in val_blobs])
+            else:
+                ts_parts: list[np.ndarray] = []
+                val_parts: list[np.ndarray] = []
+                counts = np.empty(n_blobs, dtype=np.int64)
+                for i in range(n_blobs):
+                    tdec = codec.TS_CODECS[ts_codecs[i]][1]
+                    vdec = codec.CODECS[val_codecs[i]][1]
+                    ts_parts.append(tdec(bytes(ts_blobs[i])))
+                    vals = vdec(bytes(val_blobs[i]))
+                    val_parts.append(vals)
+                    counts[i] = len(vals)
+                ts_all = np.concatenate(ts_parts)
+                val_all = np.concatenate(val_parts)
             yield pd.DataFrame(
                 {
                     "conv_id": np.repeat(pdf["conv_id"].to_numpy(), counts),
                     "metric": np.repeat(pdf["metric"].to_numpy(), counts),
-                    "bucket_ts": pd.to_datetime(np.concatenate(ts_parts)),
-                    "value": np.concatenate(val_parts),
+                    "bucket_ts": pd.to_datetime(ts_all),
+                    "value": val_all,
                 }
             )
 
@@ -303,10 +317,39 @@ def compact_chunks(
         val_blobs = pdf["val_blob"].to_numpy()
         conv_all = pdf["conv_id"].to_numpy()
         met_all = pdf["metric"].to_numpy()
+        # fully-vectorized fast path when the whole batch carries the
+        # default codec pair (the encode_chunks output shape): ONE batch
+        # decode of every input blob — the rows arrive sorted by
+        # key + (compact_start, chunk_start), so the decoded point stream
+        # is already in window order and each output window is a
+        # contiguous POINT slice; one batch re-encode emits all windows
+        tnames = set(ts_codecs.tolist())
+        vnames = set(val_codecs.tolist())
+        if (len(tnames) == 1 and len(vnames) == 1
+                and tnames <= set(codec.TS_CODECS_DEC_MANY)
+                and vnames <= set(codec.CODECS_DEC_MANY)
+                and tnames <= set(codec.TS_CODECS_ENC_MANY)
+                and vnames <= set(codec.CODECS_ENC_MANY)):
+            tsc, vc = next(iter(tnames)), next(iter(vnames))
+            ts_cat, _tc = codec.TS_CODECS_DEC_MANY[tsc](
+                [bytes(b) for b in ts_blobs])
+            val_cat, vcnt = codec.CODECS_DEC_MANY[vc](
+                [bytes(b) for b in val_blobs])
+            blob_pt_start = np.cumsum(vcnt) - vcnt
+            n = len(pdf)
+            change = np.zeros(n, dtype=bool)
+            change[g_starts] = True
+            change[1:] |= cs_all[1:] != cs_all[:-1]
+            wstarts = np.flatnonzero(change)  # blob-row space
+            pt_starts = blob_pt_start[wstarts]
+            pt_ends = np.append(pt_starts[1:], int(vcnt.sum()))
+            return _blob_frame_arrays(
+                conv_all[wstarts], met_all[wstarts], cs_all[wstarts],
+                pt_starts, pt_ends,
+                ts_cat.astype("int64"), val_cat.astype(np.float64),
+                tsc, vc,
+            )
         rows = []
-        w_meta: list[tuple] = []  # (conv, metric, compact_start)
-        w_ts: list[np.ndarray] = []
-        w_val: list[np.ndarray] = []
         for gs, ge in zip(g_starts, g_ends):
             starts, ends = _run_bounds(cs_all[gs:ge])
             for s, e in zip(starts, ends):
@@ -319,40 +362,11 @@ def compact_chunks(
                     [codec.CODECS[val_codecs[i]][1](bytes(val_blobs[i]))
                      for i in range(s, e)]
                 ).astype(np.float64)
-                if (val_codecs[s] in codec.CODECS_ENC_MANY
-                        and ts_codecs[s] in codec.TS_CODECS_ENC_MANY):
-                    w_meta.append((conv_all[s], met_all[s], cs_all[s],
-                                   ts_codecs[s], val_codecs[s]))
-                    w_ts.append(ts_all)
-                    w_val.append(val_all)
-                else:
-                    rows.append(
-                        _blob_row(conv_all[s], met_all[s], cs_all[s], ts_all,
-                                  val_all, ts_codecs[s], val_codecs[s])
-                    )
-        frames = []
-        if rows:
-            frames.append(_blob_frame(rows))
-        if w_meta:
-            lens = np.array([len(a) for a in w_ts], dtype=np.int64)
-            # one frame per (ts_codec, val_codec) pair — uniform in
-            # practice (the pair comes from encode_chunks defaults)
-            for tsc, vc in sorted({(m[3], m[4]) for m in w_meta}):
-                idx = [i for i, m in enumerate(w_meta) if (m[3], m[4]) == (tsc, vc)]
-                sl = lens[idx]
-                se = np.cumsum(sl)
-                frames.append(_blob_frame_arrays(
-                    np.array([w_meta[i][0] for i in idx], dtype=object),
-                    np.array([w_meta[i][1] for i in idx], dtype=object),
-                    np.array([w_meta[i][2] for i in idx]),
-                    se - sl, se,
-                    np.concatenate([w_ts[i] for i in idx]),
-                    np.concatenate([w_val[i] for i in idx]),
-                    tsc, vc,
-                ))
-        if not frames:
-            return _blob_frame([])
-        return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+                rows.append(
+                    _blob_row(conv_all[s], met_all[s], cs_all[s], ts_all,
+                              val_all, ts_codecs[s], val_codecs[s])
+                )
+        return _blob_frame(rows)
 
     span_hint_s = {"1d": 86400, "7d": 7 * 86400, "1mo": 31 * 86400}[to_span]
     keyed = chunks_df.withColumn(

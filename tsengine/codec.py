@@ -373,8 +373,226 @@ def dodblk_encode_many(
     return out
 
 
+def _gather_varwidth(
+    pay_bits: np.ndarray,
+    bit_base: np.ndarray,
+    n_per_block: np.ndarray,
+    width_per_block: np.ndarray,
+) -> np.ndarray:
+    """Inverse of ``_pack_varwidth_blocks``: read ``n_b`` values of
+    ``w_b`` bits (MSB-first) starting at absolute bit offset
+    ``bit_base[b]`` of the global unpacked bit array → uint64 values in
+    order. Blocks with n_b == 0 contribute nothing."""
+    n_vals = int(n_per_block.sum())
+    if n_vals == 0:
+        return np.zeros(0, dtype=_U64)
+    w_v = np.repeat(width_per_block, n_per_block)
+    base_v = np.repeat(bit_base, n_per_block)
+    j_first = np.repeat(np.cumsum(n_per_block) - n_per_block, n_per_block)
+    j_v = np.arange(n_vals) - j_first
+    start_v = base_v + j_v * w_v
+    sel = np.arange(64)[None, :] < w_v[:, None]
+    src = start_v[:, None] + np.arange(64)[None, :]
+    bits = np.zeros((n_vals, 64), dtype=np.uint8)
+    bits[sel] = pay_bits[src[sel]]
+    be = np.packbits(bits.ravel()).reshape(n_vals, 8)
+    return (
+        be.copy().view(">u8").ravel().astype(_U64)
+        >> (_U64(64) - w_v.astype(_U64))
+    )
+
+
+def _segmented_starts(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    ends = np.cumsum(counts)
+    return ends - counts, ends
+
+
+def xorblk_decode_many(blobs) -> tuple[np.ndarray, np.ndarray]:
+    """Batch twin of ``xorblk_decode``: decodes a sequence of blobs into
+    (concatenated float64 values, per-blob counts) —
+    ``np.concatenate([xorblk_decode(b) for b in blobs])`` bit-identically
+    with the per-value work vectorized across all blobs."""
+    lens, blk_meta = [], []  # blk_meta: (trail, width, cnt, nnz, mask_off, pay_off)
+    mask_parts, pay_parts = [], []
+    mask_off = pay_off = 0
+    for buf in blobs:
+        magic, n, block = struct.unpack_from("<4sIH", buf, 0)
+        assert magic == _XORBLK_MAGIC, "bad xorblk blob"
+        lens.append(n)
+        pos = 10
+        for lo in range(0, n, block):
+            cnt = min(block, n - lo)
+            trail, width = struct.unpack_from("<BB", buf, pos)
+            pos += 2
+            if width == 0:
+                blk_meta.append((0, 0, cnt, 0, mask_off, pay_off))
+                continue
+            bm = (cnt + 7) // 8
+            mask = buf[pos:pos + bm]
+            pos += bm
+            nnz = int.from_bytes(mask, "big").bit_count()
+            nb = _nbytes(nnz, width)
+            blk_meta.append((trail, width, cnt, nnz, mask_off, pay_off))
+            mask_parts.append(mask)
+            pay_parts.append(buf[pos:pos + nb])
+            mask_off += bm
+            pay_off += nb
+            pos += nb
+    lens = np.array(lens, dtype=np.int64)
+    total = int(lens.sum())
+    x = np.zeros(total, dtype=_U64)
+    if blk_meta:
+        meta = np.array(blk_meta, dtype=np.int64)
+        trail_b, width_b, cnt_b, nnz_b = meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3]
+        moff_b, poff_b = meta[:, 4], meta[:, 5]
+        row_start, _ = _segmented_starts(cnt_b)
+        emit = width_b > 0
+        if emit.any():
+            mask_bits = np.unpackbits(
+                np.frombuffer(b"".join(mask_parts), dtype=np.uint8)
+            )
+            # global nz flags: block b's cnt flags live at mask bit
+            # offset moff*8 .. +cnt
+            cnt_e = np.where(emit, cnt_b, 0)
+            src = np.repeat(moff_b * 8, cnt_e) + (
+                np.arange(int(cnt_e.sum()))
+                - np.repeat(np.cumsum(cnt_e) - cnt_e, cnt_e)
+            )
+            dst = np.repeat(row_start, cnt_e) + (
+                np.arange(int(cnt_e.sum()))
+                - np.repeat(np.cumsum(cnt_e) - cnt_e, cnt_e)
+            )
+            nz = np.zeros(total, dtype=bool)
+            nz[dst] = mask_bits[src].astype(bool)
+            pay_bits = np.unpackbits(
+                np.frombuffer(b"".join(pay_parts), dtype=np.uint8)
+            )
+            vals = _gather_varwidth(pay_bits, poff_b * 8, nnz_b, width_b)
+            x[nz] = vals << np.repeat(trail_b, nnz_b).astype(_U64)
+    if total == 0:
+        return np.zeros(0, dtype=np.float64), lens
+    acc = np.bitwise_xor.accumulate(x)
+    starts, _ = _segmented_starts(lens)
+    pref = np.where(
+        starts > 0, acc[np.maximum(starts - 1, 0)], _U64(0)
+    ).astype(_U64)
+    out = acc ^ np.repeat(pref, lens)
+    return out.view(np.float64), lens
+
+
+def dodblk_decode_many(blobs) -> tuple[np.ndarray, np.ndarray]:
+    """Batch twin of ``dodblk_decode`` — same contract as
+    ``xorblk_decode_many`` but returns int64 timestamps."""
+    lens, t0s, d0s = [], [], []
+    blk_meta = []  # (width, cnt, nnz, mask_off, pay_off)
+    mask_parts, pay_parts = [], []
+    mask_off = pay_off = 0
+    for buf in blobs:
+        magic, n, block = struct.unpack_from("<4sIH", buf, 0)
+        assert magic == _DODBLK_MAGIC, "bad dodblk blob"
+        lens.append(n)
+        pos = 10
+        if n == 0:
+            t0s.append(0)
+            d0s.append(0)
+            continue
+        if n == 1:
+            t0s.append(struct.unpack_from("<q", buf, pos)[0])
+            d0s.append(0)
+            continue
+        t0, d0 = struct.unpack_from("<qq", buf, pos)
+        t0s.append(t0)
+        d0s.append(d0)
+        pos += 16
+        m = n - 2
+        for lo in range(0, m, block):
+            cnt = min(block, m - lo)
+            (width,) = struct.unpack_from("<B", buf, pos)
+            pos += 1
+            if width == 0:
+                blk_meta.append((0, cnt, 0, mask_off, pay_off))
+                continue
+            bm = (cnt + 7) // 8
+            mask = buf[pos:pos + bm]
+            pos += bm
+            nnz = int.from_bytes(mask, "big").bit_count()
+            nb = _nbytes(nnz, width)
+            blk_meta.append((width, cnt, nnz, mask_off, pay_off))
+            mask_parts.append(mask)
+            pay_parts.append(buf[pos:pos + nb])
+            mask_off += bm
+            pay_off += nb
+            pos += nb
+    lens = np.array(lens, dtype=np.int64)
+    m_lens = np.maximum(lens - 2, 0)
+    total_z = int(m_lens.sum())
+    z = np.zeros(total_z, dtype=_U64)
+    if blk_meta:
+        meta = np.array(blk_meta, dtype=np.int64)
+        width_b, cnt_b, nnz_b = meta[:, 0], meta[:, 1], meta[:, 2]
+        moff_b, poff_b = meta[:, 3], meta[:, 4]
+        row_start, _ = _segmented_starts(cnt_b)
+        emit = width_b > 0
+        if emit.any():
+            mask_bits = np.unpackbits(
+                np.frombuffer(b"".join(mask_parts), dtype=np.uint8)
+            )
+            cnt_e = np.where(emit, cnt_b, 0)
+            src = np.repeat(moff_b * 8, cnt_e) + (
+                np.arange(int(cnt_e.sum()))
+                - np.repeat(np.cumsum(cnt_e) - cnt_e, cnt_e)
+            )
+            dst = np.repeat(row_start, cnt_e) + (
+                np.arange(int(cnt_e.sum()))
+                - np.repeat(np.cumsum(cnt_e) - cnt_e, cnt_e)
+            )
+            nzf = np.zeros(total_z, dtype=bool)
+            nzf[dst] = mask_bits[src].astype(bool)
+            pay_bits = np.unpackbits(
+                np.frombuffer(b"".join(pay_parts), dtype=np.uint8)
+            )
+            z[nzf] = _gather_varwidth(pay_bits, poff_b * 8, nnz_b, width_b)
+    dod = _unzigzag(z)
+    # per-blob: d = cumsum([d0, dod...]), t = cumsum([t0, d...]) — both
+    # as segmented cumsums (global cumsum minus per-segment prefix;
+    # int64 wrap-around matches the per-blob np.cumsum semantics)
+    d_lens = np.maximum(lens - 1, 0)
+    total_d = int(d_lens.sum())
+    total_t = int(lens.sum())
+    if total_t == 0:
+        return np.zeros(0, dtype=np.int64), lens
+    with np.errstate(over="ignore"):
+        d_seq = np.zeros(0, dtype=np.int64)
+        if total_d:
+            g = np.zeros(total_d, dtype=np.int64)
+            d_starts, _ = _segmented_starts(d_lens)
+            has_d = d_lens > 0
+            g[d_starts[has_d]] = np.array(d0s, dtype=np.int64)[has_d]
+            # dod values fill the non-first positions of each segment
+            dpos_mask = np.ones(total_d, dtype=bool)
+            dpos_mask[d_starts[has_d]] = False
+            g[dpos_mask] = dod
+            gc = np.cumsum(g)
+            dpref = np.where(d_starts > 0, gc[np.maximum(d_starts - 1, 0)], 0)
+            d_seq = gc - np.repeat(dpref, d_lens)
+        # timestamps
+        h = np.zeros(total_t, dtype=np.int64)
+        t_starts, _ = _segmented_starts(lens)
+        has_t = lens > 0
+        h[t_starts[has_t]] = np.array(t0s, dtype=np.int64)[has_t]
+        tpos_mask = np.ones(total_t, dtype=bool)
+        tpos_mask[t_starts[has_t]] = False
+        h[tpos_mask] = d_seq
+        hc = np.cumsum(h)
+        tpref = np.where(t_starts > 0, hc[np.maximum(t_starts - 1, 0)], 0)
+        out = hc - np.repeat(tpref, lens)
+    return out, lens
+
+
 CODECS_ENC_MANY = {"xorblk": xorblk_encode_many}
 TS_CODECS_ENC_MANY = {"dodblk": dodblk_encode_many}
+CODECS_DEC_MANY = {"xorblk": xorblk_decode_many}
+TS_CODECS_DEC_MANY = {"dodblk": dodblk_decode_many}
 
 
 # --------------------------------------------------------------------------
