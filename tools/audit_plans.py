@@ -475,9 +475,9 @@ def main() -> None:
     flag = "OK " if ("Join" not in p_sq8 and CHECKS["codegen"](p_sq8)) else "WARN"
     print(f"{flag} sq8 ANN (scan-speed encode+ADC): joinless={'Join' not in p_sq8}, "
           f"codegen={CHECKS['codegen'](p_sq8)}")
-    audit("moments (window partitioning reused by groupBy, one exchange)",
+    audit("moments (one sorted-partition pandas pass, ordered folds)",
           eq.QUERIES["ts_moments"](spark, sf),
-          ["single_exchange", "partial_agg", "no_cartesian"])
+          ["single_exchange", "no_cartesian"])
     audit("hurst R/S (explode + shared block exchange, shrinking reductions)",
           eq.QUERIES["ts_hurst"](spark, sf),
           ["partial_agg", "no_cartesian"])

@@ -168,29 +168,67 @@ def moments(df: DataFrame, min_n: int = 3) -> DataFrame:
 
     Numerics: power sums of raw values cancel catastrophically when
     mean ≫ std, so every sum is taken over values SHIFTED by the exact
-    per-series min (an unbounded window `min` — selection, not
-    arithmetic, hence bitwise-identical in any engine; central moments
-    are shift-invariant). One exchange total: the window's hash
-    partitioning on (conv_id, metric) is exactly the distribution the
-    groupBy needs, so Catalyst plans no second shuffle, and the power
-    sums partial-aggregate map-side. m2^1.5 is spelled `m2 * sqrt(m2)`
-    because sqrt is IEEE-exact everywhere while pow() may differ by an
-    ulp between libm and the JVM. Degenerate series (n < min_n or
-    relative m2 below 1e-12) drop on both engines."""
-    from pyspark.sql import Window
+    per-series min (selection, not arithmetic, hence bitwise-identical
+    in any engine; central moments are shift-invariant). The s1..s4
+    DOUBLE folds are accumulation-ORDER-sensitive in the last ulp, and
+    the r5 driver caught exactly that: a groupBy partial-agg order that
+    flips with partition count put var_pop's last ulp on the 6-dp
+    rounding boundary (green at local[8], red at local[4]). The sums
+    therefore run as SEQUENTIAL left folds in (ts, event_id) order —
+    the storage scan order both engines see — inside one
+    sorted-partition ``sorted_batch_apply`` pass (numpy ``cumsum`` is a
+    sequential IEEE fold), which makes every s-value one deterministic
+    double independent of Spark partitioning. Same single series-keyed
+    exchange as the old window+groupBy plan. m2^1.5 is spelled
+    `m2 * sqrt(m2)` because sqrt is IEEE-exact everywhere while pow()
+    may differ by an ulp between libm and the JVM. Degenerate series
+    (n < min_n or relative m2 below 1e-12) drop on both engines. Null
+    values are skipped in place (the SQL sum contract); float NaN
+    values are treated the same way — pass pre-filtered data if the
+    distinction matters."""
+    import numpy as np
+    import pandas as pd
 
-    w = Window.partitionBy("conv_id", "metric")
-    d = (
-        df.withColumn("_mn", F.min("value").over(w))
-        .withColumn("_d", F.col("value") - F.col("_mn"))
-    )
-    g = d.groupBy("conv_id", "metric").agg(
-        F.count("*").cast("double").alias("n"),
-        F.min("_mn").alias("mn"),
-        F.sum("_d").alias("s1"),
-        F.sum(F.expr("_d * _d")).alias("s2"),
-        F.sum(F.expr("_d * _d * _d")).alias("s3"),
-        F.sum(F.expr("_d * _d * _d * _d")).alias("s4"),
+    from tsengine.session import sorted_batch_apply
+
+    order = [c for c in ("ts", "event_id") if c in df.columns]
+    t = df.select("conv_id", "metric", *order, "value")
+
+    def batch(pdf: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        conv = pdf["conv_id"].to_numpy()
+        met = pdf["metric"].to_numpy()
+        rows = []
+        for s, e in zip(starts, ends):
+            x = v[s:e]
+            fx = x[~np.isnan(x)]
+            if len(fx) == 0:
+                # all-null series: null sums fail the m2 filter on the
+                # SQL path — emitting nothing is the identical outcome
+                continue
+            mn = float(fx.min())
+            d = fx - mn
+            # left-associated per-row terms, exactly as the SQL text
+            # _d * _d * _d * _d parses: ((d*d)*d)*d
+            d2 = d * d
+            d3 = d2 * d
+            d4 = d3 * d
+            rows.append((
+                conv[s], met[s], float(e - s), mn,
+                float(np.cumsum(d)[-1]),
+                float(np.cumsum(d2)[-1]),
+                float(np.cumsum(d3)[-1]),
+                float(np.cumsum(d4)[-1]),
+            ))
+        return pd.DataFrame(
+            rows,
+            columns=["conv_id", "metric", "n", "mn", "s1", "s2", "s3", "s4"],
+        )
+
+    g = sorted_batch_apply(
+        t, ["conv_id", "metric"], order, batch,
+        "conv_id string, metric string, n double, mn double, "
+        "s1 double, s2 double, s3 double, s4 double",
     )
     m = g.withColumn("md", F.expr("s1 / n"))
     c = (

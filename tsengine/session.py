@@ -49,7 +49,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("TSENGINE_PARQUET_CODEC", "zstd"),
+        )
         # zstd level 1 for writes: the publish stage is write-throughput
         # bound (55 M-row long-tier publish measured 14.5 s at level 3 vs
         # 11.2 s at level 1 for +1.7% size on numeric tier data); bump via
